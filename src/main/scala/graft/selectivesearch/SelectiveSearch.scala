@@ -1,0 +1,338 @@
+package graft.selectivesearch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.DataUtils.ensureHasColumns
+import graft.core.{DataUtils, Schemas}
+
+/** Selective-search post-processing: shard/bucket selection, merging,
+  * evaluation, and TREC export (reference: dataproc/selectivesearch.py).
+  *
+  * Spark-first re-expression: every pipeline is a lazy DataFrame plan;
+  * the selection side of each join is tiny (|queries| x |shards|
+  * [x |buckets|]) and explicitly broadcast, so the big results side is
+  * never shuffled for a join. The only shuffles are per-query windows,
+  * aggregations, and explicit final sorts.
+  *
+  * Row-order semantics: pandas breaks ties by input row order
+  * (`rank(method='first')`, stable sorts). Spark has no stable row
+  * order, so every ordering here carries an explicit deterministic
+  * tiebreak (see SURVEY.md §7 hard-part 2).
+  */
+object SelectiveSearch {
+
+  /** Final (query asc, score desc) sort shared by all select*
+    * pipelines (reference: dataproc/selectivesearch.py:128,157,190),
+    * with (shard, bucket) appended as the deterministic stand-in for
+    * pandas' stable input order.
+    */
+  private def sortedByQueryScore(df: DataFrame): DataFrame = {
+    val tiebreak = Seq("shard", "bucket", "gdocid")
+      .filter(df.columns.contains).map(col(_).asc)
+    df.orderBy(col("query").asc +: col("score").desc +: tiebreak: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Selection family
+  // ---------------------------------------------------------------------
+
+  /** Results from the top `t` shards according to `selection`
+    * (reference: dataproc/selectivesearch.py:121-129).
+    *
+    * The selection frame is (queries x shards)-sized — broadcast; the
+    * results side streams through a broadcast hash join unshuffled.
+    */
+  def select(selection: DataFrame, results: DataFrame, t: Int): DataFrame = {
+    ensureHasColumns(selection, Seq("rank", "query", "shard"))
+    ensureHasColumns(results, Seq("score", "query", "shard"))
+    val top = selection.filter(col("rank") < lit(t)).select("query", "shard")
+    sortedByQueryScore(
+      results.join(broadcast(top), Seq("query", "shard"), "inner"))
+  }
+
+  /** Per-shard-rank bucket budgets under geometric decay
+    * (reference: dataproc/selectivesearch.py:131-137). Pure driver-side
+    * function; the result is tiny and feeds a broadcast lookup join.
+    */
+  def decayedBuckets(numBuckets: Double, numShards: Int, decayFactor: Double): Seq[Int] = {
+    require(0 < decayFactor && decayFactor <= 1,
+      s"decay factor must be in (0, 1], got $decayFactor")
+    var nb = numBuckets
+    (0 until numShards).map { _ =>
+      val v = math.ceil(nb).toInt
+      nb *= decayFactor
+      v
+    }
+  }
+
+  /** Top-`t` shard selection where the number of buckets taken from a
+    * shard decays geometrically with its rank
+    * (reference: dataproc/selectivesearch.py:139-158).
+    *
+    * The reference's in-place `.loc` budget assignment (its quirk Q3)
+    * becomes an immutable broadcast lookup join rank -> buckets.
+    */
+  def selectWithDecay(selection: DataFrame, results: DataFrame, t: Int,
+      decayFactor: Double): DataFrame = {
+    if (decayFactor == 1) return select(selection, results, t)
+    ensureHasColumns(selection, Seq("rank", "query", "shard"))
+    ensureHasColumns(results, Seq("score", "query", "shard", "bucket"))
+    val spark = results.sparkSession
+    import spark.implicits._
+    // scalar max to driver (reference :147) — cheap agg over results
+    val numBuckets =
+      results.agg(max(col("bucket"))).first().getAs[Number](0).doubleValue() + 1
+    val budgets = decayedBuckets(numBuckets, t, decayFactor)
+    val lookup = budgets.zipWithIndex
+      .map { case (b, rank) => (rank, b) }.toDF("rank", "buckets")
+    val sel = selection.filter(col("rank") < lit(t))
+      .join(broadcast(lookup), Seq("rank"), "inner")
+      .select("query", "shard", "buckets")
+    val joined = results.join(broadcast(sel), Seq("query", "shard"), "inner")
+    sortedByQueryScore(
+      joined.filter(col("bucket") < col("buckets")).drop("buckets"))
+  }
+
+  /** Bucket-level selection under a total bucket budget
+    * (reference: dataproc/selectivesearch.py:183-191). The greedy
+    * budget resolution is the one non-relational algorithm — see
+    * [[BucketResolver]].
+    */
+  def selectBuckets(selection: DataFrame, results: DataFrame, t: Int): DataFrame = {
+    ensureHasColumns(selection, Seq("rank", "query", "shard", "bucket"))
+    ensureHasColumns(results, Seq("score", "query", "shard", "bucket"))
+    val resolved = BucketResolver.resolveBucketSelection(selection, t)
+      .select("query", "shard", "bucket")
+    sortedByQueryScore(
+      results.join(broadcast(resolved), Seq("query", "shard", "bucket"), "inner"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Evaluation family
+  // ---------------------------------------------------------------------
+
+  /** A named per-query effectiveness measure over rank-ordered results.
+    * The reference's measures are a dict of order-sensitive closures
+    * (reference: dataproc/measures.py:3-5, selectivesearch.py:26);
+    * here each measure is a pair of Column expressions over rows
+    * carrying `__mrn`, the per-(query[,step]) ordinal by `global_rank`.
+    */
+  sealed trait Measure {
+    def name: String
+    /** Aggregate expression given the per-group ordinal column. */
+    def expr(ordinal: Column): Column
+    /** Largest prefix of the ranking this measure needs. */
+    def depth: Int
+  }
+
+  /** P@k: mean of `column` over the top-k results by `global_rank`
+    * (reference: dataproc/measures.py:3-5). Divides by the number of
+    * available rows when fewer than k exist, exactly like the
+    * reference's `s[:k].sum() / s[:k].count()`.
+    */
+  case class PrecisionAt(k: Int, column: String = "rel", nameOverride: Option[String] = None)
+      extends Measure {
+    val name: String = nameOverride.getOrElse(s"p_$k")
+    def expr(ordinal: Column): Column =
+      avg(when(ordinal <= k, col(column))).as(name)
+    def depth: Int = k
+  }
+  def precisionAt(k: Int, column: String = "rel"): Measure = PrecisionAt(k, column)
+
+  /** One evaluation step: restrict to the top-`step` shards
+    * (buckets when `withBuckets`) per query, then compute measures
+    * per query (reference: dataproc/selectivesearch.py:13-29).
+    *
+    * The reference's per-group `g[:step]` head is a no-op for its
+    * canonical one-row-per-group frames (its quirk Q1); per the
+    * docstring's intent we take the top-`step` entries per query via
+    * the explicit `rank` column, which `shards` must carry.
+    */
+  def evaluateStep(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
+      step: Int, withBuckets: Boolean = false): DataFrame = {
+    ensureHasColumns(shards, Seq("query", "shard", "rank"))
+    val groupBy = if (withBuckets) Seq("query", "shard", "bucket") else Seq("query", "shard")
+    ensureHasColumns(results, groupBy :+ "global_rank")
+    val top = shards.filter(col("rank") < lit(step)).select(groupBy.map(col): _*)
+    val joined = results.join(broadcast(top), groupBy, "inner")
+    val w = Window.partitionBy(col("query")).orderBy(col("global_rank").asc)
+    val ranked = joined.withColumn("__mrn", row_number().over(w))
+    ranked.groupBy(col("query"))
+      .agg(measures.head.expr(col("__mrn")), measures.tail.map(_.expr(col("__mrn"))): _*)
+      .withColumn("step", lit(step))
+  }
+
+  /** Full step sweep: measures at every selection step 1..num_steps
+    * (reference: dataproc/selectivesearch.py:32-73).
+    *
+    * The reference re-runs head+join+agg per step — O(steps x data).
+    * Here the sweep is a single pass: join results with the ranked
+    * selection once, attribute each result row to every step after its
+    * shard's rank via `explode(sequence(rank+1, steps))`, then one
+    * window + one aggregation keyed by (query, step). One scan, two
+    * shuffles, regardless of step count.
+    *
+    * `sort=true` actually ranks shards by `shard_score` descending
+    * (the reference discards that sort — its quirk Q2; the docstring
+    * behavior is implemented instead). When `sort=false`, `shards`
+    * must already carry a `rank` column.
+    */
+  def evaluate(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
+      numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None): DataFrame = {
+    val withBuckets = numBuckets.isDefined
+    val groupBy = if (withBuckets) Seq("query", "shard", "bucket") else Seq("query", "shard")
+    val numSteps = numShards * numBuckets.getOrElse(1)
+    val ranked =
+      if (sort) {
+        ensureHasColumns(shards, groupBy :+ "shard_score")
+        val w = Window.partitionBy(col("query"))
+          .orderBy(col("shard_score").desc +: groupBy.drop(1).map(col(_).asc): _*)
+        shards.withColumn("rank", row_number().over(w) - 1)
+      } else {
+        ensureHasColumns(shards, groupBy :+ "rank")
+        shards
+      }
+    val sel = ranked.select((groupBy :+ "rank").map(col): _*)
+    val joined = results.join(broadcast(sel), groupBy, "inner")
+      .withColumn("step",
+        explode(sequence(col("rank") + 1, lit(numSteps))))
+    val w = Window.partitionBy(col("query"), col("step"))
+      .orderBy(col("global_rank").asc)
+    val ranked2 = joined.withColumn("__mrn", row_number().over(w))
+    ranked2.groupBy(col("query"), col("step"))
+      .agg(measures.head.expr(col("__mrn")), measures.tail.map(_.expr(col("__mrn"))): _*)
+      .select((Seq("query") ++ measures.map(_.name) ++ Seq("step")).map(col): _*)
+      .orderBy(col("query").asc, col("step").asc)
+  }
+
+  /** Reference-shaped per-step loop (union of [[evaluateStep]] plans).
+    * Kept for golden equivalence testing against the single-pass
+    * [[evaluate]]; prefer [[evaluate]] at scale.
+    */
+  def evaluateStepwise(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
+      numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None): DataFrame = {
+    val withBuckets = numBuckets.isDefined
+    val numSteps = numShards * numBuckets.getOrElse(1)
+    val groupBy = if (withBuckets) Seq("query", "shard", "bucket") else Seq("query", "shard")
+    val ranked =
+      if (sort) {
+        val w = Window.partitionBy(col("query"))
+          .orderBy(col("shard_score").desc +: groupBy.drop(1).map(col(_).asc): _*)
+        shards.withColumn("rank", row_number().over(w) - 1)
+      } else shards
+    (1 to numSteps)
+      .map(step => evaluateStep(ranked, results, measures, step, withBuckets))
+      .reduce(_.unionByName(_))
+      .orderBy(col("query").asc, col("step").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // I/O
+  // ---------------------------------------------------------------------
+
+  /** Reads per-shard results Parquet files
+    * `{basename}#{shard}.results-{nbuckets}` for shard in [0, nshards)
+    * and unions them (reference: dataproc/selectivesearch.py:96-119).
+    * Multi-path scan IS the union in Spark; the documented contract is
+    * enforced by reading with an explicit schema.
+    */
+  def loadShardResults(spark: SparkSession, basename: String, nshards: Int,
+      nbuckets: Int = 1): DataFrame = {
+    val paths = (0 until nshards).map(s => s"$basename#$s.results-$nbuckets")
+    spark.read.schema(Schemas.resultsSchema).parquet(paths: _*)
+  }
+
+  /** Loads shard scores for the given queries
+    * (reference: dataproc/selectivesearch.py:76-83).
+    *
+    * The scores CSV carries no keys — the reference binds it to the
+    * (query x shard) cartesian frame by row position. Here both sides
+    * get an explicit position: the cartesian side arithmetically
+    * (`pos = qIdx * nshards + shard`), the CSV side by line number
+    * (single-partition text read, stable order), then an equi-join on
+    * position replaces the fragile positional bind (SURVEY.md §7
+    * hard-part 1).
+    */
+  def loadShardSelection(spark: SparkSession, queries: Seq[Long], nshards: Int,
+      shardScoresPath: String): DataFrame =
+    loadSelection(spark, queries, nshards, None, shardScoresPath)
+
+  /** Bucket-level variant (reference: dataproc/selectivesearch.py:85-93). */
+  def loadBucketSelection(spark: SparkSession, queries: Seq[Long], nshards: Int,
+      nbuckets: Int, shardScoresPath: String): DataFrame =
+    loadSelection(spark, queries, nshards, Some(nbuckets), shardScoresPath)
+
+  private def loadSelection(spark: SparkSession, queries: Seq[Long], nshards: Int,
+      nbuckets: Option[Int], shardScoresPath: String): DataFrame = {
+    import spark.implicits._
+    val ranges = Seq(queries, (0L until nshards.toLong)) ++
+      nbuckets.map(nb => (0L until nb.toLong)).toSeq
+    val names = Seq("query", "shard") ++ nbuckets.map(_ => "bucket").toSeq
+    val cart = DataUtils.cartesianWithPos(spark, ranges, names)
+    // Single-partition line read keeps file order; zipWithIndex gives
+    // the line number. The scores file is (queries x shards x buckets)
+    // lines — tiny relative to results, fine on one partition.
+    val scores = spark.sparkContext.textFile(shardScoresPath, 1)
+      .zipWithIndex()
+      .map { case (line, idx) => (idx, line.trim.toDouble) }
+      .toDF("pos", "shard_score")
+    val bound = cart.join(scores, Seq("pos"), "inner").drop("pos")
+    // pandas rank(method='first', desc) ties by input (= cartesian)
+    // order -> tiebreak by (shard[, bucket]) ascending, which equals
+    // position order within a query.
+    val tiebreak = (Seq("shard") ++ nbuckets.map(_ => "bucket").toSeq).map(col(_).asc)
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("shard_score").desc +: tiebreak: _*)
+    bound.withColumn("rank", (row_number().over(w) - 1).cast("int"))
+  }
+
+  /** Writes `results` as a `trec_eval` run file: six tab-separated
+    * columns `query iter title rank score run_id`, no header, top
+    * `cutoff` per query (reference: dataproc/selectivesearch.py:193-202).
+    *
+    * Pure (does not mutate input — reference quirk Q4) and writes a
+    * single file for byte-level parity with `to_csv`: Spark writes a
+    * directory, then the lone part file is moved to `path`.
+    * `tiebreak` stands in for pandas' input-order tie handling in
+    * `rank(method='first')`.
+    */
+  def toTrec(results: DataFrame, path: String, cutoff: Int = 1000,
+      tiebreak: Seq[String] = Seq("title")): Unit = {
+    trecFrame(results, cutoff, tiebreak)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("sep", "\t").option("header", "false")
+      .csv(path + ".tmpdir")
+    moveSinglePartFile(results.sparkSession, path + ".tmpdir", path)
+  }
+
+  /** The TREC frame itself (exposed for testing / further composition):
+    * 0-based per-query rank by score descending, `iter='Q0'`,
+    * `run_id='null'`, rank < cutoff, sorted by (query, rank)
+    * (reference: dataproc/selectivesearch.py:195-201).
+    */
+  def trecFrame(results: DataFrame, cutoff: Int = 1000,
+      tiebreak: Seq[String] = Seq("title")): DataFrame = {
+    ensureHasColumns(results, Seq("query", "score", "title"))
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("score").desc +: tiebreak.map(col(_).asc): _*)
+    results
+      .withColumn("rank", (row_number().over(w) - 1).cast("int"))
+      .withColumn("iter", lit("Q0"))
+      .withColumn("run_id", lit("null"))
+      .filter(col("rank") < lit(cutoff))
+      .orderBy(col("query").asc, col("rank").asc)
+      .select("query", "iter", "title", "rank", "score", "run_id")
+  }
+
+  private def moveSinglePartFile(spark: SparkSession, dir: String, dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new Path(dir, "part-*")).head.getPath
+    fs.delete(new Path(dest), false)
+    fs.rename(part, new Path(dest))
+    fs.delete(new Path(dir), true)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.MissingColumnException
+import graft.selectivesearch.{BucketResolver, SelectiveSearch}
+import graft.selectivesearch.SelectiveSearch._
+
+/** Ports of the reference's six unit tests with identical fixtures and
+  * expected frames (reference: test/unit/test_selectivesearch.py:17-98).
+  *
+  * The reference's expected row orders rely on pandas' stable sorts
+  * breaking ties by input row order; our pipelines use the explicit
+  * (shard, bucket) tiebreak, which reproduces every reference expected
+  * frame for these fixtures (verified row by row — see FIXTURES.md §1).
+  */
+class SelectiveSearchSuite extends SparkSuite {
+  import spark.implicits._
+
+  // reference: test_selectivesearch.py:17-24
+  def results: DataFrame = Seq(
+    (0, 0, 0, 3.0), (0, 0, 1, 2.0), (0, 1, 0, 5.0),
+    (0, 1, 1, 2.0), (0, 2, 0, 4.0), (0, 2, 1, 1.0),
+    (1, 0, 0, 2.0), (1, 0, 1, 2.0), (1, 1, 0, 4.0),
+    (1, 1, 1, 3.0), (1, 2, 0, 5.0), (1, 2, 1, 5.0)
+  ).toDF("query", "shard", "bucket", "score")
+
+  // reference: test_selectivesearch.py:26-32
+  def selection: DataFrame = Seq(
+    (0, 0, 0), (0, 1, 2), (0, 2, 1),
+    (1, 0, 2), (1, 1, 1), (1, 2, 0)
+  ).toDF("query", "shard", "rank")
+
+  // reference: test_selectivesearch.py:34-41
+  def bucketSelection: DataFrame = Seq(
+    (0, 0, 0, 0), (0, 0, 1, 3), (0, 1, 0, 1),
+    (0, 1, 1, 4), (0, 2, 0, 2), (0, 2, 1, 5),
+    (1, 0, 0, 2), (1, 0, 1, 0), (1, 1, 0, 3),
+    (1, 1, 1, 1), (1, 2, 0, 4), (1, 2, 1, 5)
+  ).toDF("query", "shard", "bucket", "rank")
+
+  // reference: test_select_all (test_selectivesearch.py:43-47)
+  test("select with t = all shards returns everything, sorted") {
+    val selected = SelectiveSearch.select(selection, results, 3)
+    assertRowsEqual(selected, Seq(
+      Seq(0, 1, 0, 5.0), Seq(0, 2, 0, 4.0), Seq(0, 0, 0, 3.0),
+      Seq(0, 0, 1, 2.0), Seq(0, 1, 1, 2.0), Seq(0, 2, 1, 1.0),
+      Seq(1, 2, 0, 5.0), Seq(1, 2, 1, 5.0), Seq(1, 1, 0, 4.0),
+      Seq(1, 1, 1, 3.0), Seq(1, 0, 0, 2.0), Seq(1, 0, 1, 2.0)))
+    assert(selected.columns.toSeq == Seq("query", "shard", "bucket", "score"))
+  }
+
+  // reference: test_select_one (test_selectivesearch.py:49-56)
+  test("select with t = 1 keeps only the rank-0 shard per query") {
+    val selected = SelectiveSearch.select(selection, results.drop("bucket"), 1)
+    assertRowsEqual(selected, Seq(
+      Seq(0, 0, 3.0), Seq(0, 0, 2.0),
+      Seq(1, 2, 5.0), Seq(1, 2, 5.0)))
+    assert(selected.columns.toSeq == Seq("query", "shard", "score"))
+  }
+
+  // reference: test_decayed_buckets (test_selectivesearch.py:58-66)
+  test("decayedBuckets exact sequences and bounds") {
+    assert(decayedBuckets(10, 5, 1) == Seq(10, 10, 10, 10, 10))
+    assert(decayedBuckets(10, 5, 0.9) == Seq(10, 9, 9, 8, 7))
+    assert(decayedBuckets(2, 3, 0.5) == Seq(2, 1, 1))
+    assert(decayedBuckets(2, 3, 0.6) == Seq(2, 2, 1))
+    intercept[IllegalArgumentException](decayedBuckets(10, 5, 0))
+    intercept[IllegalArgumentException](decayedBuckets(10, 5, 1.1))
+  }
+
+  // reference: test_select_with_decay (test_selectivesearch.py:68-76)
+  test("selectWithDecay t=3 decay=0.5 gives budgets [2,1,1]") {
+    val selected = SelectiveSearch.selectWithDecay(selection, results, 3, 0.5)
+    assertRowsEqual(selected, Seq(
+      Seq(0, 1, 0, 5.0), Seq(0, 2, 0, 4.0), Seq(0, 0, 0, 3.0), Seq(0, 0, 1, 2.0),
+      Seq(1, 2, 0, 5.0), Seq(1, 2, 1, 5.0), Seq(1, 1, 0, 4.0), Seq(1, 0, 0, 2.0)))
+  }
+
+  test("selectWithDecay decay=1 degenerates to select") {
+    val a = SelectiveSearch.selectWithDecay(selection, results, 2, 1.0).collect().toSeq
+    val b = SelectiveSearch.select(selection, results, 2).collect().toSeq
+    assert(a == b)
+  }
+
+  // reference: test_select_buckets (test_selectivesearch.py:78-87)
+  test("selectBuckets t=3 selects resolved contiguous buckets") {
+    val selected = SelectiveSearch.selectBuckets(bucketSelection, results, 3)
+    assertRowsEqual(selected, Seq(
+      Seq(0, 1, 0, 5.0), Seq(0, 2, 0, 4.0), Seq(0, 0, 0, 3.0),
+      Seq(1, 1, 0, 4.0), Seq(1, 0, 0, 2.0), Seq(1, 0, 1, 2.0)))
+  }
+
+  // reference: test_resolve_bucket_selection (test_selectivesearch.py:89-98)
+  test("resolveBucketSelection emits contiguous per-shard prefixes") {
+    val resolved = BucketResolver.resolveBucketSelection(bucketSelection, 3)
+      .orderBy("query", "shard", "bucket")
+    assertRowsEqual(resolved, Seq(
+      Seq(0, 0, 0), Seq(0, 1, 0), Seq(0, 2, 0),
+      Seq(1, 0, 0), Seq(1, 0, 1), Seq(1, 1, 0)))
+  }
+
+  test("missing columns raise MissingColumnException") {
+    intercept[MissingColumnException](
+      SelectiveSearch.select(selection.drop("rank"), results, 1))
+    intercept[MissingColumnException](
+      SelectiveSearch.select(selection, results.drop("score"), 1))
+  }
+}
