@@ -1,13 +1,338 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.DataUtils
+import graft.selectivesearch.SelectiveSearch
+import graft.selectivesearch.SelectiveSearch.precisionAt
+
+/** Driver contract: every implemented operator from SURVEY.md §2 is a
+  * named query over the testdata tables, with an ANSI-SQL oracle that
+  * DuckDB evaluates on the same parquet files.
+  *
+  * Cross-engine determinism rules (see Tables): raw columns or exact
+  * integer arithmetic wherever a value is compared; every window and
+  * every final ORDER BY carries a total-order tiebreak; money sums go
+  * through exact cents (`Tables.cents`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's headline `select` pipeline end-to-end
+    * on sf0.001 (driver smoke-checks rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    SelectiveSearch.select(
+      Tables.selection(spark, dir), Tables.results(spark, dir), 2)
+  }
+
+  // --- shared oracle CTE fragments (must mirror Tables exactly) -------
+
+  private val ResultsCte =
+    """results AS (
+      |  SELECT CAST(l_orderkey % 8 AS INT) AS query,
+      |         CAST(l_suppkey % 4 AS INT) AS shard,
+      |         CAST(l_linenumber % 2 AS INT) AS bucket,
+      |         l_extendedprice AS score,
+      |         l_orderkey * 10 + l_linenumber AS gdocid
+      |  FROM lineitem)""".stripMargin
+
+  private val SelectionCte =
+    """sel AS (
+      |  SELECT query, shard,
+      |         CAST(row_number() OVER (PARTITION BY query ORDER BY mass DESC, shard) - 1 AS INT) AS rank
+      |  FROM (SELECT CAST(l_orderkey % 8 AS INT) AS query,
+      |               CAST(l_suppkey % 4 AS INT) AS shard,
+      |               sum(l_quantity) AS mass
+      |        FROM lineitem GROUP BY 1, 2))""".stripMargin
+
+  private val EvalResultsCte =
+    """er AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, gdocid) AS INT) AS global_rank
+      |  FROM (SELECT CAST(l_orderkey % 8 AS INT) AS query,
+      |               CAST(l_suppkey % 4 AS INT) AS shard,
+      |               l_orderkey * 10 + l_linenumber AS gdocid,
+      |               l_extendedprice AS score,
+      |               CAST(CASE WHEN l_partkey % 7 = 0 THEN 1 ELSE 0 END AS INT) AS rel
+      |        FROM lineitem))""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 + P1 + P2: parquet scan with filter/projection pushdown
+    "s1_scan_filter_project" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // J4 + S3: cartesian product of ranges with arithmetic position
+    "j4_cartesian" -> ((s, dir) =>
+      DataUtils.cartesianWithPos(s,
+        Seq(0L until 6L, 0L until 4L), Seq("query", "shard"))
+        .orderBy("pos")),
+
+    // A4 + C3 core: per-query shard ranking (window row_number)
+    "a4_selection_rank" -> ((s, dir) =>
+      Tables.selection(s, dir).orderBy("query", "shard")),
+
+    // C6 = P9 -> P2 -> P1 -> J1 (broadcast) -> T1
+    "c6_select" -> ((s, dir) =>
+      SelectiveSearch.select(Tables.selection(s, dir), Tables.results(s, dir), 2)),
+
+    // C7 = A3 -> F1 -> P4 lookup join -> J1 -> P2 col-vs-col -> P5 -> T1
+    "c7_select_decay" -> ((s, dir) =>
+      SelectiveSearch.selectWithDecay(
+        Tables.selection(s, dir), Tables.results(s, dir), 3, 0.5)),
+
+    // C8 = F3 greedy resolution -> J2 -> T1 (no SQL oracle: sequential
+    // greedy algorithm; correctness pinned by golden unit tests)
+    "c8_select_buckets" -> ((s, dir) =>
+      SelectiveSearch.selectBuckets(
+        Tables.bucketSelection(s, dir), Tables.results(s, dir), 5)),
+
+    // C2/C1 + A1/A2: full evaluation sweep, single-pass step attribution
+    "c2_evaluate" -> ((s, dir) =>
+      SelectiveSearch.evaluate(
+        Tables.selection(s, dir), Tables.evalResults(s, dir),
+        Seq(precisionAt(10), precisionAt(5)), Tables.NumShards)),
+
+    // C9 = A4 -> P6 -> P3 -> T3 -> T1 -> P1: TREC run frame
+    "c9_to_trec" -> ((s, dir) =>
+      SelectiveSearch.trecFrame(
+        Tables.results(s, dir)
+          .withColumn("title", concat(lit("doc"), col("gdocid"))),
+        cutoff = 50)),
+
+    // T2: per-group head (top-k within (query, shard) by score)
+    "t2_group_head" -> ((s, dir) => {
+      val w = Window.partitionBy(col("query"), col("shard"))
+        .orderBy(col("score").desc, col("gdocid").asc)
+      Tables.results(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+        .orderBy(col("query"), col("shard"), col("score").desc, col("gdocid"))
+    }),
+
+    // U1: union-all of tagged slices
+    "u1_union_all" -> ((s, dir) => {
+      val r = Tables.results(s, dir)
+      r.filter(col("score") >= 50000).withColumn("slice", lit("hi"))
+        .unionByName(
+          r.filter(col("score") < 1000).withColumn("slice", lit("lo")))
+        .orderBy("query", "gdocid", "slice")
+    }),
+
+    // J5: positional column bind as arithmetic-position equi-join
+    "j5_positional_bind" -> ((s, dir) => {
+      val cart = DataUtils.cartesianWithPos(s,
+        Seq(0L until 5L, 0L until 5L), Seq("query", "shard"))
+      cart.join(Tables.nation(s, dir),
+          cart("pos") === col("n_nationkey"), "inner")
+        .select(col("query"), col("shard"), col("n_name").as("bound_name"))
+        .orderBy("query", "shard")
+    }),
+
+    // Core analytics: TPC-H Q1-shaped aggregation (exact-cents money)
+    "q1_lineitem_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(Tables.cents(col("l_extendedprice"))).cast("double") / 100).as("sum_base_price"),
+          (sum(Tables.cents(col("l_extendedprice")) *
+            Tables.cents(lit(1) - col("l_discount"))).cast("double") / 10000).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Core analytics: 3-way join + top-k by revenue (TPC-H Q3-shaped)
+    "q3_join_topk" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          (sum(Tables.cents(col("l_extendedprice")) *
+            Tables.cents(lit(1) - col("l_discount"))).cast("double") / 10000).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Time-series batch aggregation over the events table. `ts` is raw
+    // nanos (see Tables.events); hour bucket via exact long arithmetic.
+    "events_hourly_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          expr("(ts - ts % 3600000000000) div 1000000000").as("hour_ts"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(Tables.cents(col("value"))).cast("double") / 100).as("total_value"))
+        .orderBy("hour_ts", "event_type")),
+
+    // Analytic windows beyond row_number: running sum + lag
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") < 5)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_qty"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "j4_cartesian" ->
+      """SELECT CAST(q AS INT) AS query, CAST(s AS INT) AS shard, q * 4 + s AS pos
+        |FROM (SELECT unnest(generate_series(0, 5)) AS q)
+        |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)
+        |ORDER BY pos""".stripMargin,
+
+    "a4_selection_rank" ->
+      s"""WITH $SelectionCte,
+         |mass AS (SELECT CAST(l_orderkey % 8 AS INT) AS query,
+         |                CAST(l_suppkey % 4 AS INT) AS shard,
+         |                sum(l_quantity) AS mass
+         |         FROM lineitem GROUP BY 1, 2)
+         |SELECT m.query, m.shard, m.mass, s.rank
+         |FROM mass m JOIN sel s ON m.query = s.query AND m.shard = s.shard
+         |ORDER BY m.query, m.shard""".stripMargin,
+
+    "c6_select" ->
+      s"""WITH $ResultsCte, $SelectionCte
+         |SELECT r.query, r.shard, r.bucket, r.score, r.gdocid
+         |FROM results r JOIN sel s ON r.query = s.query AND r.shard = s.shard
+         |WHERE s.rank < 2
+         |ORDER BY r.query ASC, r.score DESC, r.shard, r.bucket, r.gdocid""".stripMargin,
+
+    "c7_select_decay" ->
+      s"""WITH $ResultsCte, $SelectionCte,
+         |budgets AS (SELECT CAST(rank AS INT) AS rank,
+         |                   CAST(ceil(2 * power(0.5, rank)) AS INT) AS buckets
+         |            FROM (SELECT unnest(generate_series(0, 2)) AS rank)),
+         |chosen AS (SELECT s.query, s.shard, b.buckets
+         |           FROM sel s JOIN budgets b ON s.rank = b.rank
+         |           WHERE s.rank < 3)
+         |SELECT r.query, r.shard, r.bucket, r.score, r.gdocid
+         |FROM results r JOIN chosen c ON r.query = c.query AND r.shard = c.shard
+         |WHERE r.bucket < c.buckets
+         |ORDER BY r.query ASC, r.score DESC, r.shard, r.bucket, r.gdocid""".stripMargin,
+
+    "c2_evaluate" ->
+      s"""WITH $EvalResultsCte, $SelectionCte,
+         |joined AS (SELECT e.query, e.global_rank, e.rel, s.rank
+         |           FROM er e JOIN sel s ON e.query = s.query AND e.shard = s.shard),
+         |att AS (SELECT j.query, j.global_rank, j.rel, st.step
+         |        FROM joined j
+         |        JOIN (SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS step) st
+         |          ON st.step > j.rank),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query, step ORDER BY global_rank) AS mrn
+         |       FROM att)
+         |SELECT query,
+         |       avg(CASE WHEN mrn <= 10 THEN rel END) AS p_10,
+         |       avg(CASE WHEN mrn <= 5 THEN rel END) AS p_5,
+         |       step
+         |FROM rk GROUP BY query, step
+         |ORDER BY query, step""".stripMargin,
+
+    "c9_to_trec" ->
+      s"""WITH $ResultsCte,
+         |titled AS (SELECT query, concat('doc', gdocid) AS title, score FROM results),
+         |rk AS (SELECT query, title, score,
+         |              CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, title) - 1 AS INT) AS rank
+         |       FROM titled)
+         |SELECT query, 'Q0' AS iter, title, rank, score, 'null' AS run_id
+         |FROM rk WHERE rank < 50
+         |ORDER BY query, rank""".stripMargin,
+
+    "t2_group_head" ->
+      s"""WITH $ResultsCte,
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query, shard ORDER BY score DESC, gdocid) AS rn
+         |       FROM results)
+         |SELECT query, shard, bucket, score, gdocid
+         |FROM rk WHERE rn <= 3
+         |ORDER BY query, shard, score DESC, gdocid""".stripMargin,
+
+    "u1_union_all" ->
+      s"""WITH $ResultsCte
+         |SELECT * FROM (
+         |  SELECT query, shard, bucket, score, gdocid, 'hi' AS slice
+         |  FROM results WHERE score >= 50000
+         |  UNION ALL
+         |  SELECT query, shard, bucket, score, gdocid, 'lo' AS slice
+         |  FROM results WHERE score < 1000)
+         |ORDER BY query, gdocid, slice""".stripMargin,
+
+    "j5_positional_bind" ->
+      """WITH cart AS (
+        |  SELECT CAST(q AS INT) AS query, CAST(s AS INT) AS shard, q * 5 + s AS pos
+        |  FROM (SELECT unnest(generate_series(0, 4)) AS q)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS s))
+        |SELECT c.query, c.shard, n.n_name AS bound_name
+        |FROM cart c JOIN nation n ON c.pos = n.n_nationkey
+        |ORDER BY c.query, c.shard""".stripMargin,
+
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+        |       avg(l_quantity) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT o.o_orderkey,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "events_hourly_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |       event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        |       lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |FROM lineitem
+        |WHERE l_suppkey < 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+  )
 }

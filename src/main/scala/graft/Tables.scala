@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided testdata tables plus the derived
+  * selective-search frames (FIXTURES.md §3): deterministic
+  * (query, shard, bucket, score) analogs of the reference's data model
+  * carved out of `lineitem`, shared between `SparkEntry.queries` and
+  * the DuckDB oracle SQL (which re-derives them with identical
+  * expressions).
+  *
+  * Determinism across engines is designed in: modulo keys, raw-column
+  * scores, exact integer-valued sums (`l_quantity`), and explicit
+  * total-order tiebreaks in every window.
+  */
+object Tables {
+
+  val NumQueries = 8
+  val NumShards = 4
+  val NumBuckets = 2
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects; read it as raw nanos (long).
+    * Consumers derive epoch-second buckets with exact integer
+    * arithmetic (ns magnitudes exceed 2^53 — never divide in double).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Per-shard results analog (reference contract
+    * dataproc/selectivesearch.py:106-112) derived from lineitem.
+    */
+  def results(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      (col("l_orderkey") % NumQueries).cast("int").as("query"),
+      (col("l_suppkey") % NumShards).cast("int").as("shard"),
+      (col("l_linenumber") % NumBuckets).cast("int").as("bucket"),
+      col("l_extendedprice").as("score"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("gdocid"))
+
+  /** Results with the upstream-produced evaluation columns the
+    * reference assumes (its quirk Q7): `global_rank` (per-query global
+    * ordinal by score) and a 0/1 relevance column `rel`.
+    */
+  def evalResults(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select(
+      (col("l_orderkey") % NumQueries).cast("int").as("query"),
+      (col("l_suppkey") % NumShards).cast("int").as("shard"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("gdocid"),
+      col("l_extendedprice").as("score"),
+      when(col("l_partkey") % 7 === 0, 1).otherwise(0).cast("int").as("rel"))
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("score").desc, col("gdocid").asc)
+    li.withColumn("global_rank", row_number().over(w).cast("int"))
+  }
+
+  /** Shard selection analog: one row per (query, shard), ranked by
+    * total quantity mass descending (exact integer-valued sum — the
+    * same rank in any engine), shard ascending as tiebreak.
+    */
+  def selection(spark: SparkSession, dir: String): DataFrame = {
+    val agg = lineitem(spark, dir)
+      .groupBy(
+        (col("l_orderkey") % NumQueries).cast("int").as("query"),
+        (col("l_suppkey") % NumShards).cast("int").as("shard"))
+      .agg(sum(col("l_quantity")).as("mass"))
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("mass").desc, col("shard").asc)
+    agg.withColumn("rank", (row_number().over(w) - 1).cast("int"))
+  }
+
+  /** Bucket selection analog: one row per (query, shard, bucket). */
+  def bucketSelection(spark: SparkSession, dir: String): DataFrame = {
+    val agg = lineitem(spark, dir)
+      .groupBy(
+        (col("l_orderkey") % NumQueries).cast("int").as("query"),
+        (col("l_suppkey") % NumShards).cast("int").as("shard"),
+        (col("l_linenumber") % NumBuckets).cast("int").as("bucket"))
+      .agg(sum(col("l_quantity")).as("mass"))
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("mass").desc, col("shard").asc, col("bucket").asc)
+    agg.withColumn("rank", (row_number().over(w) - 1).cast("int"))
+  }
+
+  /** Money columns carry exactly 2 decimals; `round(x*100)` quantizes
+    * them to exact BIGINT cents, so sums are exact integers and
+    * engine-order-independent. Divide once at the end for a
+    * bit-identical double in any engine.
+    */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100).cast("long")
+}
