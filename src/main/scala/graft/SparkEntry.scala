@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.DataUtils
+import graft.functions.TextFunctions
+import graft.operators.Dedup
 import graft.selectivesearch.SelectiveSearch
 import graft.selectivesearch.SelectiveSearch.precisionAt
 
@@ -177,6 +179,54 @@ object SparkEntry {
           (sum(Tables.cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour_ts", "event_type")),
 
+    // Exact deduplication: content-hash clustering (one shuffle)
+    "dedup_exact_clusters" -> ((s, dir) =>
+      Dedup.exactClusters(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Text analysis: token counts, BPE-ish estimate, punctuation,
+    // md5 fingerprint — pure codegen'd Column exprs
+    "text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_len"),
+        TextFunctions.punctCount(col("text")).as("n_punct"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Text analysis: n-gram-heuristic language ID
+    "lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Text analysis: document quality scoring
+    "quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Near-dedup, scale path: MinHash signatures + LSH band join
+    "minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minHashCandidates(Tables.documents(s, dir))
+        .orderBy("id_a", "id_b")),
+
+    // Near-dedup, exact verification path: n-gram Jaccard on pairs
+    // sharing a shingle
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), minJaccard = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // Near-dedup via native simhash64 Catalyst expression (no SQL
+    // oracle: bespoke 64-bit signature; pinned by unit-test vectors).
+    // 4 x 16-bit band blocking guarantees recall for hamming <= 3.
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 4)
+        .orderBy("id_a", "id_b")),
+
     // Analytic windows beyond row_number: running sum + lag
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -193,7 +243,112 @@ object SparkEntry {
     })
   )
 
+  // --- text-oracle fragments (generated from the same constants the
+  // --- Spark expressions use, so the two sides cannot drift) ---------
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+  private val sw = TextFunctions.stopwords.toMap
+
+  private val TokensExpr = """regexp_split_to_array(trim(text), '\s+')"""
+  private val NTokensExpr =
+    s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($TokensExpr) END"
+  private val NPunctExpr =
+    "length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))"
+
+  private val ShinglesCte =
+    s"""w AS (SELECT doc_id, $TokensExpr AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(generate_series(1, len(ws) - 2),
+       |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+       |  FROM w WHERE len(ws) >= 3)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_exact_clusters" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |cl AS (SELECT fp, min(doc_id) AS keeper, count(*) AS cluster_size
+        |       FROM f GROUP BY fp)
+        |SELECT f.doc_id, f.fp, cl.keeper, cl.cluster_size,
+        |       CAST(f.doc_id <> cl.keeper AS INT) AS is_dup
+        |FROM f JOIN cl USING (fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |       $NTokensExpr AS n_tokens,
+         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+         |       length(text) AS n_chars_len,
+         |       $NPunctExpr AS n_punct,
+         |       substring(md5(text), 1, 16) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $TokensExpr AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        len(list_filter(toks, x -> x IN (${inList(sw("en"))}))) AS en,
+         |        len(list_filter(toks, x -> x IN (${inList(sw("es"))}))) AS es,
+         |        len(list_filter(toks, x -> x IN (${inList(sw("fr"))}))) AS fr,
+         |        len(list_filter(toks, x -> x IN (${inList(sw("de"))}))) AS de
+         |      FROM t)
+         |SELECT doc_id,
+         |       CASE WHEN greatest(en, es, fr, de) <= 0 THEN 'und'
+         |            WHEN en = greatest(en, es, fr, de) THEN 'en'
+         |            WHEN es = greatest(en, es, fr, de) THEN 'es'
+         |            WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+         |            WHEN de = greatest(en, es, fr, de) THEN 'de'
+         |            ELSE 'und' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |             $NTokensExpr AS n_tok,
+         |             len(list_filter($TokensExpr, x -> x IN (${inList(sw("en"))}))) AS en_hits,
+         |             $NPunctExpr AS n_punct
+         |           FROM documents)
+         |SELECT doc_id,
+         |       (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(en_hits AS DOUBLE) / n_tok END)
+         |       - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / length(text) END)
+         |       + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "minhash_lsh_pairs" ->
+      s"""WITH $ShinglesCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, 15),
+         |           i -> list_min(list_transform(sg, s -> md5(i::VARCHAR || ':' || s)))) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, sig, b AS band_idx,
+         |         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS band_key
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+         |  FROM banded a
+         |  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |               AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "ngram_jaccard_pairs" ->
+      s"""WITH $ShinglesCte,
+         |ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |cnt AS (SELECT doc_id, len(sg) AS n_sh FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT id_a, id_b,
+         |         CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+         |  FROM inter
+         |  JOIN cnt ca ON ca.doc_id = id_a
+         |  JOIN cnt cb ON cb.doc_id = id_b)
+         |WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "s1_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
         |FROM lineitem

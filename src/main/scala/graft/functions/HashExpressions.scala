@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for content hashing. Both stay inside
+  * whole-stage codegen by emitting a call to a static JVM kernel —
+  * no UDF serialization, no codegen fallback.
+  */
+object HashKernels {
+  /** 64-bit FNV-1a over UTF-8 bytes. Public-domain algorithm;
+    * deterministic across JVMs.
+    */
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Polynomial rolling hash over UTF-8 bytes (base 1000003, natural
+    * 64-bit wraparound). The streaming-updatable document fingerprint.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens: FNV-1a per token, per-bit
+    * +1/-1 majority vote packed into a long.
+    */
+  def simHash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](64)
+    var start = 0
+    var i = 0
+    def addToken(from: Int, until: Int): Unit = {
+      if (until > from) {
+        val h = fnv1a64(bytes, from, until)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    while (i < bytes.length) {
+      // ASCII whitespace split — tokens are byte runs between blanks
+      val c = bytes(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        addToken(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    addToken(start, bytes.length)
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** `rolling_hash(text)`: 64-bit polynomial content fingerprint. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  def inputTypes: Seq[DataType] = Seq(StringType)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"rolling_hash needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.rollingHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
+/** `simhash64(text)`: 64-bit near-duplicate signature. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  def inputTypes: Seq[DataType] = Seq(StringType)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"simhash64 needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simHash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simHash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+object HashFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  private def bit_count(c: Column): Column =
+    org.apache.spark.sql.functions.bit_count(c)
+}

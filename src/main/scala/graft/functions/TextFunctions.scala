@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: token
+  * counting, BPE-ish token estimation, language ID, quality scoring,
+  * fingerprinting, word shingles. All pure `Column` expressions
+  * (whole-stage-codegen'd, no UDFs), deterministic across engines —
+  * each has a matching ANSI-SQL formulation used by the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(btrim(c), "\\s+")
+
+  /** Whitespace token count; 0 for blank text (split of "" yields [""]). */
+  def tokenCount(c: Column): Column =
+    when(length(btrim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** BPE-ish subword-token estimate: alpha runs, digit runs, and
+    * single non-alphanumeric marks each count as one token.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Non-alphanumeric (punctuation) character count. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^A-Za-z0-9 ]", ""))
+
+  /** Per-language stopword lists (shared with the oracle SQL, which is
+    * generated from these constants).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "a", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "los", "es", "y", "en"),
+    "fr" -> Seq("le", "la", "de", "les", "est", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
+
+  /** Per-language stopword hit count over whitespace tokens. */
+  def stopwordHits(c: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))
+  }
+
+  /** N-gram-heuristic language ID: argmax of per-language stopword
+    * hits (ties broken in fixed en > es > fr > de order); "und"
+    * (undetermined) when no list scores a hit.
+    */
+  def langId(c: Column): Column = {
+    val scores = stopwords.map { case (lang, _) => lang -> stopwordHits(c, lang) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Heuristic document quality score in ~[-1, 2]: rewards stopword
+    * density and length, penalizes punctuation density. All terms are
+    * ratios of exact integer counts — bit-identical in any engine.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(stopwordHits(c, "en").cast("double") / nTok)
+    val punctRatio = when(length(c) === 0, lit(0.0))
+      .otherwise(punctCount(c).cast("double") / length(c))
+    val lengthTerm = least(nTok.cast("double") / 100.0, lit(1.0))
+    stopRatio - punctRatio + lengthTerm
+  }
+
+  /** 64-hex-bit document fingerprint: md5 prefix (content-addressed,
+    * engine-portable). For the rolling-hash variant see [[RollingHash]].
+    */
+  def fingerprintMd5(c: Column): Column = substring(md5(c), 1, 16)
+
+  /** Word n-gram shingles (distinct) over whitespace tokens; empty
+    * array when the text has fewer than n tokens.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, HashKernels, TextFunctions}
+import graft.operators.Dedup
+
+class TextDedupSuite extends SparkSuite {
+  import spark.implicits._
+
+  def textDf(texts: (Long, String)*): DataFrame =
+    texts.toDF("doc_id", "text")
+
+  test("tokenCount: whitespace runs, blanks, empties") {
+    val df = textDf(0L -> "a  b\tc", 1L -> "", 2L -> "   ", 3L -> "one")
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .orderBy("doc_id")
+    assertRowsEqual(df, Seq(Seq(0L, 3), Seq(1L, 0), Seq(2L, 0), Seq(3L, 1)))
+  }
+
+  test("bpeTokenCount: alpha runs, digit runs, punctuation marks") {
+    val df = textDf(0L -> "ab 12, cd!")
+      .select(TextFunctions.bpeTokenCount(col("text")).as("n"))
+    assertRowsEqual(df, Seq(Seq(5))) // ab, 12, ",", cd, "!"
+  }
+
+  test("langId: stopword argmax with fixed tie order and und fallback") {
+    val df = textDf(
+      0L -> "the cat of a hat is here",
+      1L -> "el perro la casa de los",
+      2L -> "le chien les maisons est un",
+      3L -> "der hund die katze und das",
+      4L -> "xyzzy plugh")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+      .orderBy("doc_id")
+    assertRowsEqual(df, Seq(
+      Seq(0L, "en"), Seq(1L, "es"), Seq(2L, "fr"), Seq(3L, "de"), Seq(4L, "und")))
+  }
+
+  test("wordShingles: distinct 3-gram shingles; short text yields empty") {
+    val got = textDf(0L -> "a b c d", 1L -> "a b")
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(got(1).getSeq[String](1) == Seq.empty)
+  }
+
+  test("rolling hash and simhash: known vectors and invariants") {
+    // FNV-1a("a") is a published test vector; a single-token simhash
+    // IS that token's hash (every bit majority is the bit itself).
+    assert(HashKernels.fnv1a64("a".getBytes("UTF-8"), 0, 1) == 0xaf63dc4c8601ec8cL)
+    val df = textDf(0L -> "a", 1L -> "", 2L -> "spark spark spark")
+      .select(col("doc_id"),
+        HashFunctions.rolling_hash(col("text")).as("rh"),
+        HashFunctions.simhash64(col("text")).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(df(0).getLong(2) == 0xaf63dc4c8601ec8cL) // simhash("a") = fnv1a("a")
+    assert(df(0).getLong(1) == 'a'.toLong)           // rolling_hash("a") = byte value
+    assert(df(1).getLong(1) == 0L)                   // empty string -> 0
+    // deterministic across evaluation paths (interpreted vs codegen)
+    val again = textDf(2L -> "spark spark spark")
+      .select(HashFunctions.simhash64(col("text"))).first().getLong(0)
+    assert(again == df(2).getLong(2))
+  }
+
+  test("hamming64 counts differing bits") {
+    val d = spark.range(1)
+      .select(HashFunctions.hamming64(lit(0L), lit(-1L)).as("h"))
+      .first().getInt(0)
+    assert(d == 64)
+  }
+
+  test("exactClusters / dedupExact") {
+    val docs = textDf(0L -> "same text", 1L -> "same text", 2L -> "other", 3L -> "same text")
+    val clusters = Dedup.exactClusters(docs).orderBy("doc_id")
+    assertRowsEqual(clusters.select("doc_id", "keeper", "cluster_size", "is_dup"), Seq(
+      Seq(0L, 0L, 3L, 0), Seq(1L, 0L, 3L, 1), Seq(2L, 2L, 1L, 0), Seq(3L, 0L, 3L, 1)))
+    val kept = Dedup.dedupExact(docs).orderBy("doc_id").select("doc_id")
+    assertRowsEqual(kept, Seq(Seq(0L), Seq(2L)))
+  }
+
+  test("minHashCandidates finds near-identical docs, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = textDf(
+      0L -> base,
+      1L -> (base + " tomorrow"),                 // near-dup of 0
+      2L -> "completely different words appear in this unrelated document text")
+    val pairs = Dedup.minHashCandidates(docs).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((0L, 1L)), s"expected (0,1) in ${pairSet}")
+    assert(!pairSet.exists(p => p._1 == 2L || p._2 == 2L))
+    val est = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getDouble(2)
+    assert(est > 0.5 && est <= 1.0)
+  }
+
+  test("ngramJaccardPairs computes the exact jaccard") {
+    // doc0: shingles {a b c, b c d}; doc1: {a b c}; jaccard = 1/2
+    val docs = textDf(0L -> "a b c d", 1L -> "a b c")
+    val got = Dedup.ngramJaccardPairs(docs, minJaccard = 0.0).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 0L && got.head.getLong(1) == 1L)
+    assert(got.head.getDouble(2) == 0.5)
+  }
+
+  test("simHashPairs: identical docs at hamming 0") {
+    val docs = textDf(0L -> "alpha beta gamma delta", 1L -> "alpha beta gamma delta",
+      2L -> "entirely unrelated content here now")
+    val got = Dedup.simHashPairs(docs, maxHamming = 3).collect()
+    assert(got.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L && r.getInt(2) == 0))
+  }
+}
