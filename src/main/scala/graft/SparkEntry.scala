@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DataUtils
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.selectivesearch.SelectiveSearch
 import graft.selectivesearch.SelectiveSearch.precisionAt
 
@@ -227,6 +227,26 @@ object SparkEntry {
       Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 4)
         .orderBy("id_a", "id_b")),
 
+    // ANN baseline: brute-force cosine top-k (exact integer-quantized
+    // dot products -> engine-portable doubles)
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 8), 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN scale path: sign-LSH cell blocking, same output shape
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshCosineTopK(e, e.filter(col("vec_id") < 8), 5, bits = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding near-duplicate pairs within LSH cells
+    "embedding_neardup_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.3, bits = 6)
+        .orderBy("id_a", "id_b")),
+
     // Analytic windows beyond row_number: running sum + lag
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -264,7 +284,55 @@ object SparkEntry {
        |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
        |  FROM w WHERE len(ws) >= 3)""".stripMargin
 
+  // quantized-embedding oracle fragment (mirrors Similarity.prepared)
+  private val QuantCte =
+    """qn AS (
+      |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2
+      |  FROM (SELECT vec_id,
+      |               list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      |        FROM embeddings))""".stripMargin
+
+  private val CellExpr =
+    """list_sum(list_transform(generate_series(1, 6),
+      |  i -> CASE WHEN v[i] >= 0 THEN CAST(power(2, i - 1) AS BIGINT) ELSE 0 END))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH $QuantCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]))
+         |           / sqrt(CAST(q.n2 * c.n2 AS DOUBLE)) AS cosine
+         |  FROM qn q JOIN qn c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+         |       FROM pairs)
+         |SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH $QuantCte,
+         |qc AS (SELECT vec_id, v, n2, $CellExpr AS cell FROM qn),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]))
+         |           / sqrt(CAST(q.n2 * c.n2 AS DOUBLE)) AS cosine
+         |  FROM qc q JOIN qc c ON q.cell = c.cell AND q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+         |       FROM pairs)
+         |SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "embedding_neardup_pairs" ->
+      s"""WITH $QuantCte,
+         |qc AS (SELECT vec_id, v, n2, $CellExpr AS cell FROM qn)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+         |           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cosine
+         |  FROM qc a JOIN qc b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_exact_clusters" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
         |cl AS (SELECT fp, min(doc_id) AS keeper, count(*) AS cluster_size
