@@ -247,6 +247,38 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.3, bits = 6)
         .orderBy("id_a", "id_b")),
 
+    // Sessionization (relational form): 30-min-gap user sessions via
+    // lag + cumulative-sum windows; exact-cents totals
+    "sessionize_batch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000").as("t"),
+          Tables.cents(col("value")).as("vc"))
+        .withColumn("prev", lag(col("t"), 1).over(w))
+        .withColumn("new_s",
+          (col("prev").isNull || (col("t") - col("prev")) > 1800000L).cast("int"))
+        .withColumn("sidx", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sidx"))
+        .agg(
+          min(col("t")).as("session_start_ms"),
+          max(col("t")).as("session_end_ms"),
+          count(lit(1)).cast("int").as("n_events"),
+          (sum(col("vc")).cast("double") / 100).as("total_value"))
+        .drop("sidx")
+        .orderBy("user_id", "session_start_ms")
+    }),
+
+    // Multimodal plumbing: stubbed decode over binary payloads (no SQL
+    // oracle: synthetic binary corpus; schema/batch shape pinned by
+    // unit tests)
+    "media_features" -> ((s, dir) =>
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.syntheticMedia(s, 100))
+        .toDF().orderBy("media_id")),
+
     // Analytic windows beyond row_number: running sum + lag
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -537,6 +569,20 @@ object SparkEntry {
         |GROUP BY o.o_orderkey
         |ORDER BY revenue DESC, o.o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "sessionize_batch" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t,
+        |                  CAST(round(value * 100) AS BIGINT) AS vc
+        |           FROM events),
+        |m AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000 THEN 1 ELSE 0 END AS new_s FROM m),
+        |c AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sidx FROM s)
+        |SELECT user_id, min(t) AS session_start_ms, max(t) AS session_end_ms,
+        |       CAST(count(*) AS INT) AS n_events,
+        |       CAST(sum(vc) AS DOUBLE) / 100 AS total_value
+        |FROM c GROUP BY user_id, sidx
+        |ORDER BY user_id, session_start_ms""".stripMargin,
 
     "events_hourly_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,

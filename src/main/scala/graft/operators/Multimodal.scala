@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashKernels
+
+/** Typed metadata for an opaque media payload. */
+case class MediaMeta(width: Int, height: Int, sampleRate: Int,
+    durationMs: Int, format: String)
+
+/** A multimodal row: media as an opaque binary column plus typed
+  * metadata. The engine treats payloads as bytes end-to-end; only the
+  * (stubbed) codec boundary interprets them.
+  */
+case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+    meta: MediaMeta)
+
+/** Extracted feature row (payload projected away — see scale note). */
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+    feature: Array[Float])
+
+/** Sampled video frame reference. */
+case class FrameRef(media_id: Long, frame_ts_ms: Int, frame_fp: Long)
+
+/** Multimodal-column plumbing: decode / feature-extract / resize /
+  * frame-sample over opaque `binary` payloads with typed metadata.
+  *
+  * The actual codecs (image/audio/video decode) are STUBBED with a
+  * deterministic byte-level kernel — this container has no media
+  * libraries — but everything Spark-side is real and tested: the
+  * schema, the typed Dataset API, the per-partition batch shape
+  * (`mapPartitions`, one decoder init per partition, mirroring how a
+  * JNI/FFI codec would be bound), and the explode-based frame
+  * sampling.
+  *
+  * Scale notes: payloads dominate row size, so every pipeline projects
+  * the binary column away before any wide transform — features travel
+  * through shuffles, payloads never do. Feature extraction itself is
+  * narrow (no shuffle).
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+
+  /** STUB decoder: deterministic fake "embedding" derived from payload
+    * bytes. A real build replaces the body with a codec call; the
+    * signature and batch shape are the contract.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < FeatureDim) {
+      val h = HashKernels.fnv1a64(payload, 0, payload.length) * (i + 1)
+      out(i) = ((h >>> 32).toInt % 1000) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic synthetic media corpus (payload bytes derived from
+    * the id) — the test stand-in for a real binary-file ingest.
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val payload = s"MEDIA:$id:$kind".getBytes("UTF-8") ++
+        Array.tabulate[Byte](64)(i => ((id * 31 + i) % 251).toByte)
+      val meta = kind match {
+        case "image" => MediaMeta(640, 480, 0, 0, "png")
+        case "audio" => MediaMeta(0, 0, 16000, (1000 + id * 10).toInt, "wav")
+        case _ => MediaMeta(1280, 720, 0, (2000 + id * 100).toInt, "mp4")
+      }
+      MediaRow(id, kind, payload, meta)
+    }
+  }
+
+  /** Feature extraction: per-partition batched decode (decoder state
+    * initialized once per partition — the real-codec batch shape),
+    * payload projected away in the output.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (JNI handle, model…)
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length, decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** Resize plumbing: rewrites metadata and (stub) re-encodes the
+    * payload; kind-preserving, narrow (no shuffle).
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.kind == "image")
+        r.copy(meta = r.meta.copy(width = w, height = h),
+          payload = r.payload /* STUB: real build re-encodes here */ )
+      else r
+    }
+  }
+
+  /** Frame sampling: one row per sampled timestamp of each video
+    * (explode over a generated sequence); frame_fp is the stubbed
+    * frame fingerprint.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Int): Dataset[FrameRef] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      (0 until r.meta.durationMs by everyMs).map { ts =>
+        FrameRef(r.media_id, ts,
+          HashKernels.fnv1a64(r.payload, 0, r.payload.length) ^ ts.toLong)
+      }
+    }
+  }
+
+  /** Media features as an embedding DataFrame, composable with the
+    * Similarity operators (payloads long gone by this point).
+    */
+  def featureEmbeddings(media: Dataset[MediaRow]): DataFrame =
+    extractFeatures(media)
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+}

