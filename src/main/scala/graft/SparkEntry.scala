@@ -414,14 +414,20 @@ object SparkEntry {
 
     "minhash_lsh_pairs" ->
       s"""WITH $ShinglesCte,
+         |hs AS (
+         |  SELECT doc_id,
+         |         list_transform(sg, s -> {'h1': ('0x' || substr(md5(s), 1, 12))::BIGINT,
+         |                                  'h2': ('0x' || substr(md5(s), 13, 12))::BIGINT}) AS hp
+         |  FROM sh),
          |sig AS (
          |  SELECT doc_id,
          |         list_transform(generate_series(0, 15),
-         |           i -> list_min(list_transform(sg, s -> md5(i::VARCHAR || ':' || s)))) AS sig
-         |  FROM sh),
+         |           i -> list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+         |  FROM hs),
          |banded AS (
          |  SELECT doc_id, sig, b AS band_idx,
-         |         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS band_key
+         |         md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
+         |             sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS band_key
          |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb

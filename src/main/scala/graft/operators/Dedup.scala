@@ -41,16 +41,33 @@ object Dedup {
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature over word n-gram shingles: `numHashes` string
-    * minima of per-hash-salted md5 — computed entirely per row
-    * (no shuffle, no UDF). md5 hex strings order like their values,
-    * so `array_min` IS the min-hash.
+  /** MinHash signatures over word n-gram shingles as a DataFrame
+    * (id, sig: array<long>).
+    *
+    * One md5 per shingle, split into two exact 48-bit integers
+    * (h1, h2); the hash family is Carter-Wegman h_i = h1 + i*h2
+    * (i < 16 keeps every value under 2^52 — exact in any engine, no
+    * overflow).
+    *
+    * Shape: explode shingles -> hash in whole-stage codegen ->
+    * groupBy(id) with `numHashes` min aggregates (map-side partial
+    * aggregation; one shuffle keyed by id). This deliberately avoids
+    * nested higher-order array functions: a lambda that embeds the
+    * shingle pipeline re-evaluates it per signature element —
+    * measured 16x slower at sf0.1.
     */
-  def minHashSignature(textCol: Column, n: Int = 3, numHashes: Int = 16): Column = {
-    val shingles = TextFunctions.wordShingles(textCol, n)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
+  def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+    val hashed = sh.select(col(idCol),
+      conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("s")), 13, 12), 16, 10).cast("long").as("h2"))
+    val minCols = (0 until numHashes).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"_m$i"))
+    hashed.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
   /** LSH band keys from a minhash signature: md5 of each contiguous
@@ -58,7 +75,9 @@ object Dedup {
     */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+      b => md5(concat_ws("|",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding, with
     * the estimated Jaccard (fraction of agreeing signature rows).
@@ -71,10 +90,8 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val signed = docs
-      .select(col(idCol), col(textCol))
-      .withColumn("sig", minHashSignature(col(textCol), n, numHashes))
-      .filter(!col("sig").getItem(0).isNull) // docs with < n tokens have no shingles
+    // docs with < n tokens have no shingles and drop out naturally
+    val signed = minHashSignatures(docs, textCol, idCol, n, numHashes)
     val banded = signed.select(
         col(idCol), col("sig"),
         posexplode(lshBandKeys(col("sig"), bands, r)))

@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression checks: the plans the engine relies on for
+  * scale must actually materialize — filters reach the parquet scan,
+  * tiny selection sides broadcast, top-k avoids a global sort.
+  */
+class PlanSuite extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("s1 scan pushes filters and prunes columns") {
+    val p = plan("s1_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)"), p.take(2000))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(2000))
+    // projection pruning: untouched wide columns never leave the scan
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"))
+  }
+
+  test("c6 select joins results against a broadcast selection side") {
+    val p = plan("c6_select")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q3 join-topk broadcasts the dimension side and takes ordered top-k") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q1 agg does partial (map-side) aggregation before the shuffle") {
+    val p = plan("q1_lineitem_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // under AQE the codegen stages (the "*(n)" markers) only appear in
+    // the final plan, so execute first
+    val df = SparkEntry.queries("s1_scan_filter_project")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(2000))
+  }
+
+  test("native hash expressions stay inside codegen (no fallback)") {
+    import graft.functions.HashFunctions._
+    import org.apache.spark.sql.functions._
+    val p = Tables.documents(spark, sf("sf0.001"))
+      .select(rolling_hash(col("text")), simhash64(col("text")))
+      .queryExecution.executedPlan.toString
+    // "*(1) Project [rollinghash(...)" = the expressions sit inside a
+    // whole-stage-codegen stage rather than forcing a fallback Project
+    assert(p.contains("*(") && p.contains("rollinghash"), p.take(2000))
+  }
+}
