@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.selectivesearch.SelectiveSearch
+import graft.selectivesearch.SelectiveSearch.precisionAt
+
+/** Evaluation-family semantics: the single-pass step sweep must equal
+  * the reference-shaped per-step loop (C1/C2), including the bucketed
+  * variant and the sort=true ranking (reference quirk Q2 implemented
+  * per its docstring).
+  */
+class EvaluateSuite extends SparkSuite {
+  import spark.implicits._
+
+  // 2 queries x 3 shards x 2 buckets, unique scores, synthetic rel
+  def results: DataFrame = {
+    val rows = for {
+      q <- 0 to 1; s <- 0 to 2; b <- 0 to 1; d <- 0 to 3
+    } yield {
+      val gdocid = (((q * 3 + s) * 2 + b) * 4 + d).toLong
+      (q, s, b, 1000.0 - gdocid * 7 % 97, gdocid, (gdocid % 3 == 0).compare(false))
+    }
+    rows.toDF("query", "shard", "bucket", "score", "gdocid", "rel")
+      .withColumn("global_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query")
+          .orderBy($"score".desc, $"gdocid")))
+  }
+
+  def shards: DataFrame = Seq(
+    (0, 0, 0), (0, 1, 2), (0, 2, 1),
+    (1, 0, 2), (1, 1, 1), (1, 2, 0)
+  ).toDF("query", "shard", "rank")
+
+  def shardScores: DataFrame = Seq(
+    (0, 0, 0.9), (0, 1, 0.2), (0, 2, 0.5),
+    (1, 0, 0.1), (1, 1, 0.5), (1, 2, 0.8)
+  ).toDF("query", "shard", "shard_score")
+
+  test("single-pass evaluate equals the per-step loop") {
+    val m = Seq(precisionAt(5), precisionAt(2))
+    val fast = SelectiveSearch.evaluate(shards, results, m, 3).collect().toSeq
+    val loop = SelectiveSearch.evaluateStepwise(shards, results, m, 3).collect().toSeq
+    assert(fast == loop)
+    assert(fast.size == 6) // 2 queries x 3 steps
+  }
+
+  test("bucketed evaluate equals the bucketed per-step loop") {
+    val bucketShards = Seq(
+      (0, 0, 0, 0), (0, 0, 1, 3), (0, 1, 0, 1), (0, 1, 1, 4), (0, 2, 0, 2), (0, 2, 1, 5),
+      (1, 0, 0, 2), (1, 0, 1, 0), (1, 1, 0, 3), (1, 1, 1, 1), (1, 2, 0, 4), (1, 2, 1, 5)
+    ).toDF("query", "shard", "bucket", "rank")
+    val m = Seq(precisionAt(3))
+    val fast = SelectiveSearch.evaluate(
+      bucketShards, results, m, 3, numBuckets = Some(2)).collect().toSeq
+    val loop = SelectiveSearch.evaluateStepwise(
+      bucketShards, results, m, 3, numBuckets = Some(2)).collect().toSeq
+    assert(fast == loop)
+    assert(fast.size == 12) // 2 queries x 6 steps
+  }
+
+  test("sort=true ranks shards by shard_score descending (quirk Q2 intent)") {
+    val m = Seq(precisionAt(5))
+    val sorted = SelectiveSearch.evaluate(
+      shardScores, results, m, 3, sort = true).collect().toSeq
+    // shard_score ranking equals the explicit-rank frame: q0 scores
+    // (.9,.2,.5) -> ranks (0,2,1); q1 (.1,.5,.8) -> (2,1,0) = `shards`
+    val explicit = SelectiveSearch.evaluate(shards, results, m, 3).collect().toSeq
+    assert(sorted == explicit)
+  }
+
+  test("step-1 P@k equals a direct computation on the top shard") {
+    val m = Seq(precisionAt(4))
+    val got = SelectiveSearch.evaluate(shards, results, m, 3)
+      .filter($"step" === 1 && $"query" === 0).first().getDouble(1)
+    // query 0 rank-0 shard is shard 0: its 8 docs ranked by global
+    // rank, top-4 rel mean
+    val expected = results.filter($"query" === 0 && $"shard" === 0)
+      .orderBy($"global_rank")
+      .limit(4).agg(avg($"rel")).first().getDouble(0)
+    assert(got == expected)
+  }
+
+  test("fewer than k results divides by the available count") {
+    val tiny = Seq((0, 0, 0, 10.0, 1L, 1, 1), (0, 0, 1, 9.0, 2L, 0, 2))
+      .toDF("query", "shard", "bucket", "score", "gdocid", "rel", "global_rank")
+    val sel = Seq((0, 0, 0)).toDF("query", "shard", "rank")
+    val got = SelectiveSearch.evaluate(sel, tiny, Seq(precisionAt(10)), 1)
+      .first().getDouble(1)
+    assert(got == 0.5) // (1+0)/2, not /10
+  }
+}
