@@ -215,10 +215,58 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // Near-dedup, exact verification path: n-gram Jaccard on pairs
-    // sharing a shingle
+    // sharing a shingle. (The operator's stop-shingle df cap helps on
+    // real heavy-tailed corpora; on this tiny-vocabulary synthetic one
+    // the extra df pass costs more than it prunes, so uncapped here.)
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
+
+    // As-of join (no Spark built-in): for each purchase, the user's
+    // latest prior non-purchase event — union + last-non-null window,
+    // one shuffle
+    "asof_events" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
+      val w = Window.partitionBy(col("user_id"), col("rt"))
+        .orderBy(col("prior_id").desc)
+      val r = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("rt"),
+          col("event_id").as("prior_id"), col("value").as("prior_value"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn")
+      graft.operators.AsOf.asofJoinBackward(
+        l, r, Seq("user_id"), "t", "rt", Seq("prior_id", "prior_value"))
+        .orderBy("event_id")
+    }),
+
+    // Rollup aggregation (subtotals + grand total)
+    "rollup_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Distinct aggregation
+    "distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Anti join: customers with no orders
+    "j_anti_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
 
     // Near-dedup via native simhash64 Catalyst expression (no SQL
     // oracle: bespoke 64-bit signature; pinned by unit-test vectors).
@@ -575,6 +623,35 @@ object SparkEntry {
         |GROUP BY o.o_orderkey
         |ORDER BY revenue DESC, o.o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "asof_events" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase'),
+        |r0 AS (SELECT user_id, epoch_us(ts) AS rt, event_id AS prior_id, value AS prior_value
+        |       FROM events WHERE event_type <> 'purchase'),
+        |r AS (SELECT * FROM r0
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, rt ORDER BY prior_id DESC) = 1)
+        |SELECT l.user_id, l.event_id, l.t, r.prior_id, r.prior_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt
+        |ORDER BY l.event_id""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "j_anti_customers" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     "sessionize_batch" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the latest right row with
+  * `rightTime <= leftTime` within the same key group. The reference
+  * has no such operator (SURVEY.md §2.9); Spark has no built-in
+  * either. Rather than a custom physical operator, the scalable
+  * relational formulation: tag both sides, union, and take a
+  * last-non-null window over (key, time) — ONE shuffle keyed by the
+  * join keys, no range explosion, no per-key driver loop. A custom
+  * `SparkPlan` would only beat this by the tag/filter overhead, at
+  * the cost of bypassing AQE and codegen.
+  */
+object AsOf {
+
+  /** @param on        equi-join keys present on both sides
+    * @param leftTime  left event-time column (numeric/orderable)
+    * @param rightTime right event-time column, same type
+    * @param rightVals right columns to carry onto left rows
+    *                  (must not collide with left column names)
+    *
+    * Right rows with equal (key, time) must be unique for a
+    * deterministic result — pre-deduplicate if unsure.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
+    val leftOnly = left.columns.filterNot(on.contains).toSeq
+    require(rightVals.intersect(left.columns.toSeq).isEmpty,
+      s"rightVals collide with left columns: ${rightVals.intersect(left.columns.toSeq).mkString(",")}")
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select((on ++ leftOnly).map(col) ++ Seq(col("__t"), col("__side")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(on.map(col) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__t"), col("__side")) ++ rightVals.map(col): _*)
+    // right (side 0) sorts before left (side 1) at equal time -> the
+    // match is inclusive (rightTime == leftTime counts)
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

@@ -119,11 +119,27 @@ object Dedup {
     * join on the shingle, count intersections, derive |union| from the
     * per-doc distinct-shingle counts. O(pairs-sharing-a-shingle); use
     * [[minHashCandidates]] to pre-filter at scale.
+    *
+    * `maxDocFreq` drops shingles appearing in more than that many
+    * documents BEFORE pair generation (the "stop-shingle" cap): hot
+    * shingles contribute df^2 join rows while carrying no
+    * discriminative signal, so the cap both tames the worst-case join
+    * blowup and sharpens the similarity. Jaccard is then defined over
+    * the filtered shingle universe on both sides of the ratio.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = docs
+      idCol: String = "doc_id", n: Int = 3, minJaccard: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val shAll = docs
       .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val keep = shAll.groupBy(col("s"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+          .select(col("s"))
+        shAll.join(keep, Seq("s"), "left_semi")
+      case None => shAll
+    }
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))

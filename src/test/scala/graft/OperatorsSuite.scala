@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Skew
+import graft.operators.{AsOf, Dedup}
+
+class OperatorsSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("asofJoinBackward picks the latest right row at or before left time") {
+    val left = Seq((1L, 100L, "o1"), (1L, 250L, "o2"), (2L, 50L, "o3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0),
+      (2L, 60L, 40.0)).toDF("k", "rt", "v")
+    val got = AsOf.asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect()
+    // (1, 100) matches rt=100 inclusively; (1, 250) -> rt=200;
+    // (2, 50) precedes every right row -> null
+    assert(got.map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)))).toSeq == Seq(
+      (1L, 100L, Some(10.0)), (1L, 250L, Some(20.0)), (2L, 50L, None)))
+  }
+
+  test("asofJoinBackward rejects colliding value names") {
+    val l = Seq((1L, 1L)).toDF("k", "t")
+    val r = Seq((1L, 1L)).toDF("k", "t")
+    intercept[IllegalArgumentException](
+      AsOf.asofJoinBackward(l, r, Seq("k"), "t", "t", Seq("t")))
+  }
+
+  test("saltedJoin equals the plain join on skewed data") {
+    // hot key: 900 of 1000 rows share key 7
+    val large = spark.range(1000)
+      .select(when($"id" < 900, 7L).otherwise($"id").as("k"), $"id".as("payload"))
+    val small = Seq((7L, "hot"), (950L, "cold")).toDF("k", "tag")
+    val plain = large.join(small, Seq("k")).orderBy("payload")
+      .collect().toSeq
+    val salted = Skew.saltedJoin(large, small, Seq("k"), 8).orderBy("payload")
+      .select("k", "payload", "tag").collect().toSeq
+    assert(salted == plain)
+    assert(salted.size == 901)
+  }
+
+  test("saltedSumCount equals the direct aggregation") {
+    val df = spark.range(1000)
+      .select(when($"id" < 900, 7L).otherwise($"id" % 10).as("k"),
+        ($"id" % 13).cast("double").as("v"))
+    val direct = df.groupBy("k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("cnt"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedSumCount(df, Seq("k"), "v", 8)
+      .orderBy("k").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("ngramJaccardPairs maxDocFreq drops hot shingles consistently") {
+    // "x y z" appears in all three docs (df=3); the cap at 2 removes it
+    val docs = Seq(
+      (0L, "x y z a b c"), (1L, "x y z a b d"), (2L, "x y z q r s"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, minJaccard = 0.0)
+      .orderBy("id_a", "id_b").collect()
+    val capped = Dedup.ngramJaccardPairs(docs, minJaccard = 0.0, maxDocFreq = Some(2))
+      .orderBy("id_a", "id_b").collect()
+    // uncapped: docs 0,2 share only "x y z" -> pair exists
+    assert(uncapped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 2L))
+    // capped: that shingle is gone -> pair (0,2) disappears,
+    // (0,1) survives on the discriminative shingles
+    assert(!capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 2L))
+    assert(capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+  }
+}
