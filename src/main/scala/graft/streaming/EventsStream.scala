@@ -40,6 +40,16 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup by key with bounded state: duplicates
+    * arriving within the watermark horizon are dropped; state for
+    * older keys is evicted. The streaming twin of Dedup.dedupExact.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, event_time_ms: Long)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

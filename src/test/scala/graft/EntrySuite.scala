@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Sinks
+
+/** Driver-contract smoke: `entry` must return rows; partitioned sink
+  * must produce a prunable layout.
+  */
+class EntrySuite extends SparkSuite {
+
+  test("entry returns a non-empty flagship result") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("query") && df.columns.contains("score"))
+  }
+
+  test("every query name has either an oracle or a scaladoc'd reason") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the rows-only set is deliberate and documented at each query
+    assert(noOracle == Set("c8_select_buckets", "simhash_pairs", "media_features"))
+    // no orphan oracle entries
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("writePartitioned lays out hive-style prunable directories") {
+    val out = Files.createTempDirectory("graft-sink").toString + "/part"
+    Sinks.writePartitioned(
+      Tables.results(spark, sf("sf0.001")), out, Seq("query"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("query="))
+    assert(dirs.length == Tables.NumQueries)
+    // partition pruning: a query=3 filter must read only that directory
+    val pruned = spark.read.parquet(out).filter(col("query") === 3)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(query"), scan.take(1500))
+    assert(pruned.count() > 0)
+  }
+}

@@ -76,6 +76,27 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming: dedup within watermark drops duplicate keys") {
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dup")
+    // stage the same file twice -> every event_id arrives twice
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("b.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = EventsStream.readEvents(spark, streamDir.toString)
+    val q = EventsStream.streamingDedup(streamed, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val total = spark.table("dedup_stream").count()
+    val distinctIds = Tables.events(spark, dir)
+      .select("event_id").distinct().count()
+    assert(total == distinctIds)
+  }
+
   test("streaming: stateful sessionize matches the batch twin") {
     import EventsStream.Event
     val events = Seq(
