@@ -90,8 +90,11 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // docs with < n tokens have no shingles and drop out naturally
+    // docs with < n tokens have no shingles and drop out naturally.
+    // persist: the band self-join consumes this lineage twice — without
+    // the cache the whole explode+hash+aggregate pipeline runs twice.
     val signed = minHashSignatures(docs, textCol, idCol, n, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signed.select(
         col(idCol), col("sig"),
         posexplode(lshBandKeys(col("sig"), bands, r)))
@@ -132,7 +135,7 @@ object Dedup {
       maxDocFreq: Option[Int] = None): DataFrame = {
     val shAll = docs
       .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
-    val sh = maxDocFreq match {
+    val shUncached = maxDocFreq match {
       case Some(cap) =>
         val keep = shAll.groupBy(col("s"))
           .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
@@ -140,8 +143,13 @@ object Dedup {
         shAll.join(keep, Seq("s"), "left_semi")
       case None => shAll
     }
+    // consumed three times (counts + both self-join sides)
+    val sh = shUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // hint: exploded-shingle sides are uniform post-explode rows — a
+    // shuffled hash join skips the two 1.5M-row sorts a sort-merge
+    // join would do
+    val inter = sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
