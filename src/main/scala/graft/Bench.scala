@@ -22,9 +22,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, parquet footers) outside any timing
-    try spark.read.parquet(s"$sfDir/nation.parquet").count()
-    catch { case _: Throwable => }
+    // warm the session (codegen, parquet readers, shuffle machinery)
+    // outside any timing
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag")).count().collect()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // release prior queries' broadcasts/shuffles so long sessions
       // don't spill later queries (measured 17x inflation without)

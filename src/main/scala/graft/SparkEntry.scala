@@ -259,6 +259,26 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // (The MLlib MinHashLSH variant — DedupMl.minHashCandidatesMl —
+    // is deliberately NOT registered: approxSimilarityJoin costs 96s
+    // at sf0.1 vs 7s for the native formulation; it exists as an
+    // MLlib-interop operator, pinned by OperatorsSuite.)
+
+    // Scalar-function breadth: string/date/math over lineitem
+    "scalar_funcs" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"),
+          upper(col("l_returnflag")).as("flag_u"),
+          concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("tag"),
+          abs(col("l_quantity") - 25).as("qty_dev"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Anti join: customers with no orders
     "j_anti_customers" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -647,6 +667,19 @@ object SparkEntry {
         |       count(DISTINCT l_partkey) AS n_part,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(date_part('year', l_shipdate) AS INT) AS ship_year,
+        |       CAST(date_part('month', l_shipdate) AS INT) AS ship_month,
+        |       upper(l_returnflag) AS flag_u,
+        |       concat(l_returnflag, '-', l_linestatus) AS tag,
+        |       abs(l_quantity - 25) AS qty_dev,
+        |       l_extendedprice / l_quantity AS unit_price,
+        |       greatest(l_tax, l_discount) AS max_rate
+        |FROM lineitem
+        |WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "j_anti_customers" ->
       """SELECT c_custkey, c_name

@@ -53,6 +53,24 @@ class OperatorsSuite extends SparkSuite {
     assert(salted == direct)
   }
 
+  test("MLlib MinHashLSH variant finds the same near-dup, deterministically") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      0L -> base,
+      1L -> (base + " tomorrow"),
+      2L -> "completely different words appear in this unrelated document text")
+      .toDF("doc_id", "text")
+    val got = graft.operators.DedupMl.minHashCandidatesMl(docs, maxDistance = 0.6)
+      .collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"expected (0,1) in $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // deterministic across invocations (fixed seed)
+    val again = graft.operators.DedupMl.minHashCandidatesMl(docs, maxDistance = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs)
+  }
+
   test("ngramJaccardPairs maxDocFreq drops hot shingles consistently") {
     // "x y z" appears in all three docs (df=3); the cap at 2 removes it
     val docs = Seq(
