@@ -55,21 +55,54 @@ object Similarity {
     if (bits > 0) q.withColumn("cell", signCell(col("v"), bits)) else q
   }
 
-  /** Brute-force cosine top-k: every query row scored against the full
-    * corpus (minus itself), per-query top-k by (cosine desc, id).
+  /** Finisher A — bounded top-k AGGREGATE (`top_k`): each map task
+    * ships at most k rows per query across the shuffle (partial
+    * aggregation); the default and the 100 TB path.
     */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val c = prepared(corpus, embCol, idCol)
-    val q = prepared(queries, embCol, idCol)
-      .select(col(idCol).as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol),
-        cosineQ(dotQ(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
+  private def finishTopKAgg(scored: DataFrame, k: Int, idCol: String): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.top_k(col("cosine"), col(idCol), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as(idCol),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** Finisher B — window row_number: shuffles every scored row; kept
+    * for equivalence testing against the aggregate form.
+    */
+  private def finishWindow(scored: DataFrame, k: Int, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+  }
+
+  private def scoredAgainst(corpus: DataFrame, queries: DataFrame,
+      embCol: String, idCol: String, bits: Int): DataFrame = {
+    val c = prepared(corpus, embCol, idCol, bits)
+    val qCols = Seq(col(idCol).as("query_id"), col("v").as("qv"),
+      col("n2").as("qn2")) ++ (if (bits > 0) Seq(col("cell")) else Nil)
+    val q = prepared(queries, embCol, idCol, bits).select(qCols: _*)
+    val cond =
+      if (bits > 0) c("cell") === q("cell") && col("query_id") =!= c(idCol)
+      else col("query_id") =!= c(idCol)
+    c.join(broadcast(q), cond)
+      .select(col("query_id"), c(idCol),
+        cosineQ(dotQ(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
+  }
+
+  /** Brute-force cosine top-k: every query row scored against the full
+    * corpus (minus itself), per-query top-k by (cosine desc, id).
+    * `useWindow = true` switches to the window finisher (testing).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      useWindow: Boolean = false): DataFrame = {
+    val scored = scoredAgainst(corpus, queries, embCol, idCol, bits = 0)
+    if (useWindow) finishWindow(scored, k, idCol)
+    else finishTopKAgg(scored, k, idCol)
   }
 
   /** Sign-LSH approximate top-k: candidates limited to the query's
@@ -77,19 +110,10 @@ object Similarity {
     */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 6, embCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
-    val c = prepared(corpus, embCol, idCol, bits)
-    val q = prepared(queries, embCol, idCol, bits)
-      .select(col(idCol).as("query_id"), col("v").as("qv"),
-        col("n2").as("qn2"), col("cell"))
-    val scored = c.join(broadcast(q),
-        c("cell") === q("cell") && col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol),
-        cosineQ(dotQ(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+      idCol: String = "vec_id", useWindow: Boolean = false): DataFrame = {
+    val scored = scoredAgainst(corpus, queries, embCol, idCol, bits)
+    if (useWindow) finishWindow(scored, k, idCol)
+    else finishTopKAgg(scored, k, idCol)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold among pairs

@@ -48,6 +48,39 @@ class SimilaritySuite extends SparkSuite {
     assert(brute == lsh)
   }
 
+  test("top_k aggregate finisher equals the window finisher exactly") {
+    val queries = corpus.filter($"vec_id" <= 2L)
+    val agg = Similarity.cosineTopK(corpus, queries, 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val win = Similarity.cosineTopK(corpus, queries, 3, useWindow = true)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(agg == win)
+    val aggL = Similarity.lshCosineTopK(corpus, queries, 3, bits = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val winL = Similarity.lshCosineTopK(corpus, queries, 3, bits = 3, useWindow = true)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(aggL == winL)
+  }
+
+  test("top_k aggregate handles ties, k > group size, and heap overflow order") {
+    import graft.functions.TopKFunctions.top_k
+    import org.apache.spark.sql.functions._
+    // 10 rows, scores with ties; k = 4
+    val df = Seq(
+      (1L, 5.0, 10L), (1L, 5.0, 9L), (1L, 7.0, 8L), (1L, 1.0, 7L),
+      (1L, 7.0, 11L), (1L, 3.0, 1L), (2L, 2.0, 1L)
+    ).toDF("g", "score", "id")
+    val got = df.groupBy($"g").agg(top_k($"score", $"id", 4).as("top"))
+      .orderBy("g").collect()
+    val g1 = got(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    // (7.0, 8) before (7.0, 11) — id asc on ties; then 5.0 ids 9, 10
+    assert(g1 == Seq((7.0, 8L), (7.0, 11L), (5.0, 9L), (5.0, 10L)))
+    val g2 = got(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(g2 == Seq((2.0, 1L))) // k larger than group
+  }
+
   test("nearDupPairs thresholds on exact quantized cosine") {
     val got = Similarity.nearDupPairs(corpus, threshold = 0.99, bits = 3)
       .orderBy("id_a", "id_b").collect()
