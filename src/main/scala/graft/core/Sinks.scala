@@ -19,4 +19,18 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Bucketed + sorted managed table: two tables bucketed the same way
+    * on their join key sort-merge-join with NO exchange and no sort —
+    * the pre-shuffle for every future join, paid once at write time.
+    * The co-location contract the reference's in-RAM merges get for
+    * free, made durable at cluster scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -26,6 +26,22 @@ class EntrySuite extends SparkSuite {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("bucketed tables sort-merge-join with no exchange and no sort") {
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sf("sf0.001"))
+        .select("l_orderkey", "l_quantity"), "li_b", Seq("l_orderkey"), 8)
+    Sinks.writeBucketed(
+      Tables.orders(spark, sf("sf0.001"))
+        .select("o_orderkey", "o_totalprice"), "ord_b", Seq("o_orderkey"), 8)
+    val joined = spark.table("li_b").hint("merge")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles:\n${plan.take(2000)}")
+  }
+
   test("writePartitioned lays out hive-style prunable directories") {
     val out = Files.createTempDirectory("graft-sink").toString + "/part"
     Sinks.writePartitioned(
