@@ -90,8 +90,9 @@ object SparkEntry {
       SelectiveSearch.selectWithDecay(
         Tables.selection(s, dir), Tables.results(s, dir), 3, 0.5)),
 
-    // C8 = F3 greedy resolution -> J2 -> T1 (no SQL oracle: sequential
-    // greedy algorithm; correctness pinned by golden unit tests)
+    // C8 = F3 greedy resolution -> J2 -> T1. The sequential greedy is
+    // oracle-checked via an unrolled 8-step CTE chain (see
+    // C8OracleSql) — golden unit tests pin it as well.
     "c8_select_buckets" -> ((s, dir) =>
       SelectiveSearch.selectBuckets(
         Tables.bucketSelection(s, dir), Tables.results(s, dir), 5)),
@@ -396,7 +397,51 @@ object SparkEntry {
     """list_sum(list_transform(generate_series(1, 6),
       |  i -> CASE WHEN v[i] >= 0 THEN CAST(power(2, i - 1) AS BIGINT) ELSE 0 END))""".stripMargin
 
+  /** Oracle for the greedy bucket resolution: the per-query greedy
+    * walk (reference: dataproc/selectivesearch.py:160-181) visits
+    * ranks 0..7 (4 shards x 2 buckets) in order, so it unrolls into 8
+    * chained CTEs, each folding one rank's row into a per-query
+    * (taken-per-shard list, total) state. Same math as
+    * BucketResolver, expressed relationally for DuckDB.
+    */
+  private def c8OracleSql: String = {
+    val threshold = 5
+    val bselCte =
+      """bsel AS (
+        |  SELECT query, shard, bucket,
+        |         CAST(row_number() OVER (PARTITION BY query ORDER BY mass DESC, shard, bucket) - 1 AS INT) AS rank
+        |  FROM (SELECT CAST(l_orderkey % 8 AS INT) AS query,
+        |               CAST(l_suppkey % 4 AS INT) AS shard,
+        |               CAST(l_linenumber % 2 AS INT) AS bucket,
+        |               sum(l_quantity) AS mass
+        |        FROM lineitem GROUP BY 1, 2, 3))""".stripMargin
+    val s0 = "s0 AS (SELECT DISTINCT query, [0,0,0,0] AS taken, 0 AS total FROM bsel)"
+    val steps = (0 until 8).map { i =>
+      val cost = "(r.bucket + 1 - s.taken[r.shard + 1])"
+      val ok = s"($cost >= 1 AND s.total + $cost <= $threshold)"
+      s"""s${i + 1} AS (
+         |  SELECT s.query,
+         |    CASE WHEN $ok
+         |      THEN list_transform(generate_series(1, 4),
+         |             j -> CASE WHEN j = r.shard + 1 THEN s.taken[j] + $cost ELSE s.taken[j] END)
+         |      ELSE s.taken END AS taken,
+         |    CASE WHEN $ok THEN s.total + $cost ELSE s.total END AS total
+         |  FROM s$i s JOIN (SELECT query, shard, bucket FROM bsel WHERE rank = $i) r USING (query))""".stripMargin
+    }
+    s"""WITH $ResultsCte,
+       |$bselCte,
+       |${(s0 +: steps).mkString(",\n")},
+       |resolved AS (
+       |  SELECT query, CAST(j - 1 AS INT) AS shard, CAST(b AS INT) AS bucket
+       |  FROM s8, generate_series(1, 4) t(j), generate_series(0, 99) u(b)
+       |  WHERE b < s8.taken[j])
+       |SELECT r.query, r.shard, r.bucket, r.score, r.gdocid
+       |FROM results r JOIN resolved v USING (query, shard, bucket)
+       |ORDER BY r.query, r.score DESC, r.shard, r.bucket, r.gdocid""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c8_select_buckets" -> c8OracleSql,
     "ann_cosine_topk" ->
       s"""WITH $QuantCte,
          |pairs AS (

@@ -20,8 +20,7 @@ class EntrySuite extends SparkSuite {
   test("every query name has either an oracle or a scaladoc'd reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the rows-only set is deliberate and documented at each query
-    assert(noOracle == Set("c8_select_buckets", "simhash_pairs",
-      "media_features"))
+    assert(noOracle == Set("simhash_pairs", "media_features"))
     // no orphan oracle entries
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
