@@ -489,10 +489,10 @@ object SparkEntry {
 
     "text_stats" ->
       s"""SELECT doc_id,
-         |       $NTokensExpr AS n_tokens,
-         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
-         |       length(text) AS n_chars_len,
-         |       $NPunctExpr AS n_punct,
+         |       CAST($NTokensExpr AS INT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens,
+         |       CAST(length(text) AS INT) AS n_chars_len,
+         |       CAST($NPunctExpr AS INT) AS n_punct,
          |       substring(md5(text), 1, 16) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
