@@ -207,6 +207,88 @@ object SelectiveSearch {
       .orderBy(col("query").asc, col("step").asc)
   }
 
+  /** Steps-scalable evaluate: identical results to [[evaluate]], but
+    * O(rows) instead of O(rows x steps).
+    *
+    * [[evaluate]]'s `explode(sequence(...))` materializes each result
+    * row once per step it participates in — fine for tens of steps,
+    * a x`numSteps` shuffle blowup for hundreds. Here rows shuffle
+    * ONCE (groupByKey on query); per query they are sorted by
+    * `global_rank` and walked while per-step (count, sum) pairs fill
+    * up to each measure's depth k, with early exit once every step
+    * has k rows. Per-query memory is O(steps x measures), not
+    * O(rows).
+    */
+  def evaluateArrival(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
+      numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None): DataFrame = {
+    val withBuckets = numBuckets.isDefined
+    val groupBy = if (withBuckets) Seq("query", "shard", "bucket") else Seq("query", "shard")
+    val numSteps = numShards * numBuckets.getOrElse(1)
+    val ks = measures.map {
+      case PrecisionAt(k, relCol, _) => (k, relCol)
+      case m => throw new IllegalArgumentException(
+        s"evaluateArrival supports PrecisionAt measures, got ${m.name}")
+    }
+    val relCols = ks.map(_._2).distinct
+    require(relCols.size == 1, "one relevance column per sweep")
+    val ranked =
+      if (sort) {
+        ensureHasColumns(shards, groupBy :+ "shard_score")
+        val w = Window.partitionBy(col("query"))
+          .orderBy(col("shard_score").desc +: groupBy.drop(1).map(col(_).asc): _*)
+        shards.withColumn("rank", row_number().over(w) - 1)
+      } else {
+        ensureHasColumns(shards, groupBy :+ "rank")
+        shards
+      }
+    val sel = ranked.select((groupBy :+ "rank").map(col): _*)
+    val joined = results.join(broadcast(sel), groupBy, "inner")
+      .select(col("query").cast("long"), col("global_rank").cast("long"),
+        col(relCols.head).cast("double"), col("rank").cast("int"))
+    val spark = results.sparkSession
+    import spark.implicits._
+    val kDepths = ks.map(_._1)
+    val out = joined.as[(Long, Long, Double, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (query, rows) =>
+        // sort by global_rank (tiny tiebreak irrelevant: global_rank unique per query upstream)
+        val sorted = rows.toArray.sortBy(_._2)
+        // per (step, measure): running count and sum over the first k
+        val counts = Array.ofDim[Long](numSteps + 1, kDepths.length)
+        val sums = Array.ofDim[Double](numSteps + 1, kDepths.length)
+        var remaining = numSteps * kDepths.length
+        var i = 0
+        while (i < sorted.length && remaining > 0) {
+          val (_, _, rel, rank) = sorted(i)
+          var s = rank + 1
+          while (s <= numSteps) {
+            var m = 0
+            while (m < kDepths.length) {
+              if (counts(s)(m) < kDepths(m)) {
+                counts(s)(m) += 1
+                sums(s)(m) += rel
+                if (counts(s)(m) == kDepths(m)) remaining -= 1
+              }
+              m += 1
+            }
+            s += 1
+          }
+          i += 1
+        }
+        // a step appears iff any row was attributed to it; counts for
+        // every measure advance together below k, so c > 0 for all
+        (1 to numSteps).iterator.filter(s => counts(s)(0) > 0).map { s =>
+          (query, sums(s).zip(counts(s)).map { case (sm, c) => sm / c }, s)
+        }
+      }
+    out.toDF("query", "vals", "step")
+      .select(col("query") +:
+        measures.zipWithIndex.map { case (m, i) =>
+          col("vals").getItem(i).as(m.name) } :+
+        col("step").cast("int").as("step"): _*)
+      .orderBy(col("query").asc, col("step").asc)
+  }
+
   /** Reference-shaped per-step loop (union of [[evaluateStep]] plans).
     * Kept for golden equivalence testing against the single-pass
     * [[evaluate]]; prefer [[evaluate]] at scale.

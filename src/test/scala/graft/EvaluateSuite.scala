@@ -46,6 +46,15 @@ class EvaluateSuite extends SparkSuite {
     assert(fast.size == 6) // 2 queries x 3 steps
   }
 
+  test("arrival-walk evaluate equals the explode form (steps-scalable path)") {
+    val m = Seq(precisionAt(5), precisionAt(2))
+    val explode = SelectiveSearch.evaluate(shards, results, m, 3).collect()
+      .map(r => (r.getInt(0).toLong, r.getDouble(1), r.getDouble(2), r.getInt(3))).toSeq
+    val arrival = SelectiveSearch.evaluateArrival(shards, results, m, 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(arrival == explode)
+  }
+
   test("bucketed evaluate equals the bucketed per-step loop") {
     val bucketShards = Seq(
       (0, 0, 0, 0), (0, 0, 1, 3), (0, 1, 0, 1), (0, 1, 1, 4), (0, 2, 0, 2), (0, 2, 1, 5),
