@@ -390,7 +390,7 @@ object SparkEntry {
     """qn AS (
       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2
       |  FROM (SELECT vec_id,
-      |               list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      |               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |        FROM embeddings))""".stripMargin
 
   private val CellExpr =

@@ -23,9 +23,13 @@ object Similarity {
 
   val QuantScale = 1000
 
-  /** Exact-integer quantization of a float vector. */
+  /** Exact-integer quantization of a float vector. The multiply MUST
+    * happen in double: a float-precision `x * 1000` lands on the
+    * other side of .5 for some values and flips the round — found as
+    * a real cross-engine mismatch at sf0.1.
+    */
   def quantize(c: Column): Column =
-    transform(c, x => round(x * QuantScale).cast("long"))
+    transform(c, x => round(x.cast("double") * QuantScale).cast("long"))
 
   /** Exact integer dot product of two quantized vectors. */
   def dotQ(a: Column, b: Column): Column =
