@@ -58,6 +58,17 @@ class IoSuite extends SparkSuite {
       Seq(7, 1, 0, 0.7, 0), Seq(7, 1, 1, 0.1, 3)))
   }
 
+  test("PlotExport writes a tidy sorted x,y,label CSV (evaluate output shape)") {
+    val evaluated = Seq(
+      (1, 0.5, 2), (0, 0.3, 1), (1, 0.6, 1), (0, 0.4, 2)
+    ).toDF("query", "p_10", "step")
+    graft.selectivesearch.PlotExport.exportSeries(
+      evaluated, x = "step", y = "p_10", label = "query", path = s"$work/plot.csv")
+    val lines = scala.io.Source.fromFile(s"$work/plot.csv").getLines().toSeq
+    assert(lines == Seq(
+      "label,x,y", "0,1,0.3", "0,2,0.4", "1,1,0.6", "1,2,0.5"))
+  }
+
   test("toTrec writes a single headerless 6-column TSV, top-cutoff per query") {
     val results = Seq(
       (0, 9.5, "docA"), (0, 8.0, "docB"), (0, 7.0, "docC"),
