@@ -91,6 +91,22 @@ class EvaluateSuite extends SparkSuite {
     assert(got == expected)
   }
 
+  test("typed Aggregator P@k equals the window form, order-insensitively") {
+    import graft.selectivesearch.Measures.precisionAtTyped
+    // shuffled-input tuples (global_rank, rel) per query
+    val rows = results.select($"query", $"global_rank", $"rel".cast("double"))
+      .as[(Int, Int, Double)]
+    val typed = rows.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(precisionAtTyped(5))
+      .collect().toMap
+    val window = SelectiveSearch.evaluateStep(
+      shards, results, Seq(precisionAt(5)), step = 3) // all shards in
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(typed.keySet == window.keySet)
+    typed.foreach { case (q, v) => assert(v == window(q), s"query $q") }
+  }
+
   test("fewer than k results divides by the available count") {
     val tiny = Seq((0, 0, 0, 10.0, 1L, 1, 1), (0, 0, 1, 9.0, 2L, 0, 2))
       .toDF("query", "shard", "bucket", "score", "gdocid", "rel", "global_rank")
