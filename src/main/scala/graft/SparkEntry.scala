@@ -103,6 +103,15 @@ object SparkEntry {
         Tables.selection(s, dir), Tables.evalResults(s, dir),
         Seq(precisionAt(10), precisionAt(5)), Tables.NumShards)),
 
+    // C2 bucketed: step sweep over (shard, bucket) selection units
+    "c2_evaluate_buckets" -> ((s, dir) =>
+      SelectiveSearch.evaluate(
+        Tables.bucketSelection(s, dir),
+        Tables.evalResults(s, dir)
+          .withColumn("bucket", (col("gdocid") % Tables.NumBuckets).cast("int")),
+        Seq(precisionAt(10)), Tables.NumShards,
+        numBuckets = Some(Tables.NumBuckets))),
+
     // C9 = A4 -> P6 -> P3 -> T3 -> T1 -> P1: TREC run frame
     "c9_to_trec" -> ((s, dir) =>
       SelectiveSearch.trecFrame(
@@ -670,6 +679,32 @@ object SparkEntry {
          |SELECT query,
          |       avg(CASE WHEN mrn <= 10 THEN rel END) AS p_10,
          |       avg(CASE WHEN mrn <= 5 THEN rel END) AS p_5,
+         |       step
+         |FROM rk GROUP BY query, step
+         |ORDER BY query, step""".stripMargin,
+
+    "c2_evaluate_buckets" ->
+      s"""WITH $EvalResultsCte,
+         |erb AS (SELECT *, CAST(gdocid % 2 AS INT) AS bucket FROM er),
+         |bsel AS (
+         |  SELECT query, shard, bucket,
+         |         CAST(row_number() OVER (PARTITION BY query ORDER BY mass DESC, shard, bucket) - 1 AS INT) AS rank
+         |  FROM (SELECT CAST(l_orderkey % 8 AS INT) AS query,
+         |               CAST(l_suppkey % 4 AS INT) AS shard,
+         |               CAST(l_linenumber % 2 AS INT) AS bucket,
+         |               sum(l_quantity) AS mass
+         |        FROM lineitem GROUP BY 1, 2, 3)),
+         |joined AS (SELECT e.query, e.global_rank, e.rel, s.rank
+         |           FROM erb e JOIN bsel s
+         |             ON e.query = s.query AND e.shard = s.shard AND e.bucket = s.bucket),
+         |att AS (SELECT j.query, j.global_rank, j.rel, st.step
+         |        FROM joined j
+         |        JOIN (SELECT CAST(unnest(generate_series(1, 8)) AS INT) AS step) st
+         |          ON st.step > j.rank),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query, step ORDER BY global_rank) AS mrn
+         |       FROM att)
+         |SELECT query,
+         |       avg(CASE WHEN mrn <= 10 THEN rel END) AS p_10,
          |       step
          |FROM rk GROUP BY query, step
          |ORDER BY query, step""".stripMargin,
