@@ -78,6 +78,50 @@ object HashKernels {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** MD5 digest split into two exact 48-bit longs: bytes 0-5 and 6-11
+    * big-endian — numerically identical to `conv(substring(hex, 1, 12),
+    * 16, 10)` / `(13, 12)` on the hex form, with no hex string
+    * materialized and no string-to-int parse.
+    */
+  def md5Pair(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < 6) {
+      h1 = (h1 << 8) | (d(i) & 0xffL)
+      h2 = (h2 << 8) | (d(i + 6) & 0xffL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(h1, h2))
+  }
+}
+
+/** `md5_pair(text)`: array(h1, h2) of exact 48-bit MD5 halves — the
+  * Carter-Wegman seed pair for minhash, computed without the hex
+  * round-trip of md5()+conv().
+  */
+case class Md5Pair(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"md5_pair needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.md5Pair(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.md5Pair($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Pair = copy(c)
 }
 
 /** `rolling_hash(text)`: 64-bit polynomial content fingerprint. */
@@ -116,6 +160,7 @@ object HashFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def md5_pair(c: Column): Column = column(Md5Pair(expression(c)))
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
   private def bit_count(c: Column): Column =
     org.apache.spark.sql.functions.bit_count(c)

@@ -60,9 +60,12 @@ object Dedup {
       n: Int, numHashes: Int): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+    // native md5_pair == conv(substring(md5_hex, 1|13, 12), 16, 10)
+    // numerically, without materializing/parsing the hex string
     val hashed = sh.select(col(idCol),
-      conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(col("s")), 13, 12), 16, 10).cast("long").as("h2"))
+        graft.functions.HashFunctions.md5_pair(col("s")).as("hp"))
+      .select(col(idCol),
+        col("hp").getItem(0).as("h1"), col("hp").getItem(1).as("h2"))
     val minCols = (0 until numHashes).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"_m$i"))
     hashed.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)

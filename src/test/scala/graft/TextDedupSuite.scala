@@ -64,6 +64,20 @@ class TextDedupSuite extends SparkSuite {
     assert(again == df(2).getLong(2))
   }
 
+  test("md5_pair equals the hex conv formulation exactly") {
+    val df = textDf(0L -> "a", 1L -> "some shingle text", 2L -> "")
+      .select(col("doc_id"),
+        HashFunctions.md5_pair(col("text")).as("hp"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("c1"),
+        conv(substring(md5(col("text")), 13, 12), 16, 10).cast("long").as("c2"))
+      .collect()
+    df.foreach { r =>
+      val hp = r.getSeq[Long](1)
+      assert(hp(0) == r.getLong(2) && hp(1) == r.getLong(3),
+        s"mismatch for doc ${r.getLong(0)}: $hp vs (${r.getLong(2)}, ${r.getLong(3)})")
+    }
+  }
+
   test("hamming64 counts differing bits") {
     val d = spark.range(1)
       .select(HashFunctions.hamming64(lit(0L), lit(-1L)).as("h"))
