@@ -84,6 +84,66 @@ object HashKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** First 48 bits (6 bytes big-endian) of the MD5 digest —
+    * numerically `('0x' || substr(md5_hex, 1, 12))::BIGINT`.
+    */
+  def md5Prefix48(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 6) {
+      h = (h << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  /** First 64 bits (8 bytes big-endian) of the MD5 digest — the same
+    * bit pattern as `('0x' || substr(md5_hex, 1, 16))::UBIGINT`
+    * (signed here, unsigned there; the 64 bits are identical).
+    */
+  def md5Long64(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) {
+      h = (h << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash with MD5 token hashes: whitespace tokens, per-bit
+    * +1/-1 majority vote over each token's [[md5Long64]]. Unlike the
+    * FNV variant ([[simHash64]]) every building block (regex split,
+    * md5, bit test) exists in ANSI-ish SQL, so a DuckDB oracle can
+    * reproduce the signature bit-for-bit.
+    */
+  def simHashMd5(s: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    s.toString.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = md5Long64(tok.getBytes("UTF-8"))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** MD5 digest split into two exact 48-bit longs: bytes 0-5 and 6-11
     * big-endian — numerically identical to `conv(substring(hex, 1, 12),
     * 16, 10)` / `(13, 12)` on the hex form, with no hex string
@@ -140,6 +200,24 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
 }
 
+/** `simhash_md5(text)`: 64-bit near-duplicate signature with MD5 token
+  * hashes — the oracle-expressible simhash variant.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  def inputTypes: Seq[DataType] = Seq(StringType)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"simhash_md5 needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simHashMd5(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simHashMd5($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(c)
+}
+
 /** `simhash64(text)`: 64-bit near-duplicate signature. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -160,6 +238,7 @@ object HashFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def simhash_md5(c: Column): Column = column(SimHashMd5(expression(c)))
   def md5_pair(c: Column): Column = column(Md5Pair(expression(c)))
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
   private def bit_count(c: Column): Column =

@@ -46,9 +46,16 @@ object AsOf {
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    // all rightVals ride in ONE struct filled by a single last(): a
+    // legitimately-NULL value column must come from the SAME matched
+    // right row as its siblings, not back-fill from an older one
+    val packed = l.unionByName(r)
+      .withColumn("__rv",
+        when(col("__side") === 0, struct(rightVals.map(col): _*)))
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    rightVals.foldLeft(packed) { (df, c) =>
+        df.withColumn(c, col("__rv").getField(c))
+      }
+      .filter(col("__side") === 1).drop("__t", "__side", "__rv")
   }
 }

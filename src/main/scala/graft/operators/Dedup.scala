@@ -85,8 +85,12 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash + LSH banding, with
     * the estimated Jaccard (fraction of agreeing signature rows).
     * Pipeline: per-row signature -> explode band keys -> self-join on
-    * (band, key) -> distinct pairs. The self-join shuffles on band
-    * keys only; at 100 TB this is THE scalable near-dup path.
+    * (band, key) carrying ONLY (band, key, id) -> distinct bare
+    * (id_a, id_b) pairs -> join the signatures back once per pair to
+    * score. The band shuffle never ships the 16-long signature
+    * arrays, and each pair is scored exactly once (no post-score
+    * distinct re-shuffling scored rows) — at 100 TB the band shuffle
+    * is the dominant cost and it stays id-width here.
     */
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
@@ -94,30 +98,32 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // docs with < n tokens have no shingles and drop out naturally.
-    // persist: the band self-join consumes this lineage twice — without
-    // the cache the whole explode+hash+aggregate pipeline runs twice.
+    // persist: consumed three times (banding + two signature fetches)
+    // — without the cache the explode+hash+aggregate pipeline reruns.
     val signed = minHashSignatures(docs, textCol, idCol, n, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signed.select(
-        col(idCol), col("sig"),
+        col(idCol),
         posexplode(lshBandKeys(col("sig"), bands, r)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
-    val left = banded.select(
-      col("band_idx"), col("band_key"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val right = banded.select(
-      col("band_idx"), col("band_key"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    left.join(right, Seq("band_idx", "band_key"))
+    val pairs = banded.select(
+        col("band_idx"), col("band_key"), col(idCol).as("id_a"))
+      .join(banded.select(
+        col("band_idx"), col("band_key"), col(idCol).as("id_b")),
+        Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(signed.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(signed.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x)
           .cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
   }
 
   /** Exact n-gram Jaccard for every pair sharing at least one shingle.
@@ -168,27 +174,43 @@ object Dedup {
   /** SimHash near-duplicate pairs: 64-bit signatures, candidates
     * blocked on 16-bit sub-bands (signatures within Hamming distance
     * k < 4 must agree on at least one of 4 bands), verified by exact
-    * Hamming distance. One shuffle on band values.
+    * Hamming distance.
+    *
+    * Same shuffle discipline as [[minHashCandidates]]: the band
+    * self-join carries only (band, id), pairs are distinct'd bare,
+    * and signatures join back once per pair for the Hamming verify.
+    *
+    * `signature` picks the signature expression: the default FNV
+    * kernel ([[graft.functions.HashFunctions.simhash64]]) or the
+    * MD5-token variant (`simhash_md5`) whose bits a SQL oracle can
+    * reproduce.
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    import graft.functions.HashFunctions.{hamming64, simhash64}
-    val signed = docs.select(col(idCol),
-      simhash64(col(textCol)).as("sig"))
-    val banded = signed.select(col(idCol), col("sig"),
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      signature: Column => Column = graft.functions.HashFunctions.simhash64): DataFrame = {
+    import graft.functions.HashFunctions.hamming64
+    // narrow per-row expression, but consumed three times (banding +
+    // two signature fetches) — cache the tiny (id, sig) projection
+    val signed = docs.select(col(idCol), signature(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = signed.select(col(idCol),
       posexplode(array((0 until 4).map(b =>
         (col("sig").bitwiseAND(lit(0xffffL << (16 * b)))).cast("long")): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    val left = banded.select(col("band_idx"), col("band_val"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val right = banded.select(col("band_idx"), col("band_val"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    left.join(right, Seq("band_idx", "band_val"))
+    val pairs = banded.select(
+        col("band_idx"), col("band_val"), col(idCol).as("id_a"))
+      .join(banded.select(
+        col("band_idx"), col("band_val"), col(idCol).as("id_b")),
+        Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(signed.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(signed.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

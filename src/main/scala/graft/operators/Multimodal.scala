@@ -44,22 +44,29 @@ object Multimodal {
   val FeatureDim = 8
 
   /** STUB decoder: deterministic fake "embedding" derived from payload
-    * bytes. A real build replaces the body with a codec call; the
-    * signature and batch shape are the contract.
+    * bytes via MD5 — feature k is the first 48 MD5 bits of
+    * (payload ++ ":k"), mod 1000, scaled to [0, 1). A real build
+    * replaces the body with a codec call; the signature and batch
+    * shape are the contract. MD5 (not a bespoke hash) so that for
+    * text-representable payloads the whole decode is expressible in
+    * SQL — the driver's DuckDB oracle checks `media_features` exactly.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < FeatureDim) {
-      val h = HashKernels.fnv1a64(payload, 0, payload.length) * (i + 1)
-      out(i) = ((h >>> 32).toInt % 1000) / 1000.0f
-      i += 1
+    var k = 0
+    while (k < FeatureDim) {
+      val h = HashKernels.md5Prefix48(payload ++ s":$k".getBytes("UTF-8"))
+      out(k) = (h % 1000) / 1000.0f
+      k += 1
     }
     out
   }
 
   /** Deterministic synthetic media corpus (payload bytes derived from
-    * the id) — the test stand-in for a real binary-file ingest.
+    * the id) — the test stand-in for a real binary-file ingest. The
+    * payload is ASCII on purpose: the binary column stays opaque to
+    * the engine, but an SQL oracle can reconstruct the bytes and
+    * cross-check the full decode pipeline.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -67,8 +74,9 @@ object Multimodal {
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val payload = s"MEDIA:$id:$kind".getBytes("UTF-8") ++
-        Array.tabulate[Byte](64)(i => ((id * 31 + i) % 251).toByte)
+      val payload = (s"MEDIA:$id:$kind:" + new String(
+        Array.tabulate[Char](64)(i => ('a' + (id * 31 + i) % 26).toChar)))
+        .getBytes("UTF-8")
       val meta = kind match {
         case "image" => MediaMeta(640, 480, 0, 0, "png")
         case "audio" => MediaMeta(0, 0, 16000, (1000 + id * 10).toInt, "wav")

@@ -167,12 +167,11 @@ object SelectiveSearch {
   /** Full step sweep: measures at every selection step 1..num_steps
     * (reference: dataproc/selectivesearch.py:32-73).
     *
-    * The reference re-runs head+join+agg per step — O(steps x data).
-    * Here the sweep is a single pass: join results with the ranked
-    * selection once, attribute each result row to every step after its
-    * shard's rank via `explode(sequence(rank+1, steps))`, then one
-    * window + one aggregation keyed by (query, step). One scan, two
-    * shuffles, regardless of step count.
+    * Dispatches to the steps-scalable [[evaluateArrival]] walk whenever
+    * every measure is a [[PrecisionAt]] over one relevance column (the
+    * reference's only measure family) — O(rows), one shuffle, memory
+    * O(steps x measures). Other measure shapes fall back to the
+    * relational [[evaluateExplode]] sweep.
     *
     * `sort=true` actually ranks shards by `shard_score` descending
     * (the reference discards that sort — its quirk Q2; the docstring
@@ -180,6 +179,22 @@ object SelectiveSearch {
     * must already carry a `rank` column.
     */
   def evaluate(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
+      numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None): DataFrame = {
+    val precisionOnly = measures.forall(_.isInstanceOf[PrecisionAt]) &&
+      measures.collect { case PrecisionAt(_, c, _) => c }.distinct.size == 1
+    if (precisionOnly) evaluateArrival(shards, results, measures, numShards, sort, numBuckets)
+    else evaluateExplode(shards, results, measures, numShards, sort, numBuckets)
+  }
+
+  /** Relational single-pass sweep: join results with the ranked
+    * selection once, attribute each result row to every step after its
+    * shard's rank via `explode(sequence(rank+1, steps))`, then one
+    * window + one aggregation keyed by (query, step). One scan, two
+    * shuffles, regardless of step count — but the explode makes the
+    * shuffle O(rows x steps); prefer [[evaluateArrival]] (the
+    * [[evaluate]] default for PrecisionAt) when steps are many.
+    */
+  def evaluateExplode(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
       numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None): DataFrame = {
     val withBuckets = numBuckets.isDefined
     val groupBy = if (withBuckets) Seq("query", "shard", "bucket") else Seq("query", "shard")
@@ -207,17 +222,19 @@ object SelectiveSearch {
       .orderBy(col("query").asc, col("step").asc)
   }
 
-  /** Steps-scalable evaluate: identical results to [[evaluate]], but
-    * O(rows) instead of O(rows x steps).
+  /** Steps-scalable evaluate: identical results to [[evaluateExplode]],
+    * but O(rows) instead of O(rows x steps).
     *
-    * [[evaluate]]'s `explode(sequence(...))` materializes each result
-    * row once per step it participates in — fine for tens of steps,
-    * a x`numSteps` shuffle blowup for hundreds. Here rows shuffle
-    * ONCE (groupByKey on query); per query they are sorted by
-    * `global_rank` and walked while per-step (count, sum) pairs fill
-    * up to each measure's depth k, with early exit once every step
-    * has k rows. Per-query memory is O(steps x measures), not
-    * O(rows).
+    * The explode form materializes each result row once per step it
+    * participates in — fine for tens of steps, a x`numSteps` shuffle
+    * blowup for hundreds. Here rows shuffle ONCE — hash-repartitioned
+    * by query with a secondary sort on `global_rank`
+    * (`repartition` + `sortWithinPartitions`, Spark's spill-safe
+    * sort) — and each partition is walked as a streaming iterator:
+    * per-step (count, sum) pairs fill up to each measure's depth k.
+    * Memory is O(steps x measures) per in-flight query, never
+    * O(rows): no per-group array materialization, so a hot query
+    * larger than executor memory spills in the sort, not in the walk.
     */
   def evaluateArrival(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
       numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None): DataFrame = {
@@ -231,6 +248,7 @@ object SelectiveSearch {
     }
     val relCols = ks.map(_._2).distinct
     require(relCols.size == 1, "one relevance column per sweep")
+    val queryType = results.schema("query").dataType
     val ranked =
       if (sort) {
         ensureHasColumns(shards, groupBy :+ "shard_score")
@@ -248,41 +266,56 @@ object SelectiveSearch {
     val spark = results.sparkSession
     import spark.implicits._
     val kDepths = ks.map(_._1)
-    val out = joined.as[(Long, Long, Double, Int)]
-      .groupByKey(_._1)
-      .flatMapGroups { (query, rows) =>
-        // sort by global_rank (tiny tiebreak irrelevant: global_rank unique per query upstream)
-        val sorted = rows.toArray.sortBy(_._2)
-        // per (step, measure): running count and sum over the first k
-        val counts = Array.ofDim[Long](numSteps + 1, kDepths.length)
-        val sums = Array.ofDim[Double](numSteps + 1, kDepths.length)
-        var remaining = numSteps * kDepths.length
-        var i = 0
-        while (i < sorted.length && remaining > 0) {
-          val (_, _, rel, rank) = sorted(i)
-          var s = rank + 1
-          while (s <= numSteps) {
-            var m = 0
-            while (m < kDepths.length) {
-              if (counts(s)(m) < kDepths(m)) {
-                counts(s)(m) += 1
-                sums(s)(m) += rel
-                if (counts(s)(m) == kDepths(m)) remaining -= 1
+    // ONE shuffle: hash partition by query, secondary-sort by
+    // (query, global_rank) within partitions — queries arrive as
+    // contiguous rank-ordered runs and are walked without buffering.
+    val arranged = joined
+      .repartition(col("query"))
+      .sortWithinPartitions(col("query"), col("global_rank"))
+      .as[(Long, Long, Double, Int)]
+    val out = arranged.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[(Long, Array[Double], Int)] {
+        private var pending: Iterator[(Long, Array[Double], Int)] = Iterator.empty
+        private def advance(): Unit = {
+          while (!pending.hasNext && it.hasNext) {
+            val query = it.head._1
+            // per (step, measure): running count and sum over the first k
+            val counts = Array.ofDim[Long](numSteps + 1, kDepths.length)
+            val sums = Array.ofDim[Double](numSteps + 1, kDepths.length)
+            var remaining = numSteps * kDepths.length
+            while (it.hasNext && it.head._1 == query) {
+              val (_, _, rel, rank) = it.next()
+              if (remaining > 0) {
+                var s = rank + 1
+                while (s <= numSteps) {
+                  var m = 0
+                  while (m < kDepths.length) {
+                    if (counts(s)(m) < kDepths(m)) {
+                      counts(s)(m) += 1
+                      sums(s)(m) += rel
+                      if (counts(s)(m) == kDepths(m)) remaining -= 1
+                    }
+                    m += 1
+                  }
+                  s += 1
+                }
               }
-              m += 1
             }
-            s += 1
+            // a step appears iff any row was attributed to it; counts
+            // for every measure advance together below k, so c > 0 for
+            // all measures whenever it is for the first
+            pending = (1 to numSteps).iterator.filter(s => counts(s)(0) > 0).map { s =>
+              (query, sums(s).zip(counts(s)).map { case (sm, c) => sm / c }, s)
+            }
           }
-          i += 1
         }
-        // a step appears iff any row was attributed to it; counts for
-        // every measure advance together below k, so c > 0 for all
-        (1 to numSteps).iterator.filter(s => counts(s)(0) > 0).map { s =>
-          (query, sums(s).zip(counts(s)).map { case (sm, c) => sm / c }, s)
-        }
+        def hasNext: Boolean = { advance(); pending.hasNext }
+        def next(): (Long, Array[Double], Int) = { advance(); pending.next() }
       }
+    }
     out.toDF("query", "vals", "step")
-      .select(col("query") +:
+      .select(col("query").cast(queryType) +:
         measures.zipWithIndex.map { case (m, i) =>
           col("vals").getItem(i).as(m.name) } :+
         col("step").cast("int").as("step"): _*)

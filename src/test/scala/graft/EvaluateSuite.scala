@@ -38,9 +38,9 @@ class EvaluateSuite extends SparkSuite {
     (1, 0, 0.1), (1, 1, 0.5), (1, 2, 0.8)
   ).toDF("query", "shard", "shard_score")
 
-  test("single-pass evaluate equals the per-step loop") {
+  test("single-pass explode evaluate equals the per-step loop") {
     val m = Seq(precisionAt(5), precisionAt(2))
-    val fast = SelectiveSearch.evaluate(shards, results, m, 3).collect().toSeq
+    val fast = SelectiveSearch.evaluateExplode(shards, results, m, 3).collect().toSeq
     val loop = SelectiveSearch.evaluateStepwise(shards, results, m, 3).collect().toSeq
     assert(fast == loop)
     assert(fast.size == 6) // 2 queries x 3 steps
@@ -48,11 +48,19 @@ class EvaluateSuite extends SparkSuite {
 
   test("arrival-walk evaluate equals the explode form (steps-scalable path)") {
     val m = Seq(precisionAt(5), precisionAt(2))
-    val explode = SelectiveSearch.evaluate(shards, results, m, 3).collect()
-      .map(r => (r.getInt(0).toLong, r.getDouble(1), r.getDouble(2), r.getInt(3))).toSeq
-    val arrival = SelectiveSearch.evaluateArrival(shards, results, m, 3).collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3))).toSeq
-    assert(arrival == explode)
+    val explode = SelectiveSearch.evaluateExplode(shards, results, m, 3).collect().toSeq
+    val arrival = SelectiveSearch.evaluateArrival(shards, results, m, 3).collect().toSeq
+    assert(arrival == explode) // identical rows AND identical schema types
+  }
+
+  test("evaluate dispatches PrecisionAt sweeps to the arrival walk") {
+    val m = Seq(precisionAt(5), precisionAt(2))
+    val viaDispatch = SelectiveSearch.evaluate(shards, results, m, 3)
+    // the dispatched plan is the mapPartitions walk, not the explode
+    val plan = viaDispatch.queryExecution.analyzed.toString
+    assert(plan.contains("MapPartitions"), plan.take(2000))
+    assert(viaDispatch.collect().toSeq ==
+      SelectiveSearch.evaluateStepwise(shards, results, m, 3).collect().toSeq)
   }
 
   test("bucketed evaluate equals the bucketed per-step loop") {

@@ -21,6 +21,21 @@ class OperatorsSuite extends SparkSuite {
       (1L, 100L, Some(10.0)), (1L, 250L, Some(20.0)), (2L, 50L, None)))
   }
 
+  test("asofJoinBackward keeps NULL value columns from the matched row (no frankenrow)") {
+    // right row at rt=200 carries v=NULL: the left row at t=250 must
+    // take (NULL, "b") from THAT row — not back-fill v=10.0 from rt=100
+    val left = Seq((1L, 250L, "o")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, Option(10.0), "a"),
+      (1L, 200L, Option.empty[Double], "b"))
+      .toDF("k", "rt", "v", "w")
+    val got = AsOf.asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("v", "w"))
+      .select("v", "w").collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(0), s"v must be NULL (matched row's value), got ${got(0)}")
+    assert(got(0).getString(1) == "b")
+  }
+
   test("asofJoinBackward rejects colliding value names") {
     val l = Seq((1L, 1L)).toDF("k", "t")
     val r = Seq((1L, 1L)).toDF("k", "t")
