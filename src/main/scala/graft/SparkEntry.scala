@@ -225,11 +225,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // Near-dedup, exact verification path: n-gram Jaccard on pairs
-    // sharing a shingle. (The operator's stop-shingle df cap helps on
-    // real heavy-tailed corpora; on this tiny-vocabulary synthetic one
-    // the extra df pass costs more than it prunes, so uncapped here.)
+    // sharing a shingle, WITH the stop-shingle df cap engaged — hot
+    // shingles contribute df^2 join rows, the precise 100 TB blowup,
+    // so the registered query demonstrates the defense on (at sf0.01
+    // the cap prunes ~178 hot-shingle instances; the oracle mirrors
+    // it with a df <= 5 semi-join).
     "ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), minJaccard = 0.5)
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), minJaccard = 0.5,
+        maxDocFreq = Some(5))
         .orderBy("id_a", "id_b")),
 
     // As-of join (no Spark built-in): for each purchase, the user's
@@ -345,11 +348,16 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
-    // Near-dedup via native simhash64 Catalyst expression (no SQL
-    // oracle: bespoke 64-bit signature; pinned by unit-test vectors).
-    // 4 x 16-bit band blocking guarantees recall for hamming <= 3.
+    // Near-dedup via the native simhash_md5 Catalyst expression: MD5
+    // token hashes make every signature bit SQL-reproducible, so the
+    // DuckDB oracle replays the per-bit majority vote and the exact
+    // Hamming filter. maxHamming = 3 keeps the 4 x 16-bit band
+    // blocking EXHAUSTIVE (pigeonhole: <= 3 flipped bits leave one
+    // band intact), so banded Spark == all-pairs oracle. The FNV
+    // kernel variant stays unit-test-pinned.
     "simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 4)
+      Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 3,
+        signature = graft.functions.HashFunctions.simhash_md5)
         .orderBy("id_a", "id_b")),
 
     // ANN baseline: brute-force cosine top-k (exact integer-quantized
@@ -396,13 +404,24 @@ object SparkEntry {
         .orderBy("user_id", "session_start_ms")
     }),
 
-    // Multimodal plumbing: stubbed decode over binary payloads (no SQL
-    // oracle: synthetic binary corpus; schema/batch shape pinned by
-    // unit tests)
-    "media_features" -> ((s, dir) =>
-      graft.operators.Multimodal.extractFeatures(
-        graft.operators.Multimodal.syntheticMedia(s, 100))
-        .toDF().orderBy("media_id")),
+    // Multimodal plumbing: stubbed MD5 decode over binary payloads.
+    // The feature vector is projected to scalar quantized-int columns
+    // (f0..f7 = the raw 0..999 kernel values, recovered exactly from
+    // the float via round(x*1000)) so the driver's sort-based compare
+    // and the DuckDB oracle both work; the oracle reconstructs the
+    // ASCII payload and replays md5(payload||':'||k) prefix-48 mod
+    // 1000. The array-emitting form stays available for the
+    // Similarity composition (featureEmbeddings).
+    "media_features" -> ((s, dir) => {
+      val feats = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.syntheticMedia(s, 100)).toDF()
+      val fCols = (0 until graft.operators.Multimodal.FeatureDim).map(k =>
+        round(element_at(col("feature"), k + 1).cast("double") * 1000)
+          .cast("int").as(s"f$k"))
+      feats.select(Seq(col("media_id"), col("kind"),
+          col("n_bytes")) ++ fCols: _*)
+        .orderBy("media_id")
+    }),
 
     // Analytic windows beyond row_number: running sum + lag
     "window_running" -> ((s, dir) => {
@@ -607,13 +626,19 @@ object SparkEntry {
          |       CAST(len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
+    // mirrors Dedup.ngramJaccardPairs(maxDocFreq = Some(5)): shingles
+    // with document frequency > 5 are dropped BEFORE pair generation,
+    // and Jaccard is defined over the filtered shingle universe on
+    // both sides of the ratio
     "ngram_jaccard_pairs" ->
       s"""WITH $ShinglesCte,
          |ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
-         |cnt AS (SELECT doc_id, len(sg) AS n_sh FROM sh),
+         |dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+         |exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s) WHERE dfc.df <= 5),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM exf GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT * FROM (
          |  SELECT id_a, id_b,
@@ -623,6 +648,50 @@ object SparkEntry {
          |  JOIN cnt cb ON cb.doc_id = id_b)
          |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // replays HashKernels.simHashMd5 bit-for-bit: per-token 64-bit MD5
+    // prefix, per-bit +1/-1 majority vote, then the exact Hamming
+    // filter as an all-pairs join (valid because maxHamming = 3 makes
+    // the Spark side's 4 x 16-bit banding exhaustive)
+    "simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+        |      FROM tok WHERE t <> ''),
+        |cnt AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |        FROM h, generate_series(0, 63) g(b) GROUP BY 1, 2),
+        |allb AS (SELECT doc_id, b FROM documents, generate_series(0, 63) g(b)),
+        |bitv AS (SELECT a.doc_id, a.b,
+        |                CASE WHEN coalesce(cnt.c, 0) > 0 THEN 1 ELSE 0 END AS bit
+        |         FROM allb a LEFT JOIN cnt ON a.doc_id = cnt.doc_id AND a.b = cnt.b),
+        |sig AS (SELECT doc_id, list(bit ORDER BY b) AS bits FROM bitv GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_filter(generate_series(1, 64), i -> a.bits[i] <> b.bits[i])) AS INT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // reconstructs Multimodal.syntheticMedia's ASCII payloads and
+    // replays the decodeStub: f_k = first 48 MD5 bits of
+    // (payload || ':' || k), mod 1000
+    "media_features" -> {
+      val fSelects = (0 until graft.operators.Multimodal.FeatureDim).map(k =>
+        s"       CAST(('0x' || substr(md5(payload || ':$k'), 1, 12))::BIGINT % 1000 AS INT) AS f$k")
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 99)) AS id),
+         |k0 AS (SELECT id, CASE WHEN id % 3 = 0 THEN 'image'
+         |                       WHEN id % 3 = 1 THEN 'audio'
+         |                       ELSE 'video' END AS kind FROM ids),
+         |p AS (SELECT id, kind,
+         |        'MEDIA:' || id || ':' || kind || ':' ||
+         |        array_to_string(list_transform(generate_series(0, 63),
+         |          i -> chr(CAST(97 + (id * 31 + i) % 26 AS INT))), '') AS payload
+         |      FROM k0)
+         |SELECT id AS media_id, kind, CAST(length(payload) AS INT) AS n_bytes,
+         |${fSelects.mkString(",\n")}
+         |FROM p ORDER BY media_id""".stripMargin
+    },
 
     "s1_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS price

@@ -119,15 +119,28 @@ object HashKernels {
 
   /** 64-bit SimHash with MD5 token hashes: whitespace tokens, per-bit
     * +1/-1 majority vote over each token's [[md5Long64]]. Unlike the
-    * FNV variant ([[simHash64]]) every building block (regex split,
-    * md5, bit test) exists in ANSI-ish SQL, so a DuckDB oracle can
-    * reproduce the signature bit-for-bit.
+    * FNV variant ([[simHash64]]) every building block (whitespace
+    * split, md5, bit test) exists in ANSI-ish SQL, so a DuckDB oracle
+    * can reproduce the signature bit-for-bit.
+    *
+    * Same zero-allocation byte walk as [[simHash64]] (tokens are byte
+    * runs between ASCII blanks; the digest reads the run in place) —
+    * no per-row regex or token-array allocation on the hot path.
     */
   def simHashMd5(s: UTF8String): Long = {
+    val bytes = s.getBytes
     val counts = new Array[Int](64)
-    s.toString.split("\\s+").foreach { tok =>
-      if (tok.nonEmpty) {
-        val h = md5Long64(tok.getBytes("UTF-8"))
+    val md = md5Local.get()
+    var start = 0
+    var i = 0
+    def addToken(from: Int, until: Int): Unit = {
+      if (until > from) {
+        md.reset()
+        md.update(bytes, from, until - from)
+        val d = md.digest()
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -135,6 +148,15 @@ object HashKernels {
         }
       }
     }
+    while (i < bytes.length) {
+      val c = bytes(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        addToken(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    addToken(start, bytes.length)
     var sig = 0L
     var b = 0
     while (b < 64) {

@@ -82,24 +82,48 @@ object Dedup {
         transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")))))
 
+  /** Shared banded-LSH candidate skeleton: self-join `banded` on
+    * (band_idx, `bandCol`) carrying ONLY (band_idx, band value, id),
+    * distinct the bare (id_a, id_b) pairs, then join `signed`'s
+    * signatures back once per pair. The band shuffle never ships
+    * signatures and each pair is verified exactly once — the 100 TB
+    * shuffle discipline, written once for both the minhash and the
+    * simhash path. Returns (id_a, id_b, sig_a, sig_b).
+    */
+  private[operators] def bandedCandidatePairs(banded: DataFrame,
+      signed: DataFrame, idCol: String, bandCol: String): DataFrame = {
+    val pairs = banded
+      .select(col("band_idx"), col(bandCol), col(idCol).as("id_a"))
+      .join(banded.select(
+        col("band_idx"), col(bandCol), col(idCol).as("id_b")),
+        Seq("band_idx", bandCol))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(signed.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(signed.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash + LSH banding, with
     * the estimated Jaccard (fraction of agreeing signature rows).
-    * Pipeline: per-row signature -> explode band keys -> self-join on
-    * (band, key) carrying ONLY (band, key, id) -> distinct bare
-    * (id_a, id_b) pairs -> join the signatures back once per pair to
-    * score. The band shuffle never ships the 16-long signature
-    * arrays, and each pair is scored exactly once (no post-score
-    * distinct re-shuffling scored rows) — at 100 TB the band shuffle
-    * is the dominant cost and it stays id-width here.
+    * Pipeline: per-row signature -> explode band keys ->
+    * [[bandedCandidatePairs]] -> score.
+    *
+    * Cache lifecycle: the (id, sig) projection is persisted
+    * MEMORY_AND_DISK because it is consumed three times (banding + two
+    * signature fetches). The cache belongs to the caller's session —
+    * unpersist via `spark.catalog.clearCache()` (or
+    * `df.sparkSession.sharedState.cacheManager`) once the result is
+    * materialized; a long-lived session that never does accumulates
+    * one cached projection per call.
     */
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // docs with < n tokens have no shingles and drop out naturally.
-    // persist: consumed three times (banding + two signature fetches)
-    // — without the cache the explode+hash+aggregate pipeline reruns.
+    // docs with < n tokens have no shingles and drop out naturally
     val signed = minHashSignatures(docs, textCol, idCol, n, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signed.select(
@@ -107,17 +131,7 @@ object Dedup {
         posexplode(lshBandKeys(col("sig"), bands, r)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
-    val pairs = banded.select(
-        col("band_idx"), col("band_key"), col(idCol).as("id_a"))
-      .join(banded.select(
-        col("band_idx"), col("band_key"), col(idCol).as("id_b")),
-        Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    pairs
-      .join(signed.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(signed.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    bandedCandidatePairs(banded, signed, idCol, "band_key")
       .select(col("id_a"), col("id_b"),
         (aggregate(
           zip_with(col("sig_a"), col("sig_b"),
@@ -184,6 +198,16 @@ object Dedup {
     * kernel ([[graft.functions.HashFunctions.simhash64]]) or the
     * MD5-token variant (`simhash_md5`) whose bits a SQL oracle can
     * reproduce.
+    *
+    * Recall guarantee: with 4 bands of 16 bits, any pair within
+    * Hamming distance 3 differs in at most 3 bands (pigeonhole), so at
+    * least one band agrees and the pair is generated — `maxHamming <=
+    * 3` makes the banded result EXACTLY the all-pairs filter. At
+    * `maxHamming = 4` a pair can spread one flipped bit into each
+    * band and be missed.
+    *
+    * Cache lifecycle: as [[minHashCandidates]] — the (id, sig)
+    * projection persists until the caller clears the session cache.
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
@@ -198,17 +222,7 @@ object Dedup {
         (col("sig").bitwiseAND(lit(0xffffL << (16 * b)))).cast("long")): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    val pairs = banded.select(
-        col("band_idx"), col("band_val"), col(idCol).as("id_a"))
-      .join(banded.select(
-        col("band_idx"), col("band_val"), col(idCol).as("id_b")),
-        Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    pairs
-      .join(signed.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(signed.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    bandedCandidatePairs(banded, signed, idCol, "band_val")
       .select(col("id_a"), col("id_b"),
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

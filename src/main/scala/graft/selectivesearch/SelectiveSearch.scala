@@ -182,7 +182,17 @@ object SelectiveSearch {
       numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None): DataFrame = {
     val precisionOnly = measures.forall(_.isInstanceOf[PrecisionAt]) &&
       measures.collect { case PrecisionAt(_, c, _) => c }.distinct.size == 1
-    if (precisionOnly) evaluateArrival(shards, results, measures, numShards, sort, numBuckets)
+    // the arrival walk keys queries by a long cast; a non-integral
+    // query column (string IDs) would cast to NULL under non-ANSI
+    // semantics and silently collapse every query into one group —
+    // fall back to the type-generic explode sweep there
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralQuery = results.schema("query").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (precisionOnly && integralQuery)
+      evaluateArrival(shards, results, measures, numShards, sort, numBuckets)
     else evaluateExplode(shards, results, measures, numShards, sort, numBuckets)
   }
 
@@ -210,7 +220,11 @@ object SelectiveSearch {
         shards
       }
     val sel = ranked.select((groupBy :+ "rank").map(col): _*)
+    // rank >= numSteps would make the sequence below DESCEND and
+    // attribute rows to spurious steps; drop them (the arrival walk
+    // drops them too, keeping both paths in agreement)
     val joined = results.join(broadcast(sel), groupBy, "inner")
+      .filter(col("rank") < numSteps)
       .withColumn("step",
         explode(sequence(col("rank") + 1, lit(numSteps))))
     val w = Window.partitionBy(col("query"), col("step"))
@@ -260,7 +274,10 @@ object SelectiveSearch {
         shards
       }
     val sel = ranked.select((groupBy :+ "rank").map(col): _*)
+    // rank >= numSteps rows can't land in any step — drop before the
+    // shuffle (and keep parity with evaluateExplode's filter)
     val joined = results.join(broadcast(sel), groupBy, "inner")
+      .filter(col("rank") < numSteps)
       .select(col("query").cast("long"), col("global_rank").cast("long"),
         col(relCols.head).cast("double"), col("rank").cast("int"))
     val spark = results.sparkSession

@@ -64,6 +64,27 @@ class TextDedupSuite extends SparkSuite {
     assert(again == df(2).getLong(2))
   }
 
+  test("simhash_md5: known vectors, whitespace walk, md5 bit parity") {
+    // single token: every bit majority IS that token's md5 prefix —
+    // md5("a") = 0cc175b9..., first 64 bits = 0x0cc175b9c0f1b6a8
+    val df = textDf(0L -> "a", 1L -> "", 2L -> "  a \t a\na  ", 3L -> "b a")
+      .select(col("doc_id"), HashFunctions.simhash_md5(col("text")).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(df(0).getLong(1) == 0x0cc175b9c0f1b6a8L)
+    assert(df(1).getLong(1) == 0L)                  // no tokens -> all-zero sig
+    assert(df(2).getLong(1) == 0x0cc175b9c0f1b6a8L) // repeats + mixed whitespace
+    // single-token sig equals the SQL-expressible md5-prefix formula
+    // (the contract the DuckDB oracle relies on)
+    val viaSql = textDf(0L -> "a")
+      .select(conv(substring(md5(col("text")), 1, 16), 16, 10).cast("long"))
+      .first().getLong(0)
+    assert(df(0).getLong(1) == viaSql)
+    // order-insensitive (bag-of-tokens majority vote)
+    val ab = textDf(0L -> "a b")
+      .select(HashFunctions.simhash_md5(col("text"))).first().getLong(0)
+    assert(df(3).getLong(1) == ab)
+  }
+
   test("md5_pair equals the hex conv formulation exactly") {
     val df = textDf(0L -> "a", 1L -> "some shingle text", 2L -> "")
       .select(col("doc_id"),
