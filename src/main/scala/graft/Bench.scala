@@ -8,11 +8,23 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced through the `noop` sink so the full result
   * materializes (a bare count() would let Catalyst prune the work).
+  *
+  * Each query is timed SPARK_GRAFT_REPS times (default 3) and the
+  * MEDIAN is recorded: two rounds of single-run records contained
+  * 3-7x machine-noise phantoms (GC pause, page cache eviction) that
+  * never reproduced on a clean rerun, and conversely one noisy run
+  * could mask a real regression.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -30,16 +42,20 @@ object Bench {
         .groupBy(col("l_returnflag")).count().collect()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // release prior queries' broadcasts/shuffles so long sessions
-      // don't spill later queries (measured 17x inflation without)
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        // release prior runs' broadcasts/shuffles/caches so long
+        // sessions don't spill later queries (measured 17x inflation
+        // without) and so each rep recomputes from parquet
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
