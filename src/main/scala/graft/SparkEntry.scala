@@ -368,16 +368,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ANN scale path: sign-LSH cell blocking, same output shape
-    "ann_lsh_topk" -> ((s, dir) => {
+    // ANN scale path: IVF — corpus in nearest-centroid cells (balanced
+    // by construction, unlike fixed sign-LSH cells), queries probe
+    // their nprobe nearest cells. nprobe=40/64 measures recall@5 =
+    // 0.93 on this corpus (see SCALING.md for the full knob curve).
+    "ann_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.lshCosineTopK(e, e.filter(col("vec_id") < 8), 5, bits = 6)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), 5,
+        numCentroids = 64, nprobe = 40)
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding near-duplicate pairs within LSH cells
+    // Embedding near-duplicate pairs at scale: IVF multi-assignment
+    // blocking (each vector in its 8 nearest cells; measured recall
+    // 0.94 for cosine >= 0.3 pairs), exact-cosine verification
     "embedding_neardup_pairs" -> ((s, dir) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.3, bits = 6)
+      Similarity.ivfNearDupPairs(Tables.embeddings(s, dir), threshold = 0.3,
+        numCentroids = 64, assignments = 8)
         .orderBy("id_a", "id_b")),
 
     // Sessionization (relational form): 30-min-gap user sessions via
@@ -468,9 +475,19 @@ object SparkEntry {
       |               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |        FROM embeddings))""".stripMargin
 
-  private val CellExpr =
-    """list_sum(list_transform(generate_series(1, 6),
-      |  i -> CASE WHEN v[i] >= 0 THEN CAST(power(2, i - 1) AS BIGINT) ELSE 0 END))""".stripMargin
+  // IVF oracle fragments (mirror Similarity.centroidSample /
+  // nearestCentroids exactly: lowest-64-id centroids, cosine ranked
+  // DESC with cent_id ASC tiebreak)
+  private val CentCte =
+    """cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM qn
+      |         WHERE vec_id < 64)""".stripMargin
+
+  private def ivfRanked(where: String): String =
+    s"""(SELECT q.vec_id, q.v, q.n2, c.cent_id,
+       |        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |          list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.cv[i]))
+       |            / sqrt(CAST(q.n2 * c.cn2 AS DOUBLE)) DESC, c.cent_id) AS rk
+       | FROM qn q CROSS JOIN cent c$where)""".stripMargin
 
   /** Oracle for the greedy bucket resolution: the per-query greedy
     * walk (reference: dataproc/selectivesearch.py:160-181) visits
@@ -529,27 +546,38 @@ object SparkEntry {
          |SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
-    "ann_lsh_topk" ->
+    "ann_ivf_topk" ->
       s"""WITH $QuantCte,
-         |qc AS (SELECT vec_id, v, n2, $CellExpr AS cell FROM qn),
-         |pairs AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id,
-         |         list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]))
-         |           / sqrt(CAST(q.n2 * c.n2 AS DOUBLE)) AS cosine
-         |  FROM qc q JOIN qc c ON q.cell = c.cell AND q.vec_id < 8 AND c.vec_id <> q.vec_id),
-         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
-         |       FROM pairs)
-         |SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 5
+         |$CentCte,
+         |assign AS (SELECT vec_id, v, n2, cent_id FROM ${ivfRanked("")}
+         |           WHERE rk = 1),
+         |probes AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cent_id
+         |           FROM ${ivfRanked(" WHERE q.vec_id < 8")}
+         |           WHERE rk <= 40),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         list_sum(list_transform(generate_series(1, 64), i -> p.qv[i] * a.v[i]))
+         |           / sqrt(CAST(p.qn2 * a.n2 AS DOUBLE)) AS cosine
+         |  FROM assign a JOIN probes p USING (cent_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |rk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+         |        FROM scored)
+         |SELECT query_id, vec_id, cosine, rank FROM rk2 WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     "embedding_neardup_pairs" ->
       s"""WITH $QuantCte,
-         |qc AS (SELECT vec_id, v, n2, $CellExpr AS cell FROM qn)
+         |$CentCte,
+         |multi AS (SELECT vec_id, cent_id FROM ${ivfRanked("")}
+         |          WHERE rk <= 8),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM multi a JOIN multi b USING (cent_id)
+         |         WHERE a.vec_id < b.vec_id)
          |SELECT * FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  SELECT id_a, id_b,
          |         list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
          |           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cosine
-         |  FROM qc a JOIN qc b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  FROM cand JOIN qn a ON a.vec_id = id_a JOIN qn b ON b.vec_id = id_b)
          |WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -1,0 +1,70 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Measures ANN recall of the IVF operators against the exact
+  * brute-force baseline on the testdata embeddings — the numbers
+  * recorded in SCALING.md. Run:
+  *
+  *   sbt "runMain graft.examples.AnnRecall /root/testdata/sf0.1"
+  *
+  * recall@5 = |ivf top-5 ∩ exact top-5| / (5 x queries); the scan
+  * fraction is the share of (query, corpus) pairs the probe set
+  * actually scores — the cost knob the recall buys with.
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-ann-recall")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = Tables.embeddings(spark, sfDir)
+    val nCorpus = e.count()
+    val nq = math.min(200L, nCorpus / 2)
+    val queries = e.filter(col("vec_id") < nq)
+
+    val exact = Similarity.cosineTopK(e, queries, 5)
+      .select("query_id", "vec_id").cache()
+    val exactN = exact.count()
+
+    println(s"corpus=$nCorpus queries=$nq exact_top5_rows=$exactN")
+    for ((c, p) <- Seq((64, 8), (64, 16), (64, 24), (64, 32), (64, 40), (64, 48))) {
+      spark.catalog.clearCache(); exact.cache(); exact.count()
+      val approx = Similarity.ivfTopK(e, queries, 5, numCentroids = c, nprobe = p)
+        .select("query_id", "vec_id")
+      val hits = exact.intersect(approx).count()
+      println(f"ivf_topk C=$c nprobe=$p recall@5=${hits.toDouble / exactN}%.3f " +
+        f"scan_frac=${p.toDouble / c}%.3f")
+    }
+
+    // near-dup pair recall: truth = exact all-pairs at the threshold
+    val prep = Similarity.prepared(e, "embedding", "vec_id")
+      .persist()
+    val truth = prep.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+      .join(prep.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineQ(Similarity.dotQ(col("va"), col("vb")),
+          col("na2"), col("nb2")).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .select("id_a", "id_b").cache()
+    val nTruth = truth.count()
+    println(s"exact_pairs_ge_0.3=$nTruth")
+    for (a <- Seq(2, 4, 8)) {
+      val got = Similarity.ivfNearDupPairs(e, threshold = 0.3,
+        numCentroids = 64, assignments = a).select("id_a", "id_b")
+      val hits = truth.intersect(got).count()
+      println(f"ivf_neardup C=64 A=$a recall=${hits.toDouble / nTruth}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -122,6 +122,10 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine >= threshold among pairs
     * sharing a sign-LSH cell (one shuffle on cell).
+    *
+    * Small-corpus / interop path: 2^bits fixed cells skew badly as the
+    * corpus grows — prefer [[ivfNearDupPairs]] (balanced, bounded
+    * cells) at scale.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 6,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
@@ -131,6 +135,102 @@ object Similarity {
     val b = p.select(col("cell"), col(idCol).as("id_b"),
       col("v").as("vb"), col("n2").as("nb2"))
     a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  // ----- IVF: the ANN scale path ------------------------------------
+
+  /** Deterministic coarse quantizer: the `numCentroids` lowest-id
+    * corpus vectors as centroids (an arbitrary-but-reproducible
+    * sample — ids carry no signal — so the DuckDB oracle can rebuild
+    * the identical index; a production build would swap in k-means||
+    * centroids through the same (cent_id, cv, cn2) contract).
+    */
+  private def centroidSample(cp: DataFrame, numCentroids: Int,
+      idCol: String): DataFrame =
+    cp.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+
+  /** The `take` nearest centroids of every vector in `p`, vector
+    * columns carried through: (idCol, v, n2, cent_id) with `take`
+    * rows per input vector.
+    *
+    * Shape: broadcast the tiny centroid table, score every
+    * (vector, centroid) in-task, keep the top `take` with the bounded
+    * [[graft.functions.TopKAggregate]] — partial aggregation collapses
+    * each vector's |centroids| scored rows to ONE k-heap row before
+    * the shuffle, so the exchange ships one row per vector (the
+    * index-build shuffle; at query time nothing larger than the probe
+    * list moves).
+    */
+  private def nearestCentroids(p: DataFrame, cent: DataFrame, take: Int,
+      idCol: String): DataFrame =
+    p.join(broadcast(cent))
+      .select(col(idCol), col("v"), col("n2"), col("cent_id"),
+        cosineQ(dotQ(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
+      .groupBy(col(idCol), col("v"), col("n2"))
+      .agg(graft.functions.TopKFunctions.top_k(col("ccos"), col("cent_id"), take).as("top"))
+      .select(col(idCol), col("v"), col("n2"),
+        explode(col("top").getField("id")).as("cent_id"))
+
+  /** IVF approximate top-k: corpus vectors live in their nearest
+    * centroid's cell (the inverted lists); each query scores only the
+    * cells of its `nprobe` nearest centroids.
+    *
+    * Scale shape: cells are corpus-size/numCentroids balanced (no
+    * fixed-cell skew bomb — the quantizer adapts to the data), the
+    * probe list is |queries| x nprobe and broadcast, and recall/cost
+    * trade off on the nprobe knob — the recall curve for this corpus
+    * is measured in SCALING.md. Exact integer quantized math
+    * end-to-end, so results are engine-portable.
+    *
+    * Cache lifecycle: the prepared corpus persists MEMORY_AND_DISK
+    * (consumed by the centroid sample and the assignment); the caller
+    * owns the session cache as in [[graft.operators.Dedup]].
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cp = prepared(corpus, embCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = centroidSample(cp, numCentroids, idCol)
+    val assign = nearestCentroids(cp, cent, 1, idCol)
+    val probes = nearestCentroids(prepared(queries, embCol, idCol), cent, nprobe, idCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cent_id"))
+    // one row per (query, candidate): the vector's single cell meets
+    // each probing query once, so no dedup is needed before top-k
+    val scored = assign.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol),
+        cosineQ(dotQ(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
+    finishTopKAgg(scored, k, idCol)
+  }
+
+  /** Embedding near-duplicate pairs at scale: every vector is
+    * multi-assigned to its `assignments` nearest centroids; pairs
+    * sharing any cell are candidates (bare ids distinct'd BEFORE the
+    * vectors join back — the same shuffle discipline as
+    * [[graft.operators.Dedup.bandedCandidatePairs]]), then verified
+    * by exact cosine against `threshold`.
+    */
+  def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
+      numCentroids: Int = 64, assignments: Int = 8,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cp = prepared(corpus, embCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = centroidSample(cp, numCentroids, idCol)
+    val multi = nearestCentroids(cp, cent, assignments, idCol)
+    val pairs = multi.select(col("cent_id"), col(idCol).as("id_a"))
+      .join(multi.select(col("cent_id"), col(idCol).as("id_b")), Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(cp.select(col(idCol).as("id_a"), col("v").as("va"), col("n2").as("na2")), Seq("id_a"))
+      .join(cp.select(col(idCol).as("id_b"), col("v").as("vb"), col("n2").as("nb2")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -81,6 +81,61 @@ class SimilaritySuite extends SparkSuite {
     assert(g2 == Seq((2.0, 1L))) // k larger than group
   }
 
+  test("ivfTopK with full probing equals brute force exactly") {
+    // probing every cell makes IVF exhaustive — results must be
+    // bit-identical to cosineTopK (same math, same tiebreaks)
+    val queries = corpus.filter($"vec_id" <= 2L)
+    val brute = Similarity.cosineTopK(corpus, queries, 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val ivf = Similarity.ivfTopK(corpus, queries, 3,
+      numCentroids = 5, nprobe = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK with narrow probing returns a subset of brute-force candidates") {
+    val got = Similarity.ivfTopK(corpus, corpus.filter($"vec_id" === 0L), 4,
+      numCentroids = 2, nprobe = 1).collect()
+    // centroids are vecs 0 and 1 (lowest ids); everything except vec 3
+    // lands in their cells... the query probes one cell only, so the
+    // result is a (possibly strict) subset of the brute-force top-4
+    assert(got.nonEmpty && got.length <= 4)
+    val bruteIds = Similarity.cosineTopK(corpus, corpus.filter($"vec_id" === 0L), 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.map(_.getLong(1)).toSet.subsetOf(bruteIds))
+  }
+
+  test("ivfNearDupPairs with full multi-assignment equals all-pairs") {
+    // assigning every vector to all cells makes blocking exhaustive
+    val ivf = Similarity.ivfNearDupPairs(corpus, threshold = 0.99,
+      numCentroids = 5, assignments = 5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // brute-force reference computed inline (all pairs, exact math)
+    val p = Similarity.prepared(corpus, "embedding", "vec_id")
+    import org.apache.spark.sql.functions._
+    val brute = p.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+      .join(p.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineQ(Similarity.dotQ(col("va"), col("vb")),
+          col("na2"), col("nb2")).as("cosine"))
+      .filter(col("cosine") >= 0.99)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(ivf == brute)
+    // 0~(1,0,0), 1~(.9,.1,0), 4~(.95,.05,0) are mutually >= 0.99
+    assert(ivf.map(t => (t._1, t._2)).toSet == Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("ivf assignment puts every corpus vector in exactly one cell") {
+    val queries = corpus.filter($"vec_id" === 0L)
+    // nprobe = all cells => every non-query vector scored exactly once
+    val scoredCount = Similarity.ivfTopK(corpus, queries, 10,
+      numCentroids = 3, nprobe = 3).count()
+    assert(scoredCount == 4) // 5 vectors minus the query itself
+  }
+
   test("nearDupPairs thresholds on exact quantized cosine") {
     val got = Similarity.nearDupPairs(corpus, threshold = 0.99, bits = 3)
       .orderBy("id_a", "id_b").collect()
