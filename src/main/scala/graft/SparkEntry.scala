@@ -339,10 +339,15 @@ object SparkEntry {
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"))
         .orderBy("user_id")),
 
-    // Anti join: customers with no orders
+    // Anti join: customers with no RECENT orders. The orders side is
+    // date-restricted so the anti-join is non-vacuous at test scale
+    // (every customer has SOME order; 135 have none since 2000-01-01
+    // at sf0.01) — a 0-row anti-join would pass the hash compare
+    // without proving anything.
     "j_anti_customers" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
@@ -380,11 +385,15 @@ object SparkEntry {
     }),
 
     // Embedding near-duplicate pairs at scale: IVF multi-assignment
-    // blocking (each vector in its 8 nearest cells; measured recall
-    // 0.94 for cosine >= 0.3 pairs), exact-cosine verification
+    // blocking — corpus-scaled centroid count (autoCentroids: one per
+    // 16 vectors), each vector in its 16 nearest cells, and pairs must
+    // share >= 2 cells before the exact-cosine verify. The 2-cell vote
+    // is the cost knob: random near-uniform pairs rarely agree on 2+
+    // nearest centroids while cosine>=0.3 pairs rank centroids almost
+    // identically — measured recall 0.969 at sf0.1 (SCALING.md).
     "embedding_neardup_pairs" -> ((s, dir) =>
       Similarity.ivfNearDupPairs(Tables.embeddings(s, dir), threshold = 0.3,
-        numCentroids = 64, assignments = 8)
+        assignments = 16, minSharedCells = 2)
         .orderBy("id_a", "id_b")),
 
     // Sessionization (relational form): 30-min-gap user sessions via
@@ -476,11 +485,15 @@ object SparkEntry {
       |        FROM embeddings))""".stripMargin
 
   // IVF oracle fragments (mirror Similarity.centroidSample /
-  // nearestCentroids exactly: lowest-64-id centroids, cosine ranked
-  // DESC with cent_id ASC tiebreak)
-  private val CentCte =
-    """cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM qn
-      |         WHERE vec_id < 64)""".stripMargin
+  // nearestCentroids exactly: lowest-id centroids by row_number — NOT
+  // `vec_id < C`, which only coincides for 0-based contiguous ids —
+  // cosine ranked DESC with cent_id ASC tiebreak). `limitSql` mirrors
+  // the centroid count: a literal for fixed-C paths, the
+  // autoCentroids formula greatest(16, ceil(n/16)) for scaled paths.
+  private def centCte(limitSql: String): String =
+    s"""cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM qn
+       |         QUALIFY row_number() OVER (ORDER BY vec_id) <= $limitSql)""".stripMargin
+  private val AutoCentroidsSql = "greatest(16, ((SELECT count(*) FROM qn) + 15) // 16)"
 
   private def ivfRanked(where: String): String =
     s"""(SELECT q.vec_id, q.v, q.n2, c.cent_id,
@@ -548,7 +561,7 @@ object SparkEntry {
 
     "ann_ivf_topk" ->
       s"""WITH $QuantCte,
-         |$CentCte,
+         |${centCte("64")},
          |assign AS (SELECT vec_id, v, n2, cent_id FROM ${ivfRanked("")}
          |           WHERE rk = 1),
          |probes AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cent_id
@@ -567,12 +580,13 @@ object SparkEntry {
 
     "embedding_neardup_pairs" ->
       s"""WITH $QuantCte,
-         |$CentCte,
+         |${centCte(AutoCentroidsSql)},
          |multi AS (SELECT vec_id, cent_id FROM ${ivfRanked("")}
-         |          WHERE rk <= 8),
-         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          WHERE rk <= 16),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |         FROM multi a JOIN multi b USING (cent_id)
-         |         WHERE a.vec_id < b.vec_id)
+         |         WHERE a.vec_id < b.vec_id
+         |         GROUP BY 1, 2 HAVING count(*) >= 2)
          |SELECT * FROM (
          |  SELECT id_a, id_b,
          |         list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
@@ -942,7 +956,9 @@ object SparkEntry {
 
     "j_anti_customers" ->
       """SELECT c_custkey, c_name
-        |FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+        |FROM customer c ANTI JOIN
+        |     (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+        |     ON c.c_custkey = o.o_custkey
         |ORDER BY c_custkey""".stripMargin,
 
     "sessionize_batch" ->

@@ -59,11 +59,21 @@ object AnnRecall {
       .select("id_a", "id_b").cache()
     val nTruth = truth.count()
     println(s"exact_pairs_ge_0.3=$nTruth")
-    for (a <- Seq(2, 4, 8)) {
+    // C = 0 means autoCentroids(n); minShared is the >=k-shared-cells
+    // candidate vote. clearCache between iterations: each call holds
+    // its own MEMORY_AND_DISK projection otherwise.
+    for ((c, a, m) <- Seq((64, 8, 1), (0, 8, 1), (0, 8, 2), (0, 12, 2),
+        (0, 16, 2), (0, 12, 3), (0, 16, 3))) {
+      spark.catalog.clearCache(); truth.cache(); truth.count()
+      val t0 = System.nanoTime()
       val got = Similarity.ivfNearDupPairs(e, threshold = 0.3,
-        numCentroids = 64, assignments = a).select("id_a", "id_b")
+        numCentroids = c, assignments = a, minSharedCells = m)
+        .select("id_a", "id_b").cache()
+      val nGot = got.count()
+      val secs = (System.nanoTime() - t0) / 1e9
       val hits = truth.intersect(got).count()
-      println(f"ivf_neardup C=64 A=$a recall=${hits.toDouble / nTruth}%.3f")
+      println(f"ivf_neardup C=$c A=$a M=$m recall=${hits.toDouble / nTruth}%.3f " +
+        f"pairs=$nGot time=$secs%.2fs")
     }
     spark.stop()
   }

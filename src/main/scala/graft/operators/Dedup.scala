@@ -160,13 +160,19 @@ object Dedup {
       .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
     val shUncached = maxDocFreq match {
       case Some(cap) =>
-        val keep = shAll.groupBy(col("s"))
-          .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
-          .select(col("s"))
-        shAll.join(keep, Seq("s"), "left_semi")
+        // ONE tokenize pass + ONE shuffle: df as a window count over
+        // the shingle partition, filtered in place. (The earlier
+        // groupBy + left_semi form fed the un-persisted explode into
+        // both the df aggregation and the join — two full corpus
+        // tokenization passes; at 100 TB that doubles the scan.)
+        // Shingles are distinct per doc, so count(*) == doc freq.
+        shAll.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy(col("s"))))
+          .filter(col("__df") <= cap).drop("__df")
       case None => shAll
     }
-    // consumed three times (counts + both self-join sides)
+    // consumed three times (counts + both self-join sides); the cache
+    // retains the hash(s) partitioning, which the self-join reuses
     val sh = shUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // hint: exploded-shingle sides are uniform post-explode rows — a

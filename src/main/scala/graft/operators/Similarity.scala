@@ -31,13 +31,18 @@ object Similarity {
   def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * QuantScale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd kernel ([[graft.functions.VectorFunctions.dot_long]]):
+    * the higher-order `aggregate(zip_with(...))` form is interpreted
+    * (CodegenFallback) and allocates per evaluation, which dominated
+    * the near-dup verify at millions of candidate pairs.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_long(a, b)
 
   /** Exact integer squared norm. */
   def norm2Q(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_long(a, a)
 
   /** Cosine from exact integer parts (one double division at the end). */
   def cosineQ(dot: Column, na2: Column, nb2: Column): Column =
@@ -209,25 +214,48 @@ object Similarity {
     finishTopKAgg(scored, k, idCol)
   }
 
+  /** Auto centroid count: one centroid per `targetCell` corpus
+    * vectors (floor 16) so cells stay boundedly small as the corpus
+    * grows — a fixed count turns every cell into an O((n/C)^2) pair
+    * quadratic at scale.
+    */
+  def autoCentroids(n: Long, targetCell: Int = 16): Int =
+    math.max(16L, (n + targetCell - 1) / targetCell).toInt
+
   /** Embedding near-duplicate pairs at scale: every vector is
     * multi-assigned to its `assignments` nearest centroids; pairs
-    * sharing any cell are candidates (bare ids distinct'd BEFORE the
-    * vectors join back — the same shuffle discipline as
-    * [[graft.operators.Dedup.bandedCandidatePairs]]), then verified
-    * by exact cosine against `threshold`.
+    * sharing at least `minSharedCells` cells are candidates (bare ids
+    * aggregated BEFORE the vectors join back — the same shuffle
+    * discipline as [[graft.operators.Dedup.bandedCandidatePairs]]),
+    * then verified by exact cosine against `threshold`.
+    *
+    * `minSharedCells = 2` is the cost knob that makes multi-assignment
+    * affordable: two near-uniform random vectors rarely agree on 2+ of
+    * their `assignments` nearest centroids (P(shared>=2) falls
+    * superlinearly vs P(shared>=1)), while genuinely similar vectors
+    * rank centroids almost identically and co-occur in several cells —
+    * measured recall/cost curve in SCALING.md.
+    *
+    * `numCentroids <= 0` (the default) derives the centroid count from
+    * the corpus size via [[autoCentroids]] — the count() is one job
+    * over the already-persisted projection, the standard index-build
+    * scalar.
     */
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
-      numCentroids: Int = 64, assignments: Int = 8,
+      numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cent = centroidSample(cp, numCentroids, idCol)
+    val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
+    val cent = centroidSample(cp, c, idCol)
     val multi = nearestCentroids(cp, cent, assignments, idCol)
     val pairs = multi.select(col("cent_id"), col(idCol).as("id_a"))
       .join(multi.select(col("cent_id"), col(idCol).as("id_b")), Seq("cent_id"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedCells)
       .select(col("id_a"), col("id_b"))
-      .distinct()
     pairs
       .join(cp.select(col(idCol).as("id_a"), col("v").as("va"), col("n2").as("na2")), Seq("id_a"))
       .join(cp.select(col(idCol).as("id_b"), col("v").as("vb"), col("n2").as("nb2")), Seq("id_b"))
