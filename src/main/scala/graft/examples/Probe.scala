@@ -16,14 +16,26 @@ object Probe {
         sys.env.getOrElse("PROBE_AQE", "false"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    // each stage timed twice with a cleared cache: run 1 includes
+    // per-plan codegen, run 2 is the steady-state cost
+    def time(name: String)(f: => Unit): Unit =
+      (1 to 2).foreach { i =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime(); f
+        println(f"PROBE $name#$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     val docs = Tables.documents(spark, dir)
+    // session warm-up (parquet reader, shuffle machinery)
+    docs.groupBy(col("lang")).count().collect()
     time("shingle_explode") {
       docs.select(col("doc_id"),
         explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("md5_pair_hash") {
+      docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("s"))
+        .select(col("doc_id"), graft.functions.HashFunctions.md5_pair(col("s")).as("hp"))
         .write.format("noop").mode("overwrite").save()
     }
     time("signatures") {

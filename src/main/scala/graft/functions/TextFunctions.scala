@@ -75,9 +75,20 @@ object TextFunctions {
   def fingerprintMd5(c: Column): Column = substring(md5(c), 1, 16)
 
   /** Word n-gram shingles (distinct) over whitespace tokens; empty
-    * array when the text has fewer than n tokens.
+    * array when the text has fewer than n tokens. Native one-byte-walk
+    * kernel: the declarative HOF form re-evaluated the regex split per
+    * shingle index (4.3 s of minhash's 4.5 s at sf0.1) — see
+    * [[ShingleKernels.wordShingles]]; [[wordShinglesDeclarative]] is
+    * the semantic reference it is property-pinned against.
     */
-  def wordShingles(c: Column, n: Int): Column = {
+  def wordShingles(c: Column, n: Int): Column =
+    ShingleFunctions.word_shingles(c, n)
+
+  /** The declarative shingle formulation (slow: the embedded split
+    * re-evaluates per shingle) — retained as the semantic reference
+    * for the kernel's ScalaCheck equivalence property.
+    */
+  def wordShinglesDeclarative(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),

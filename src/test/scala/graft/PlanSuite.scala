@@ -44,6 +44,45 @@ class PlanSuite extends SparkSuite {
     assert(p.contains("*("), p.take(2000))
   }
 
+  test("ngram df cap tokenizes the corpus exactly once") {
+    // the stop-shingle cap must not re-run the explode+shingle pass
+    // for the df count (two full corpus tokenizations at scale): the
+    // shingle Generate appears once, inside the persisted subtree
+    // that the df window, the counts agg, and both self-join sides
+    // all read back from
+    val df = graft.operators.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sf("sf0.001")), minJaccard = 0.5,
+      maxDocFreq = Some(5))
+    // tree walk, not string match: the cached subtree PRINTS once per
+    // scan but EXECUTES once. InMemoryRelation is a leaf of the
+    // optimized plan, so any Generate found by collect() runs outside
+    // the cache — there must be none.
+    val lp = df.queryExecution.optimizedPlan
+    val outside = lp.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.size
+    val cacheReads = lp.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.size
+    assert(outside == 0, s"$outside Generate(s) outside the cache:\n${lp.toString.take(3000)}")
+    assert(cacheReads >= 3, s"expected >=3 cache reads, got $cacheReads:\n${lp.toString.take(3000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("native dot product and shingle kernel stay inside codegen") {
+    import org.apache.spark.sql.functions._
+    val p = Tables.embeddings(spark, sf("sf0.001"))
+      .select(graft.functions.VectorFunctions.dot_long(
+        graft.operators.Similarity.quantize(col("embedding")),
+        graft.operators.Similarity.quantize(col("embedding"))).as("n2"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(") && p.contains("dotlong"), p.take(2000))
+    val p2 = Tables.documents(spark, sf("sf0.001"))
+      .select(graft.functions.TextFunctions.wordShingles(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("*(") && p2.contains("wordshingles"), p2.take(2000))
+  }
+
   test("native hash expressions stay inside codegen (no fallback)") {
     import graft.functions.HashFunctions._
     import org.apache.spark.sql.functions._

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.selectivesearch.{BucketResolver, SelectiveSearch}
 
 /** Grid-based invariants the reference only implies (SURVEY.md §5):
@@ -58,6 +60,106 @@ class PropertiesSuite extends SparkSuite {
         assert(buckets.toSeq == (0 until buckets.length),
           s"non-contiguous bucket prefix: ${buckets.toSeq}")
       }
+    }
+  }
+
+  test("word_shingles kernel equals the declarative HOF form (randomized)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // strings over a whitespace-heavy alphabet: multi-byte UTF-8,
+    // every Java-regex \s separator, leading/trailing runs, empties
+    val piece = Gen.oneOf("a", "bb", "ccc", "Ω≈", "x1", " ", "  ",
+      "\t", "\n", "", "\f", "\r", "\r\n", "")
+    val genText = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, piece).map(_.mkString))
+    val params = Gen.Parameters.default
+    val texts = (0 until 400).flatMap(i =>
+      genText.apply(params, Seed(42L + i)))
+    import graft.functions.TextFunctions
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val diff = df.select(
+          TextFunctions.wordShingles(col("text"), n).as("kernel"),
+          TextFunctions.wordShinglesDeclarative(col("text"), n).as("decl"),
+          col("text"))
+        .filter(not(col("kernel") === col("decl")))
+        .collect()
+      assert(diff.isEmpty,
+        s"n=$n kernel != declarative for: ${diff.take(3).mkString("; ")}")
+    }
+  }
+
+  test("randomized evaluate == evaluateStepwise (mixed k, buckets, " +
+      "rank >= numSteps, string ids, sort=true)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.selectivesearch.SelectiveSearch
+    import graft.selectivesearch.SelectiveSearch.precisionAt
+
+    case class Case(nQ: Int, nS: Int, nB: Option[Int], stringIds: Boolean,
+        sort: Boolean, ks: Seq[Int], ranks: Seq[Int], scores: Seq[Int],
+        rels: Seq[Int], prios: Seq[Int])
+
+    val genCase = for {
+      nQ <- Gen.choose(1, 3)
+      nS <- Gen.choose(1, 3)
+      nB <- Gen.oneOf(None, Some(2))
+      stringIds <- Gen.oneOf(false, true)
+      sort <- Gen.oneOf(false, true)
+      ks <- Gen.pick(2, Seq(1, 2, 3, 5, 8)).map(_.toSeq)
+      cells = nQ * nS * nB.getOrElse(1)
+      numSteps = nS * nB.getOrElse(1)
+      // rank can land AT or ABOVE numSteps (the degenerate case both
+      // paths must drop identically); duplicates allowed
+      ranks <- Gen.listOfN(cells, Gen.choose(0, numSteps + 1))
+      scores <- Gen.listOfN(cells, Gen.choose(0, 1000))
+      rels <- Gen.listOfN(cells * 3, Gen.choose(0, 1))
+      prios <- Gen.listOfN(cells * 3, Gen.choose(0, 1000000))
+    } yield Case(nQ, nS, nB, stringIds, sort, ks, ranks, scores, rels, prios)
+
+    val params = Gen.Parameters.default
+    val cases = (0 until 10).flatMap(i => genCase.apply(params, Seed(1234L + i)))
+    assert(cases.size >= 8)
+
+    for ((c, ci) <- cases.zipWithIndex) {
+      val nb = c.nB.getOrElse(1)
+      val cellsIdx = for {
+        q <- 0 until c.nQ; s <- 0 until c.nS; b <- 0 until nb
+      } yield (q, s, b)
+      val qid: Int => String =
+        if (c.stringIds) i => s"q$i" else i => i.toString
+      val shardRows = cellsIdx.zipWithIndex.map { case ((q, s, b), i) =>
+        (qid(q), s, b, c.ranks(i), c.scores(i).toDouble)
+      }
+      val resultRows = cellsIdx.zipWithIndex.flatMap { case ((q, s, b), i) =>
+        (0 until 3).map { d =>
+          val j = i * 3 + d
+          (qid(q), s, b, c.rels(j), c.prios(j), j)
+        }
+      }
+      val spark2 = spark
+      import spark2.implicits._
+      def castQ(df: org.apache.spark.sql.DataFrame) =
+        if (c.stringIds) df
+        else df.withColumn("query", col("query").cast("int"))
+      val shardCols =
+        if (c.nB.isDefined) Seq("query", "shard", "bucket") else Seq("query", "shard")
+      val shardsDf = castQ(shardRows.toDF("query", "shard", "bucket", "rank", "shard_score"))
+        .select((shardCols ++ (if (c.sort) Seq("shard_score") else Seq("rank"))).map(col): _*)
+      val resultsDf = castQ(resultRows
+        .toDF("query", "shard", "bucket", "rel", "prio", "idx"))
+        .withColumn("global_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query"))
+            .orderBy(col("prio"), col("idx"))))
+        .drop("prio", "idx")
+      val measures = c.ks.map(k => precisionAt(k))
+      val fast = SelectiveSearch.evaluate(
+        shardsDf, resultsDf, measures, c.nS, sort = c.sort, numBuckets = c.nB)
+        .collect().toSeq
+      val loop = SelectiveSearch.evaluateStepwise(
+        shardsDf, resultsDf, measures, c.nS, sort = c.sort, numBuckets = c.nB)
+        .collect().toSeq
+      assert(fast == loop, s"case #$ci diverged: $c\nfast=$fast\nloop=$loop")
     }
   }
 }
