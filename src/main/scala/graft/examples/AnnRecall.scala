@@ -38,7 +38,7 @@ object AnnRecall {
 
     println(s"corpus=$nCorpus queries=$nq exact_top5_rows=$exactN")
     for ((c, p) <- Seq((64, 8), (64, 16), (64, 24), (64, 32), (64, 40), (64, 48))) {
-      spark.catalog.clearCache(); exact.cache(); exact.count()
+      graft.core.OpCaches.release(); spark.catalog.clearCache(); exact.cache(); exact.count()
       val approx = Similarity.ivfTopK(e, queries, 5, numCentroids = c, nprobe = p)
         .select("query_id", "vec_id")
       val hits = exact.intersect(approx).count()
@@ -64,7 +64,7 @@ object AnnRecall {
     // its own MEMORY_AND_DISK projection otherwise.
     for ((c, a, m) <- Seq((64, 8, 1), (0, 8, 1), (0, 8, 2), (0, 12, 2),
         (0, 16, 2), (0, 12, 3), (0, 16, 3))) {
-      spark.catalog.clearCache(); truth.cache(); truth.count()
+      graft.core.OpCaches.release(); spark.catalog.clearCache(); truth.cache(); truth.count()
       val t0 = System.nanoTime()
       val got = Similarity.ivfNearDupPairs(e, threshold = 0.3,
         numCentroids = c, assignments = a, minSharedCells = m)

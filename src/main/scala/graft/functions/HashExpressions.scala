@@ -58,9 +58,11 @@ object HashKernels {
       }
     }
     while (i < bytes.length) {
-      // ASCII whitespace split — tokens are byte runs between blanks
+      // ASCII whitespace split (full Java-regex \s set, incl. \f and
+      // \x0B, matching the oracle's regexp split) — tokens are byte
+      // runs between blanks
       val c = bytes(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b) {
         addToken(start, i)
         start = i + 1
       }
@@ -150,7 +152,7 @@ object HashKernels {
     }
     while (i < bytes.length) {
       val c = bytes(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b) {
         addToken(start, i)
         start = i + 1
       }

@@ -112,11 +112,9 @@ object Dedup {
     *
     * Cache lifecycle: the (id, sig) projection is persisted
     * MEMORY_AND_DISK because it is consumed three times (banding + two
-    * signature fetches). The cache belongs to the caller's session —
-    * unpersist via `spark.catalog.clearCache()` (or
-    * `df.sparkSession.sharedState.cacheManager`) once the result is
-    * materialized; a long-lived session that never does accumulates
-    * one cached projection per call.
+    * signature fetches), registered with [[graft.core.OpCaches]] —
+    * release after materializing via `OpCaches.release()` or
+    * `OpCaches.materializeAndRelease(result)`.
     */
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
@@ -125,7 +123,7 @@ object Dedup {
     val r = numHashes / bands
     // docs with < n tokens have no shingles and drop out naturally
     val signed = minHashSignatures(docs, textCol, idCol, n, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.OpCaches.persistTracked)
     val banded = signed.select(
         col(idCol),
         posexplode(lshBandKeys(col("sig"), bands, r)))
@@ -173,7 +171,7 @@ object Dedup {
     }
     // consumed three times (counts + both self-join sides); the cache
     // retains the hash(s) partitioning, which the self-join reuses
-    val sh = shUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shUncached.transform(graft.core.OpCaches.persistTracked)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // hint: exploded-shingle sides are uniform post-explode rows — a
     // shuffled hash join skips the two 1.5M-row sorts a sort-merge
@@ -213,7 +211,8 @@ object Dedup {
     * band and be missed.
     *
     * Cache lifecycle: as [[minHashCandidates]] — the (id, sig)
-    * projection persists until the caller clears the session cache.
+    * projection is registered with [[graft.core.OpCaches]] for
+    * caller release.
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
@@ -222,7 +221,7 @@ object Dedup {
     // narrow per-row expression, but consumed three times (banding +
     // two signature fetches) — cache the tiny (id, sig) projection
     val signed = docs.select(col(idCol), signature(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.OpCaches.persistTracked)
     val banded = signed.select(col(idCol),
       posexplode(array((0 until 4).map(b =>
         (col("sig").bitwiseAND(lit(0xffffL << (16 * b)))).cast("long")): _*)))

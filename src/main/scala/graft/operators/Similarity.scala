@@ -192,14 +192,15 @@ object Similarity {
     * end-to-end, so results are engine-portable.
     *
     * Cache lifecycle: the prepared corpus persists MEMORY_AND_DISK
-    * (consumed by the centroid sample and the assignment); the caller
-    * owns the session cache as in [[graft.operators.Dedup]].
+    * (consumed by the centroid sample and the assignment), registered
+    * with [[graft.core.OpCaches]] — release after materializing via
+    * `OpCaches.release()` or `OpCaches.materializeAndRelease(result)`.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.OpCaches.persistTracked)
     val cent = centroidSample(cp, numCentroids, idCol)
     val assign = nearestCentroids(cp, cent, 1, idCol)
     val probes = nearestCentroids(prepared(queries, embCol, idCol), cent, nprobe, idCol)
@@ -245,7 +246,7 @@ object Similarity {
       numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.OpCaches.persistTracked)
     val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
     val cent = centroidSample(cp, c, idCol)
     val multi = nearestCentroids(cp, cent, assignments, idCol)

@@ -8,6 +8,27 @@ import graft.operators.{AsOf, Dedup}
 class OperatorsSuite extends SparkSuite {
   import spark.implicits._
 
+  test("operator caches are tracked, deduped, and released via OpCaches") {
+    import graft.core.OpCaches
+    OpCaches.release()
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.minHashCandidates(docs).count()
+    val afterFirst = OpCaches.trackedCount
+    assert(afterFirst >= 1)
+    // a second call over the SAME plan re-tracks without re-persisting
+    // (no "already cached" warning, no second block): storageLevel is
+    // a plan-level lookup, so the count stays flat
+    graft.operators.Dedup.minHashCandidates(docs).count()
+    assert(OpCaches.trackedCount == afterFirst)
+    OpCaches.release()
+    assert(OpCaches.trackedCount == 0)
+    // after release the plan is uncached again
+    val sig = graft.operators.Dedup
+      .minHashSignatures(docs, "text", "doc_id", 3, 16)
+    assert(sig.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("asofJoinBackward picks the latest right row at or before left time") {
     val left = Seq((1L, 100L, "o1"), (1L, 250L, "o2"), (2L, 50L, "o3"))
       .toDF("k", "t", "tag")

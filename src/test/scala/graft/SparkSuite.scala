@@ -1,10 +1,19 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession + frame-comparison helpers for all suites. */
-trait SparkSuite extends AnyFunSuite {
+trait SparkSuite extends AnyFunSuite with BeforeAndAfterEach {
+
+  /** Operator-held caches must not accumulate across tests (the
+    * "already cached" warning noise and the per-call block leak).
+    */
+  override protected def afterEach(): Unit = {
+    graft.core.OpCaches.release()
+    super.afterEach()
+  }
   lazy val spark: SparkSession = SparkSuite.session
   def sf(dir: String) = s"/root/testdata/$dir"
 
