@@ -103,6 +103,15 @@ object SparkEntry {
         Tables.selection(s, dir), Tables.evalResults(s, dir),
         Seq(precisionAt(10), precisionAt(5)), Tables.NumShards)),
 
+    // C2 sort=true (quirk-Q2 docstring intent): shards arrive with a
+    // raw shard_score and evaluate ranks them per query (score desc,
+    // shard asc) before the sweep — the oracle replays the ranking in
+    // its own window
+    "c2_evaluate_sorted" -> ((s, dir) =>
+      SelectiveSearch.evaluate(
+        Tables.shardScores(s, dir), Tables.evalResults(s, dir),
+        Seq(precisionAt(10), precisionAt(5)), Tables.NumShards, sort = true)),
+
     // C2 bucketed: step sweep over (shard, bucket) selection units
     "c2_evaluate_buckets" -> ((s, dir) =>
       SelectiveSearch.evaluate(
@@ -779,6 +788,30 @@ object SparkEntry {
 
     "c2_evaluate" ->
       s"""WITH $EvalResultsCte, $SelectionCte,
+         |joined AS (SELECT e.query, e.global_rank, e.rel, s.rank
+         |           FROM er e JOIN sel s ON e.query = s.query AND e.shard = s.shard),
+         |att AS (SELECT j.query, j.global_rank, j.rel, st.step
+         |        FROM joined j
+         |        JOIN (SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS step) st
+         |          ON st.step > j.rank),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query, step ORDER BY global_rank) AS mrn
+         |       FROM att)
+         |SELECT query,
+         |       avg(CASE WHEN mrn <= 10 THEN rel END) AS p_10,
+         |       avg(CASE WHEN mrn <= 5 THEN rel END) AS p_5,
+         |       step
+         |FROM rk GROUP BY query, step
+         |ORDER BY query, step""".stripMargin,
+
+    "c2_evaluate_sorted" ->
+      s"""WITH $EvalResultsCte,
+         |sscore AS (SELECT CAST(l_orderkey % 8 AS INT) AS query,
+         |                  CAST(l_suppkey % 4 AS INT) AS shard,
+         |                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS shard_score
+         |           FROM lineitem GROUP BY 1, 2),
+         |sel AS (SELECT query, shard,
+         |               CAST(row_number() OVER (PARTITION BY query ORDER BY shard_score DESC, shard) - 1 AS INT) AS rank
+         |        FROM sscore),
          |joined AS (SELECT e.query, e.global_rank, e.rel, s.rank
          |           FROM er e JOIN sel s ON e.query = s.query AND e.shard = s.shard),
          |att AS (SELECT j.query, j.global_rank, j.rel, st.step

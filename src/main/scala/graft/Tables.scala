@@ -82,6 +82,19 @@ object Tables {
     agg.withColumn("rank", (row_number().over(w) - 1).cast("int"))
   }
 
+  /** Unranked shard scores for the `evaluate(sort = true)` path: one
+    * row per (query, shard) with an exact-integer `shard_score`
+    * (summed price cents — deliberately a DIFFERENT mass than
+    * [[selection]]'s quantity ranks, so the sorted path produces its
+    * own ranking rather than coinciding with the precomputed one).
+    */
+  def shardScores(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(
+        (col("l_orderkey") % NumQueries).cast("int").as("query"),
+        (col("l_suppkey") % NumShards).cast("int").as("shard"))
+      .agg(sum(cents(col("l_extendedprice"))).as("shard_score"))
+
   /** Bucket selection analog: one row per (query, shard, bucket). */
   def bucketSelection(spark: SparkSession, dir: String): DataFrame = {
     val agg = lineitem(spark, dir)

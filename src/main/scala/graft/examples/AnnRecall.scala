@@ -75,6 +75,39 @@ object AnnRecall {
       println(f"ivf_neardup C=$c A=$a M=$m recall=${hits.toDouble / nTruth}%.3f " +
         f"pairs=$nGot time=$secs%.2fs")
     }
+
+    // --- k-means|| vs lowest-id sample on a CLUSTERED corpus ---------
+    // The testdata embeddings are near-uniform (the sample's best
+    // case); real corpora cluster, where a fitted quantizer probes
+    // fewer wrong cells. Seeded synthetic mixture: 25 Gaussian
+    // clusters in 64-dim.
+    import spark.implicits._
+    graft.core.OpCaches.release(); spark.catalog.clearCache()
+    val rnd = new scala.util.Random(7)
+    val kTrue = 25
+    val centers = Array.fill(kTrue, 64)(rnd.nextGaussian() * 0.5)
+    val clustered = (0 until 2000).map { i =>
+      val c = centers(rnd.nextInt(kTrue))
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+    val cq = clustered.filter(col("vec_id") < 200)
+    val exactC = Similarity.cosineTopK(clustered, cq, 5)
+      .select("query_id", "vec_id").cache()
+    val exactCN = exactC.count()
+    println(s"clustered_corpus=2000 k_true=$kTrue exact_top5_rows=$exactCN")
+    val cp2 = Similarity.prepared(clustered, "embedding", "vec_id").cache()
+    val km = graft.operators.KMeans.kmeansCentroids(cp2, 64).cache()
+    km.count()
+    for (p <- Seq(4, 8, 16)) {
+      val sampleHits = exactC.intersect(
+        Similarity.ivfTopK(clustered, cq, 5, numCentroids = 64, nprobe = p)
+          .select("query_id", "vec_id")).count()
+      val kmHits = exactC.intersect(
+        Similarity.ivfTopK(clustered, cq, 5, nprobe = p,
+          centroids = Some(km)).select("query_id", "vec_id")).count()
+      println(f"clustered C=64 nprobe=$p recall@5 sample=${sampleHits.toDouble / exactCN}%.3f " +
+        f"kmeans=${kmHits.toDouble / exactCN}%.3f")
+    }
     spark.stop()
   }
 }

@@ -150,8 +150,12 @@ object Similarity {
   /** Deterministic coarse quantizer: the `numCentroids` lowest-id
     * corpus vectors as centroids (an arbitrary-but-reproducible
     * sample — ids carry no signal — so the DuckDB oracle can rebuild
-    * the identical index; a production build would swap in k-means||
-    * centroids through the same (cent_id, cv, cn2) contract).
+    * the identical index). The fitted alternative is
+    * [[graft.operators.KMeans.kmeansCentroids]] (seeded k-means||),
+    * which plugs into [[ivfTopK]] / [[ivfNearDupPairs]] through their
+    * `centroids` parameter via the same (cent_id, cv, cn2) contract —
+    * the sample stays on oracle-checked paths, the fit is the quality
+    * path for clustered corpora (comparison in SCALING.md).
     */
   private def centroidSample(cp: DataFrame, numCentroids: Int,
       idCol: String): DataFrame =
@@ -198,10 +202,11 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8,
-      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      embCol: String = "embedding", idCol: String = "vec_id",
+      centroids: Option[DataFrame] = None): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
-    val cent = centroidSample(cp, numCentroids, idCol)
+    val cent = centroids.getOrElse(centroidSample(cp, numCentroids, idCol))
     val assign = nearestCentroids(cp, cent, 1, idCol)
     val probes = nearestCentroids(prepared(queries, embCol, idCol), cent, nprobe, idCol)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
@@ -244,11 +249,14 @@ object Similarity {
     */
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
       numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
-      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      embCol: String = "embedding", idCol: String = "vec_id",
+      centroids: Option[DataFrame] = None): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
-    val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
-    val cent = centroidSample(cp, c, idCol)
+    val cent = centroids.getOrElse {
+      val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
+      centroidSample(cp, c, idCol)
+    }
     val multi = nearestCentroids(cp, cent, assignments, idCol)
     val pairs = multi.select(col("cent_id"), col(idCol).as("id_a"))
       .join(multi.select(col("cent_id"), col(idCol).as("id_b")), Seq("cent_id"))

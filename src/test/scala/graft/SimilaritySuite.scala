@@ -128,6 +128,47 @@ class SimilaritySuite extends SparkSuite {
     assert(ivf.map(t => (t._1, t._2)).toSet == Set((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
+  test("kmeansCentroids: contract, determinism, and cluster recovery") {
+    import graft.operators.KMeans
+    // 3 well-separated clusters of 5 vectors each
+    val pts = Seq(
+      (10.0, 0.0), (10.1, 0.1), (9.9, -0.1), (10.2, 0.0), (9.8, 0.1),
+      (0.0, 10.0), (0.1, 10.1), (-0.1, 9.9), (0.0, 10.2), (0.1, 9.8),
+      (-10.0, -10.0), (-10.1, -9.9), (-9.9, -10.1), (-10.2, -10.0), (-9.8, -9.9))
+    val df = pts.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, Seq(x.toFloat, y.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val cp = Similarity.prepared(df, "embedding", "vec_id")
+    val cent = KMeans.kmeansCentroids(cp, 3, seed = 42L)
+      .orderBy("cent_id").collect()
+    // contract: k rows, cent_id 0..k-1, cn2 = |cv|^2
+    assert(cent.length == 3)
+    assert(cent.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    cent.foreach { r =>
+      val cv = r.getSeq[Long](1)
+      assert(r.getLong(2) == cv.map(x => x * x).sum)
+    }
+    // determinism: same seed, same fit (bit-identical)
+    val again = KMeans.kmeansCentroids(cp, 3, seed = 42L)
+      .orderBy("cent_id").collect()
+    assert(cent.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // quality: one centroid lands inside each true cluster (Lloyd
+    // converges exactly on well-separated data; quantized coords)
+    val got = cent.map(_.getSeq[Long](1).toSeq).toSet
+    def near(cv: Seq[Long], x: Double, y: Double) =
+      math.abs(cv(0) - x * 1000) < 500 && math.abs(cv(1) - y * 1000) < 500
+    assert(got.exists(near(_, 10, 0)) && got.exists(near(_, 0, 10)) &&
+      got.exists(near(_, -10, -10)), got)
+    // swaps into ivfTopK via the centroids parameter: full probing
+    // with fitted centroids still equals brute force
+    val ivf = Similarity.ivfTopK(df, df.filter($"vec_id" === 0L), 3,
+      nprobe = 3, centroids = Some(KMeans.kmeansCentroids(cp, 3, seed = 42L)))
+      .collect().map(_.getLong(1)).toSet
+    val brute = Similarity.cosineTopK(df, df.filter($"vec_id" === 0L), 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(ivf == brute)
+  }
+
   test("ivf assignment puts every corpus vector in exactly one cell") {
     val queries = corpus.filter($"vec_id" === 0L)
     // nprobe = all cells => every non-query vector scored exactly once
