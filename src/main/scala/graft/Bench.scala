@@ -68,7 +68,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val nFailed = results.count(_._2.isEmpty)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    // per-query ratio vs the DuckDB proxy baseline (same-definition
+    // oracle SQL timed by scripts/time_baseline.py), so the 2x gate
+    // is mechanical: ratio = spark_sec / duckdb_sec per query
+    val baseline: Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_duckdb.json")))
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val ratios = results.collect {
+      case (k, Some(v)) if baseline.get(k).exists(_ > 0) =>
+        k -> v / baseline(k)
+    }
+    val ratioJson =
+      if (ratios.isEmpty) ""
+      else {
+        val rs = ratios.map { case (k, r) => "\"" + k + f"""\":$r%.2f""" }
+          .mkString("{", ",", "}")
+        f""","ratios":$rs,"over_2x":${ratios.count(_._2 > 2.0)}"""
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs$ratioJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
