@@ -228,6 +228,23 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Deterministic Bernoulli sampling: content-hash acceptance, no
+    // shuffle, reproducible across engines/partitionings/retries
+    // (rand(seed) never is) — exact-integer 48-bit threshold compare
+    "sample_bernoulli" -> ((s, dir) =>
+      graft.operators.Sampling.bernoulliSample(
+        Tables.documents(s, dir), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // Deterministic stratified sampling: hash-ranked reservoir of 50
+    // docs per language via the bounded top_k aggregate (k rows per
+    // stratum per map task — wide rows never shuffle)
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir), Seq("lang"), "doc_id", 50)
+        .orderBy("lang", "smp_rank")),
+
     // Near-dedup, scale path: MinHash signatures + LSH band join
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minHashCandidates(Tables.documents(s, dir))
@@ -650,6 +667,24 @@ object SparkEntry {
          |       - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / length(text) END)
          |       + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sampling.hash48/threshold48: 48-bit md5 prefix of
+    // "doc_id:graft", exact integer threshold = 0.25 * 2^48
+    "sample_bernoulli" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT
+         |      < ${graft.operators.Sampling.threshold48(0.25)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT AS hv
+         |           FROM documents),
+         |rk AS (SELECT lang, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS INT) AS smp_rank
+         |       FROM h)
+         |SELECT lang, doc_id, smp_rank FROM rk WHERE smp_rank <= 50
+         |ORDER BY lang, smp_rank""".stripMargin,
 
     "minhash_lsh_pairs" ->
       s"""WITH $ShinglesCte,

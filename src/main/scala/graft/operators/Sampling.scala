@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Both operators key every decision on a content-derived hash
+  * (48-bit MD5 prefix of `id || ':' || salt`), not on an RNG: the
+  * sample is reproducible across engines, partitionings, retries, and
+  * re-runs — the property a 100 TB pipeline needs for auditable
+  * dataset curation (and what makes an exact SQL oracle possible,
+  * where `rand(seed)` never matches across engines). Changing `salt`
+  * draws an independent sample.
+  *
+  * Scale shapes:
+  * - [[bernoulliSample]] is a stateless per-row filter — NO shuffle,
+  *   fully pushdown-friendly, trivially parallel at any scale;
+  * - [[stratifiedSample]] ships at most k (id, hash) pairs per
+  *   stratum per map task through the bounded
+  *   [[graft.functions.TopKAggregate]] (partial aggregation), then
+  *   semi-joins the winners back — wide document rows never shuffle,
+  *   and a hot stratum costs k per task, not its full population
+  *   (a window row_number over the stratum would shuffle every row).
+  */
+object Sampling {
+
+  /** 48-bit MD5-prefix hash of `id || ':' || salt` — uniform on
+    * [0, 2^48), exact integer, engine-portable (DuckDB:
+    * `('0x' || substr(md5(id || ':salt'), 1, 12))::BIGINT`).
+    */
+  def hash48(id: Column, salt: String): Column =
+    HashFunctions.md5_pair(concat(id.cast("string"), lit(":" + salt)))
+      .getItem(0)
+
+  /** Exact integer acceptance threshold for a fraction of 2^48. */
+  def threshold48(fraction: Double): Long = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    (fraction * (1L << 48)).toLong
+  }
+
+  /** Deterministic Bernoulli sample: keep a row iff its hash falls
+    * under `fraction` of the 48-bit space. Stateless, shuffle-free;
+    * the comparison is exact-integer on both sides.
+    */
+  def bernoulliSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "graft"): DataFrame =
+    df.filter(hash48(col(idCol), salt) < lit(threshold48(fraction)))
+
+  /** Deterministic stratified sample: the `k` rows with the smallest
+    * (hash, id) per stratum — a hash-ranked reservoir, reproducible
+    * at any parallelism. Returns the stratum and id columns plus
+    * `smp_rank` (1-based position within the stratum's sample).
+    *
+    * Negated-hash trick: `top_k` keeps the LARGEST (score desc,
+    * id asc); scoring by -hash yields ascending hash order, exactly —
+    * 48-bit magnitudes are exact in double.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String],
+      idCol: String, k: Int, salt: String = "graft"): DataFrame = {
+    val strata = strataCols.map(col)
+    val picked = df
+      .select(strata :+ hash48(col(idCol), salt).as("__h") :+ col(idCol): _*)
+      .groupBy(strata: _*)
+      .agg(graft.functions.TopKFunctions
+        .top_k((-col("__h")).cast("double"), col(idCol), k).as("top"))
+      .select(strata :+ posexplode(col("top")): _*)
+      .select(strata :+ col("col.id").as(idCol) :+
+        (col("pos") + 1).cast("int").as("smp_rank"): _*)
+    picked
+  }
+
+  /** [[stratifiedSample]] joined back to the full rows (left-semi on
+    * the id — wide columns never shuffle through the sampler).
+    */
+  def stratifiedSampleRows(df: DataFrame, strataCols: Seq[String],
+      idCol: String, k: Int, salt: String = "graft"): DataFrame =
+    df.join(stratifiedSample(df, strataCols, idCol, k, salt)
+      .select(col(idCol)), Seq(idCol), "left_semi")
+}

@@ -8,6 +8,42 @@ import graft.operators.{AsOf, Dedup}
 class OperatorsSuite extends SparkSuite {
   import spark.implicits._
 
+  test("deterministic sampling: reproducible, salt-independent draws, exact strata") {
+    import graft.operators.Sampling
+    val df = (0L until 400L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val a = Sampling.bernoulliSample(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulliSample(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(a == b) // same salt -> identical sample
+    // roughly fraction-sized (48-bit uniform; 400 draws, loose bound)
+    assert(a.size > 60 && a.size < 140, a.size)
+    val c = Sampling.bernoulliSample(df, "id", 0.25, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c) // independent draw under a different salt
+    // growing the fraction only ADDS rows (nested samples — the
+    // property hash-thresholding guarantees and rand() cannot)
+    val wider = Sampling.bernoulliSample(df, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+
+    val s = Sampling.stratifiedSample(df, Seq("lang"), "id", 10)
+    val got = s.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == 30) // 10 per stratum, 3 strata
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 10)) }
+    // equals the window formulation exactly (aggregate path == rank path)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Sampling.hash48(col("id"), "graft"), col("id"))
+    val viaWindow = df.withColumn("smp_rank", row_number().over(w).cast("int"))
+      .filter(col("smp_rank") <= 10)
+      .select(col("lang"), col("id"), col("smp_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == viaWindow)
+    // row form: left-semi keeps full rows for exactly the sampled ids
+    val rows = Sampling.stratifiedSampleRows(df, Seq("lang"), "id", 10)
+    assert(rows.collect().map(_.getLong(0)).toSet == got.map(_._2).toSet)
+    assert(rows.columns.toSeq == df.columns.toSeq)
+  }
+
   test("operator caches are tracked, deduped, and released via OpCaches") {
     import graft.core.OpCaches
     OpCaches.release()
