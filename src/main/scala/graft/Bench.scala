@@ -82,12 +82,24 @@ object Bench {
       case (k, Some(v)) if baseline.get(k).exists(_ > 0) =>
         k -> v / baseline(k)
     }
+    // per-query fixed session overhead (planning, job scheduling,
+    // shuffle setup) measured as the fastest query of the run — at
+    // toy scale it dominates sub-second queries, so alongside the raw
+    // ratio we report the overhead-adjusted one: (spark - floor) /
+    // duckdb, i.e. the data-proportional cost the 100 TB target
+    // actually amortizes to (see BASELINE.md caveats, SCALING.md)
+    val floor = results.flatMap(_._2).minOption.getOrElse(0.0)
+    val adjRatios = results.collect {
+      case (k, Some(v)) if baseline.get(k).exists(_ > 0) =>
+        k -> math.max(0.0, v - floor) / baseline(k)
+    }
     val ratioJson =
       if (ratios.isEmpty) ""
       else {
         val rs = ratios.map { case (k, r) => "\"" + k + f"""\":$r%.2f""" }
           .mkString("{", ",", "}")
-        f""","ratios":$rs,"over_2x":${ratios.count(_._2 > 2.0)}"""
+        f""","ratios":$rs,"over_2x":${ratios.count(_._2 > 2.0)}""" +
+          f""","floor":$floor%.3f,"over_2x_adj":${adjRatios.count(_._2 > 2.0)}"""
       }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs$ratioJson,"sf":"$sfDir"}""")
     spark.stop()
