@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{RollingHash, SimHash64}
+import graft.functions.{DotLong, Md5Pair, RollingHash, SimHash64, SimHashMd5, WordShingles}
 
 /** Registers the engine's native SQL functions.
   *
@@ -13,8 +14,9 @@ import graft.functions.{RollingHash, SimHash64}
   *    (the standard extension-jar path), or
   *  - `GraftExtensions.register(spark)` on a live session.
   *
-  * After either, `SELECT rolling_hash(text), simhash64(text) ...`
-  * works from plain SQL.
+  * After either, `SELECT rolling_hash(text), simhash_md5(text),
+  * md5_pair(s), dot_long(a, b), word_shingles(text, 3) ...` works
+  * from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit =
@@ -24,18 +26,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def unary(name: String, f: Expression => Expression)
+  private def fn(name: String, arity: Int)(f: Seq[Expression] => Expression)
       : (String, ExpressionInfo, Seq[Expression] => Expression) =
     (name,
       new ExpressionInfo(classOf[GraftExtensions].getName, name),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 1, s"$name takes exactly one argument")
-        f(exprs.head)
+        require(exprs.length == arity,
+          s"$name takes exactly $arity argument(s), got ${exprs.length}")
+        f(exprs)
       })
 
   private val injected = Seq(
-    unary("rolling_hash", RollingHash(_)),
-    unary("simhash64", SimHash64(_)))
+    fn("rolling_hash", 1)(e => RollingHash(e.head)),
+    fn("simhash64", 1)(e => SimHash64(e.head)),
+    fn("simhash_md5", 1)(e => SimHashMd5(e.head)),
+    fn("md5_pair", 1)(e => Md5Pair(e.head)),
+    fn("dot_long", 2)(e => DotLong(e(0), e(1))),
+    // n must be an integer literal: the shingle width is a plan-time
+    // constant baked into the generated code
+    fn("word_shingles", 2) { e =>
+      val n = e(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"word_shingles(text, n): n must be an INT literal, got $other")
+      }
+      WordShingles(e.head, n)
+    })
 
   /** Registers the functions on an existing session. */
   def register(spark: SparkSession): Unit =
