@@ -69,6 +69,24 @@ class PlanSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("bernoulli sample plans as a shuffle-free scan-filter") {
+    val p = graft.operators.Sampling.bernoulliSample(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("md5pair"), p.take(2000))
+  }
+
+  test("stratified sample does partial top_k aggregation before the shuffle") {
+    val p = graft.operators.Sampling.stratifiedSample(
+      Tables.documents(spark, sf("sf0.001")), Seq("lang"), "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate partial_top_k on the map side: each task
+    // ships at most k (id, hash) pairs per stratum
+    assert(p.contains("partial_top_k") || p.contains("partial_topk") ||
+      "partial.*top_k".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("native dot product and shingle kernel stay inside codegen") {
     import org.apache.spark.sql.functions._
     val p = Tables.embeddings(spark, sf("sf0.001"))
