@@ -106,6 +106,68 @@ class TextDedupSuite extends SparkSuite {
     assert(d == 64)
   }
 
+  test("planted near-duplicates: recall across the whole dedup stack") {
+    // 400 base docs over a 200-word vocabulary + 60 planted near-dups
+    // (one token substituted out of ~40) — a corpus with KNOWN ground
+    // truth, larger and more diverse than the oracle fixtures. Seeded,
+    // so the measured recalls are pinned numbers, not flakes.
+    val rnd = new scala.util.Random(13)
+    val vocab = Array.tabulate(200)(i => s"w$i")
+    def doc(): String =
+      Seq.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = Seq.tabulate(400)(i => (i.toLong, doc()))
+    val planted = (0 until 60).map { j =>
+      val (baseId, text) = bases(rnd.nextInt(bases.length))
+      val toks = text.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      (1000L + j, toks.mkString(" "), baseId)
+    }
+    val docs = (bases ++ planted.map(p => (p._1, p._2))).toDF("doc_id", "text")
+    val truePairs = planted.map(p => (math.min(p._3, p._1), math.max(p._3, p._1))).toSet
+
+    // minhash+LSH: one token of ~40 changed -> jaccard ~0.85; with
+    // 16 hashes / 4 bands the banding theory gives P(candidate) ~
+    // 1-(1-s^4)^4 ~ 0.97 at s=0.85 — require >= 0.9 measured
+    val mh = Dedup.minHashCandidates(docs)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhRecall = truePairs.count(mh.contains).toDouble / truePairs.size
+    assert(mhRecall >= 0.9, s"minhash recall $mhRecall")
+
+    // exact n-gram jaccard at 0.5 must find EVERY planted pair (one
+    // substituted token kills <= 3 of ~38 shingles -> jaccard ~0.85)
+    // and report jaccard >= 0.8 for them
+    val nj = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val njRecall = truePairs.count(nj.contains).toDouble / truePairs.size
+    assert(njRecall == 1.0, s"ngram recall $njRecall")
+    truePairs.foreach(p => assert(nj(p) >= 0.75, s"$p jaccard ${nj(p)}"))
+
+    // simhash at hamming <= 3: banding is exhaustive at this radius,
+    // so every miss is a DISTANCE miss, not a blocking miss. On
+    // 40-token docs a one-token substitution shifts all 64 majority
+    // votes by +/-2, flipping the low-margin bits — measured recall
+    // 0.62 (pinned as a floor): simhash is the coarse/cheap filter of
+    // the stack, minhash/ngram the sensitive ones. (Real corpora with
+    // longer docs have larger vote margins and higher recall.)
+    val sh = Dedup.simHashPairs(docs, maxHamming = 3,
+      signature = HashFunctions.simhash_md5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shRecall = truePairs.count(sh.contains).toDouble / truePairs.size
+    assert(shRecall >= 0.55, s"simhash recall $shRecall")
+
+    // precision guard: every reported pair must be a planted pair or
+    // a SIBLING pair (two near-dups of the same base are near-dups of
+    // each other) — independent 40-token docs over 200 words must not
+    // collide
+    val siblings = planted.groupBy(_._3).values.flatMap { g =>
+      for (a <- g; b <- g if a._1 < b._1) yield (a._1, b._1)
+    }.toSet
+    val unexpected = nj.keySet -- truePairs -- siblings
+    assert(unexpected.isEmpty, unexpected.take(5))
+  }
+
   test("exactClusters / dedupExact") {
     val docs = textDf(0L -> "same text", 1L -> "same text", 2L -> "other", 3L -> "same text")
     val clusters = Dedup.exactClusters(docs).orderBy("doc_id")
