@@ -206,7 +206,12 @@ object Similarity {
       centroids: Option[DataFrame] = None): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
-    val cent = centroids.getOrElse(centroidSample(cp, numCentroids, idCol))
+    // numCentroids <= 0 scales the index with the corpus (cells stay
+    // ~targetCell-sized; scale nprobe with it to hold recall)
+    val cent = centroids.getOrElse {
+      val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
+      centroidSample(cp, c, idCol)
+    }
     val assign = nearestCentroids(cp, cent, 1, idCol)
     val probes = nearestCentroids(prepared(queries, embCol, idCol), cent, nprobe, idCol)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
