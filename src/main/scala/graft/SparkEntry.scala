@@ -228,6 +228,16 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Quality curation: keep the top 25% of documents per language by
+    // quality score — deterministic rank cut (score desc, doc_id asc;
+    // exact ceil(0.25 * n) per stratum)
+    "quality_topp" -> ((s, dir) =>
+      graft.operators.Curation.topFraction(
+        Tables.documents(s, dir),
+        TextFunctions.qualityScore(col("text")), Seq("lang"), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // Deterministic Bernoulli sampling: content-hash acceptance, no
     // shuffle, reproducible across engines/partitionings/retries
     // (rand(seed) never is) — exact-integer 48-bit threshold compare
@@ -667,6 +677,27 @@ object SparkEntry {
          |       - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / length(text) END)
          |       + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // mirrors Curation.topFraction over TextFunctions.qualityScore:
+    // same quality expression as the quality_score oracle, ranked
+    // (quality DESC, doc_id) per lang, exact ceil(n * 0.25) cut
+    "quality_topp" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |             $NTokensExpr AS n_tok,
+         |             len(list_filter($TokensExpr, x -> x IN (${inList(sw("en"))}))) AS en_hits,
+         |             $NPunctExpr AS n_punct
+         |           FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |        (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(en_hits AS DOUBLE) / n_tok END)
+         |        - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / length(text) END)
+         |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS quality
+         |      FROM t),
+         |rk AS (SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS r,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |       FROM q)
+         |SELECT doc_id, lang FROM rk WHERE r <= ceil(n * 0.25)
+         |ORDER BY doc_id""".stripMargin,
 
     // mirrors Sampling.hash48/threshold48: 48-bit md5 prefix of
     // "doc_id:graft", exact integer threshold = 0.25 * 2^48

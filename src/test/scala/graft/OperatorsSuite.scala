@@ -8,6 +8,56 @@ import graft.operators.{AsOf, Dedup}
 class OperatorsSuite extends SparkSuite {
   import spark.implicits._
 
+  test("topFraction keeps exactly ceil(f * n) best rows per stratum") {
+    import graft.operators.Curation
+    // strata of size 7 and 4: ceil(0.25 * 7) = 2, ceil(0.25 * 4) = 1
+    val df = (Seq.tabulate(7)(i => (i.toLong, "a", i * 10.0)) ++
+      Seq.tabulate(4)(i => (100L + i, "b", 5.0))) // all-tied scores
+      .toDF("id", "grp", "score")
+    val kept = Curation.topFraction(df, col("score"), Seq("grp"), "id", 0.25)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // stratum a: two highest scores (ids 6, 5); stratum b: tie broken
+    // by lowest id (100)
+    assert(kept == Set(("a", 6L), ("a", 5L), ("b", 100L)), kept)
+    assert(Curation.topFraction(df, col("score"), Seq("grp"), "id", 1.0)
+      .count() == df.count())
+    // original schema passes through untouched
+    assert(Curation.topFraction(df, col("score"), Seq("grp"), "id", 0.5)
+      .columns.toSeq == df.columns.toSeq)
+  }
+
+  test("planted embedding near-dups: default ivf knobs hit recall >= 0.9, exact precision") {
+    import graft.operators.Similarity
+    // 500 random 32-dim vectors + 60 planted near-dups (base + small
+    // noise): known truth at cosine >= 0.9, seeded
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(500)(i => (i.toLong, vec().toSeq))
+    val planted = (0 until 60).map { j =>
+      val (bid, v) = base(rnd.nextInt(base.length))
+      (1000L + j, v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val got = Similarity.ivfNearDupPairs(corpus, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact truth by brute force on the quantized vectors
+    val p = Similarity.prepared(corpus, "embedding", "vec_id")
+    val truth = p.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+      .join(p.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosineQ(Similarity.dotQ(col("va"), col("vb")),
+        col("na2"), col("nb2")) >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 55, s"planting failed: ${truth.size}")
+    // blocking misses only lose recall; the exact verify means NO
+    // false positives ever
+    assert(got.subsetOf(truth), (got -- truth).take(3))
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"ivf near-dup recall $recall")
+  }
+
   test("deterministic sampling: reproducible, salt-independent draws, exact strata") {
     import graft.operators.Sampling
     val df = (0L until 400L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
