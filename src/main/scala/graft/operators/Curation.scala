@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   * id asc), so ties cut identically in any engine at any parallelism,
   * and the kept count is an exact `ceil(fraction * n)` per stratum.
   *
-  * Scale shape: one shuffle on the stratum key; rank and stratum size
-  * come from the same window partition (no second pass). For heavily
-  * skewed strata the rank window ships the stratum's full rows to one
-  * partition — if that bites, pre-aggregate a per-stratum count and
-  * use [[Sampling.stratifiedSample]]-style bounded top-k with
-  * k = ceil(fraction * n) instead.
+  * Scale shape: [[topFraction]] is one shuffle on the stratum key,
+  * with rank and stratum size from the same window partition — but
+  * the window ships each stratum's FULL rows to one partition, which
+  * a heavily skewed stratum turns into a straggler.
+  * [[topFractionBounded]] is the skew-safe form: per-stratum counts
+  * first (map-side combine), then the bounded top-k aggregate with
+  * k = max over strata — each map task ships at most k (score, id)
+  * pairs per stratum, wide rows never shuffle, and the final
+  * per-stratum cut trims to each stratum's own ceil(fraction * n).
+  * Both forms produce identical rows (unit-pinned).
   */
 object Curation {
 
@@ -37,5 +41,36 @@ object Curation {
     ranked
       .filter(col("__rank") <= ceil(col("__n") * fraction))
       .drop("__score", "__rank", "__n")
+  }
+
+  /** Skew-safe [[topFraction]]: bounded top-k aggregation instead of
+    * a full-stratum window. Requires a long-typed `idCol` (the top-k
+    * heap's id slot). Two narrow shuffles (counts + heaps) plus a
+    * semi-join of the winners back to the full rows; at most
+    * max-stratum-k (score, id) pairs per stratum per map task cross
+    * the wire.
+    *
+    * Score note: the heap orders (score desc, id asc) on the DOUBLE
+    * value of `scoreCol` — exact for integer scores up to 2^53 and
+    * for genuinely-double scores; don't feed wider integers.
+    */
+  def topFractionBounded(df: DataFrame, scoreCol: Column,
+      strataCols: Seq[String], idCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction $fraction not in (0,1]")
+    val strata = strataCols.map(col)
+    val narrow = df.select(
+      strata :+ scoreCol.cast("double").as("__score") :+ col(idCol): _*)
+    val counts = narrow.groupBy(strata: _*)
+      .agg(ceil(count(lit(1)) * fraction).cast("int").as("__k"))
+    val maxK = counts.agg(max(col("__k"))).head().getInt(0)
+    val kept = narrow
+      .groupBy(strata: _*)
+      .agg(graft.functions.TopKFunctions
+        .top_k(col("__score"), col(idCol), maxK).as("__top"))
+      .join(counts, strataCols)
+      .select(strata :+ posexplode(col("__top")) :+ col("__k"): _*)
+      .filter(col("pos") < col("__k"))
+      .select(col("col.id").as(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
   }
 }

@@ -24,6 +24,16 @@ class OperatorsSuite extends SparkSuite {
     // original schema passes through untouched
     assert(Curation.topFraction(df, col("score"), Seq("grp"), "id", 0.5)
       .columns.toSeq == df.columns.toSeq)
+    // the skew-safe bounded form returns exactly the same rows (incl.
+    // the all-tied stratum, where the heap's id-asc tiebreak must
+    // match the window's)
+    for (f <- Seq(0.25, 0.5, 1.0)) {
+      val win = Curation.topFraction(df, col("score"), Seq("grp"), "id", f)
+        .collect().map(_.toSeq).toSet
+      val bounded = Curation.topFractionBounded(df, col("score"), Seq("grp"), "id", f)
+        .collect().map(_.toSeq).toSet
+      assert(win == bounded, s"f=$f: $win != $bounded")
+    }
   }
 
   test("planted embedding near-dups: default ivf knobs hit recall >= 0.9, exact precision") {
