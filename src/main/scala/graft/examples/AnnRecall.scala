@@ -108,6 +108,27 @@ object AnnRecall {
       println(f"clustered C=64 nprobe=$p recall@5 sample=${sampleHits.toDouble / exactCN}%.3f " +
         f"kmeans=${kmHits.toDouble / exactCN}%.3f")
     }
+
+    // near-dup on the clustered corpus: sample vs k-means quantizer
+    val truthC = cp2.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+      .join(cp2.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosineQ(Similarity.dotQ(col("va"), col("vb")),
+        col("na2"), col("nb2")) >= 0.9)
+      .select("id_a", "id_b").cache()
+    val nTruthC = truthC.count()
+    println(s"clustered_exact_pairs_ge_0.9=$nTruthC")
+    val kmAuto = graft.operators.KMeans.kmeansCentroids(
+      cp2, Similarity.autoCentroids(2000)).cache()
+    kmAuto.count()
+    for ((label, cent) <- Seq(
+        ("sample", None), ("kmeans", Some(kmAuto))
+      ): Seq[(String, Option[org.apache.spark.sql.DataFrame])]) {
+      val got = Similarity.ivfNearDupPairs(clustered, threshold = 0.9,
+        centroids = cent).select("id_a", "id_b")
+      val hits = truthC.intersect(got).count()
+      println(f"clustered_neardup A=16 M=2 $label recall=${hits.toDouble / nTruthC}%.3f")
+    }
     spark.stop()
   }
 }
