@@ -328,13 +328,19 @@ object SparkEntry {
           greatest(col("l_tax"), col("l_discount")).as("max_rate"))
         .orderBy("l_orderkey", "l_linenumber")),
 
-    // JSON extraction from the events props column
-    "json_extract" -> ((s, dir) =>
+    // JSON extraction from the events props column — ONE parse per
+    // row: identical from_json subtrees unify under codegen
+    // subexpression elimination, and the int view is a cast of the
+    // parsed string (two get_json_object calls tokenize twice)
+    "json_extract" -> ((s, dir) => {
+      val parsed = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
       Tables.events(s, dir)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").as("k_str"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_int"))
-        .orderBy("event_id")),
+          parsed.getField("k").as("k_str"),
+          parsed.getField("k").cast("int").as("k_int"))
+        .orderBy("event_id")
+    }),
 
     // Exact interpolated percentiles (median, p90) per group
     "percentiles" -> ((s, dir) =>
