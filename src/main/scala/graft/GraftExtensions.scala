@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotLong, Md5Pair, RollingHash, SimHash64, SimHashMd5, WordShingles}
+import graft.functions.{DotLong, LangId, Md5Pair, QualityScore, RollingHash, SimHash64, SimHashMd5, TextProfile, WordShingles}
 
 /** Registers the engine's native SQL functions.
   *
@@ -42,6 +42,9 @@ object GraftExtensions {
     fn("simhash_md5", 1)(e => SimHashMd5(e.head)),
     fn("md5_pair", 1)(e => Md5Pair(e.head)),
     fn("dot_long", 2)(e => DotLong(e(0), e(1))),
+    fn("text_profile", 1)(e => TextProfile(e.head)),
+    fn("lang_id", 1)(e => LangId(e.head)),
+    fn("quality_score", 1)(e => QualityScore(e.head)),
     // n must be an integer literal: the shingle width is a plan-time
     // constant baked into the generated code
     fn("word_shingles", 2) { e =>

@@ -37,17 +37,37 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "les", "est", "et", "un"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
 
-  /** Per-language stopword hit count over whitespace tokens. */
+  /** Per-language stopword hit count over whitespace tokens
+    * (declarative; each call embeds its own tokenize — fine standalone,
+    * the multi-language compositions use [[TextProfileKernel]]).
+    */
   def stopwordHits(c: Column, lang: String): Column = {
     val words = stopwords.toMap.apply(lang)
     size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))
   }
 
+  /** Single-pass text profile: [n_tokens, en, es, fr, de, n_punct,
+    * n_chars] in one native byte walk (see [[TextProfileKernel]]).
+    */
+  def textProfile(c: Column): Column = TextProfileFunctions.text_profile(c)
+
   /** N-gram-heuristic language ID: argmax of per-language stopword
     * hits (ties broken in fixed en > es > fr > de order); "und"
-    * (undetermined) when no list scores a hit.
+    * (undetermined) when no list scores a hit. Native one-byte-walk
+    * kernel: the declarative form embedded one CodegenFallback
+    * tokenize per stopword list — 24 `split(` subtrees in the physical
+    * plan — because HOF filters block codegen subexpression
+    * elimination. [[langIdDeclarative]] is the semantic reference it
+    * is property-pinned against (null input: kernel yields null, the
+    * declarative CASE yields "und" — registered inputs are non-null).
     */
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column = TextProfileFunctions.lang_id(c)
+
+  /** The declarative language-ID formulation (slow: one tokenize per
+    * stopword list) — retained as the semantic reference for the
+    * kernel's ScalaCheck equivalence property.
+    */
+  def langIdDeclarative(c: Column): Column = {
     val scores = stopwords.map { case (lang, _) => lang -> stopwordHits(c, lang) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
@@ -58,8 +78,16 @@ object TextFunctions {
   /** Heuristic document quality score in ~[-1, 2]: rewards stopword
     * density and length, penalizes punctuation density. All terms are
     * ratios of exact integer counts — bit-identical in any engine.
+    * Native kernel (one byte walk, identical double-op order);
+    * [[qualityScoreDeclarative]] is the pinned semantic reference.
     */
-  def qualityScore(c: Column): Column = {
+  def qualityScore(c: Column): Column = TextProfileFunctions.quality_score(c)
+
+  /** The declarative quality-score formulation (slow: re-tokenizes per
+    * term) — retained as the semantic reference for the kernel's
+    * ScalaCheck equivalence property.
+    */
+  def qualityScoreDeclarative(c: Column): Column = {
     val nTok = tokenCount(c)
     val stopRatio = when(nTok === 0, lit(0.0))
       .otherwise(stopwordHits(c, "en").cast("double") / nTok)

@@ -101,6 +101,21 @@ class PlanSuite extends SparkSuite {
     assert(p2.contains("*(") && p2.contains("wordshingles"), p2.take(2000))
   }
 
+  test("lang_id and quality_score plans carry zero regex tokenizations") {
+    // the declarative forms embedded one CodegenFallback split per
+    // stopword list (24 split( subtrees probe-measured in the lang_id
+    // physical plan); the native kernel removes the tokenize from the
+    // plan entirely — one byte walk per row inside codegen
+    for (q <- Seq("lang_id", "quality_score")) {
+      val p = plan(q)
+      val splits = "split\\(".r.findAllIn(p).size
+      assert(splits == 0, s"$q plan still tokenizes ($splits split( subtrees):\n${p.take(2000)}")
+      assert(!p.contains("regexp"), s"$q plan still carries a regex:\n${p.take(2000)}")
+    }
+    val p = plan("lang_id")
+    assert(p.contains("langid"), p.take(2000))
+  }
+
   test("native hash expressions stay inside codegen (no fallback)") {
     import graft.functions.HashFunctions._
     import org.apache.spark.sql.functions._

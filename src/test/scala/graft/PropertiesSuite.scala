@@ -89,6 +89,41 @@ class PropertiesSuite extends SparkSuite {
     }
   }
 
+  test("text-profile kernel: langId/qualityScore/counts equal the declarative forms (randomized)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.{TextFunctions, TextProfileFunctions}
+    // pieces: stopwords of every language (tie + argmax paths), near-miss
+    // words, punctuation, digits, multi-byte UTF-8, every \s separator,
+    // leading/trailing runs, blanks
+    val piece = Gen.oneOf(
+      "the", "of", "la", "de", "le", "und", "der", "est", "en", "y",
+      "thee", "d", "xyz", "a1!", "Ω≈…", "...", "?!", "42", "",
+      " ", "  ", "\t", "\n", "\f", "\r", "", "\r\n")
+    val genText = Gen.choose(0, 16).flatMap(k =>
+      Gen.listOfN(k, piece).map(_.mkString(" ")))
+    val params = Gen.Parameters.default
+    val texts = (0 until 500).flatMap(i => genText.apply(params, Seed(77L + i))) ++
+      Seq("", " ", "\t", "the the the", "el la de", "le est un", "der die das")
+    val df = texts.toDF("text")
+    val diff = df.select(col("text"),
+        TextFunctions.langId(col("text")).as("k_lang"),
+        TextFunctions.langIdDeclarative(col("text")).as("d_lang"),
+        TextFunctions.qualityScore(col("text")).as("k_q"),
+        TextFunctions.qualityScoreDeclarative(col("text")).as("d_q"),
+        element_at(TextProfileFunctions.text_profile(col("text")), 1).as("k_ntok"),
+        TextFunctions.tokenCount(col("text")).as("d_ntok"),
+        element_at(TextProfileFunctions.text_profile(col("text")), 6).as("k_punct"),
+        TextFunctions.punctCount(col("text")).as("d_punct"))
+      .filter(not(col("k_lang") === col("d_lang") &&
+        col("k_q") === col("d_q") &&
+        col("k_ntok") === col("d_ntok") &&
+        col("k_punct") === col("d_punct")))
+      .collect()
+    assert(diff.isEmpty,
+      s"kernel != declarative for: ${diff.take(5).mkString("; ")}")
+  }
+
   test("randomized evaluate == evaluateStepwise (mixed k, buckets, " +
       "rank >= numSteps, string ids, sort=true)") {
     import org.scalacheck.Gen
