@@ -260,6 +260,24 @@ object SparkEntry {
       Dedup.minHashCandidates(Tables.documents(s, dir))
         .orderBy("id_a", "id_b")),
 
+    // Near-dup cluster resolution: transitive closure of the minhash
+    // candidate pairs (min-label propagation with pointer doubling,
+    // O(log) rounds of (id, label)-wide joins) -> every document
+    // mapped to its component minimum; is_survivor marks the one doc
+    // a curation pipeline keeps per component. Per-pair drops are NOT
+    // transitive — pairs (1,3),(2,3) would keep both 1 and 2.
+    "neardup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comp = graft.operators.Components.connectedComponents(
+        Dedup.minHashCandidates(docs))
+      docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("component"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id"))
+            .cast("int").as("is_survivor"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dedup, exact verification path: n-gram Jaccard on pairs
     // sharing a shingle, WITH the stop-shingle df cap engaged — hot
     // shingles contribute df^2 join rows, the precise 100 TB blowup,
@@ -427,16 +445,30 @@ object SparkEntry {
     }),
 
     // Embedding near-duplicate pairs at scale: IVF multi-assignment
-    // blocking — corpus-scaled centroid count (autoCentroids: one per
-    // 16 vectors), each vector in its 16 nearest cells, and pairs must
-    // share >= 2 cells before the exact-cosine verify. The 2-cell vote
-    // is the cost knob: random near-uniform pairs rarely agree on 2+
-    // nearest centroids while cosine>=0.3 pairs rank centroids almost
-    // identically — measured recall 0.969 at sf0.1 (SCALING.md).
+    // blocking — corpus-scaled centroid count (autoCentroids:
+    // C = ceil(sqrt(16n)), the growth law that keeps BOTH the
+    // assignment (nC = n^1.5) and the per-cell candidate bound
+    // (n^2/C = n^1.5) subquadratic), each vector in its 16 nearest
+    // cells, and pairs must share >= 2 cells before the exact-cosine
+    // verify. The 2-cell vote is the cost knob: random near-uniform
+    // pairs rarely agree on 2+ nearest centroids while cosine>=0.3
+    // pairs rank centroids almost identically (recall in SCALING.md).
     "embedding_neardup_pairs" -> ((s, dir) =>
       Similarity.ivfNearDupPairs(Tables.embeddings(s, dir), threshold = 0.3,
         assignments = 16, minSharedCells = 2)
         .orderBy("id_a", "id_b")),
+
+    // ANN very-large-C path: two-level (coarse-then-fine) assignment —
+    // vectors rank 8 super-centroids, then score only their 2 nearest
+    // super-cells' centroids (~2 sqrt(C) dots per vector instead of
+    // C). The oracle replays both levels with the same
+    // (cosine DESC, id) tiebreaks.
+    "ann_ivf_twolevel" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), 5,
+        numCentroids = 64, nprobe = 8, superCells = 8, superProbes = 2)
+        .orderBy("query_id", "rank")
+    }),
 
     // Sessionization (relational form): 30-min-gap user sessions via
     // lag + cumulative-sum windows; exact-cents totals
@@ -535,7 +567,14 @@ object SparkEntry {
   private def centCte(limitSql: String): String =
     s"""cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM qn
        |         QUALIFY row_number() OVER (ORDER BY vec_id) <= $limitSql)""".stripMargin
-  private val AutoCentroidsSql = "greatest(16, ((SELECT count(*) FROM qn) + 15) // 16)"
+  // mirrors Similarity.autoCentroids: C = ceil(sqrt(n * targetCell)),
+  // floor 16 — sqrt/ceil are IEEE-exact so both engines agree
+  private val AutoCentroidsSql =
+    "greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM qn) * 16.0)) AS BIGINT))"
+
+  private def cosSql(va: String, vb: String, na: String, nb: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> $va[i] * $vb[i]))" +
+      s" / sqrt(CAST($na * $nb AS DOUBLE))"
 
   private def ivfRanked(where: String): String =
     s"""(SELECT q.vec_id, q.v, q.n2, c.cent_id,
@@ -543,6 +582,62 @@ object SparkEntry {
        |          list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.cv[i]))
        |            / sqrt(CAST(q.n2 * c.cn2 AS DOUBLE)) DESC, c.cent_id) AS rk
        | FROM qn q CROSS JOIN cent c$where)""".stripMargin
+
+  // the minhash signature/banding/candidate pipeline as reusable CTEs
+  // (shared by the pair query and the cluster-resolution query)
+  private val MinhashPairsCtes =
+    s"""$ShinglesCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |         list_transform(sg, s -> {'h1': ('0x' || substr(md5(s), 1, 12))::BIGINT,
+       |                                  'h2': ('0x' || substr(md5(s), 13, 12))::BIGINT}) AS hp
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 15),
+       |           i -> list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+       |  FROM hs),
+       |banded AS (
+       |  SELECT doc_id, sig, b AS band_idx,
+       |         md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
+       |             sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS band_key
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM banded a
+       |  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |               AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Unrolled-CTE depth of the neardup_clusters oracle (Spark iterates
+    * to convergence; extra SQL rounds past the fixpoint are no-ops).
+    */
+  private val CcOracleRounds = 5
+
+  /** One propagate+jump min-label round per CTE pair, mirroring
+    * Components.runRounds exactly: p_i = min over the closed
+    * neighborhood of l_{i-1}; l_i = least(p_i.label, p_i[label].label).
+    * Every CTE is MATERIALIZED: each round references its predecessor
+    * twice (closed neighborhood + self-join), so inlined CTEs would
+    * re-expand the whole chain 2^k times — the SQL twin of the
+    * iterative-lineage blowup localCheckpoint prevents on the Spark
+    * side.
+    */
+  private def ccRoundsSql(k: Int): String = {
+    val base = Seq(
+      """edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs)""".stripMargin,
+      """l0 AS MATERIALIZED (SELECT id, id AS label FROM
+        |        (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs))""".stripMargin)
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT id, min(label) AS label FROM (
+         |  SELECT id, label FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT e.src AS id, l.label FROM edges e JOIN l${i - 1} l ON e.dst = l.id) GROUP BY id),
+         |l$i AS MATERIALIZED (SELECT a.id, least(a.label, b.label) AS label
+         |        FROM p$i a JOIN p$i b ON a.label = b.id)""".stripMargin
+    }
+    (base ++ rounds).mkString(",\n")
+  }
 
   /** Oracle for the greedy bucket resolution: the per-query greedy
     * walk (reference: dataproc/selectivesearch.py:160-181) visits
@@ -613,6 +708,51 @@ object SparkEntry {
          |  SELECT p.query_id, a.vec_id,
          |         list_sum(list_transform(generate_series(1, 64), i -> p.qv[i] * a.v[i]))
          |           / sqrt(CAST(p.qn2 * a.n2 AS DOUBLE)) AS cosine
+         |  FROM assign a JOIN probes p USING (cent_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |rk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+         |        FROM scored)
+         |SELECT query_id, vec_id, cosine, rank FROM rk2 WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.nearestCentroidsTwoLevel with C=64, S=8
+    // supers (lowest-cent_id), P=2 probed super-cells, nprobe=8, k=5:
+    // level 1 ranks supers per vector, level 2 ranks only the probed
+    // super-cells' centroids — same (cos DESC, id ASC) tiebreaks as
+    // the flat path
+    "ann_ivf_twolevel" ->
+      s"""WITH $QuantCte,
+         |${centCte("64")},
+         |sup AS (SELECT cent_id AS sup_id, cv AS sv, cn2 AS sn2 FROM cent
+         |        QUALIFY row_number() OVER (ORDER BY cent_id) <= 8),
+         |centsup AS (
+         |  SELECT cent_id, cv, cn2, sup_id FROM (
+         |    SELECT c.cent_id, c.cv, c.cn2, s.sup_id,
+         |           row_number() OVER (PARTITION BY c.cent_id ORDER BY
+         |             ${cosSql("c.cv", "s.sv", "c.cn2", "s.sn2")} DESC, s.sup_id) AS rk
+         |    FROM cent c CROSS JOIN sup s) WHERE rk = 1),
+         |vecsup AS (
+         |  SELECT vec_id, v, n2, sup_id FROM (
+         |    SELECT q.vec_id, q.v, q.n2, s.sup_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             ${cosSql("q.v", "s.sv", "q.n2", "s.sn2")} DESC, s.sup_id) AS rk
+         |    FROM qn q CROSS JOIN sup s) WHERE rk <= 2),
+         |assign AS (
+         |  SELECT vec_id, v, n2, cent_id FROM (
+         |    SELECT vs.vec_id, vs.v, vs.n2, cs.cent_id,
+         |           row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+         |             ${cosSql("vs.v", "cs.cv", "vs.n2", "cs.cn2")} DESC, cs.cent_id) AS rk
+         |    FROM vecsup vs JOIN centsup cs USING (sup_id)) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cent_id FROM (
+         |    SELECT vs.vec_id, vs.v, vs.n2, cs.cent_id,
+         |           row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+         |             ${cosSql("vs.v", "cs.cv", "vs.n2", "cs.cn2")} DESC, cs.cent_id) AS rk
+         |    FROM vecsup vs JOIN centsup cs USING (sup_id)
+         |    WHERE vs.vec_id < 8) WHERE rk <= 8),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${cosSql("p.qv", "a.v", "p.qn2", "a.n2")} AS cosine
          |  FROM assign a JOIN probes p USING (cent_id)
          |  WHERE a.vec_id <> p.query_id),
          |rk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
@@ -724,30 +864,25 @@ object SparkEntry {
          |ORDER BY lang, smp_rank""".stripMargin,
 
     "minhash_lsh_pairs" ->
-      s"""WITH $ShinglesCte,
-         |hs AS (
-         |  SELECT doc_id,
-         |         list_transform(sg, s -> {'h1': ('0x' || substr(md5(s), 1, 12))::BIGINT,
-         |                                  'h2': ('0x' || substr(md5(s), 13, 12))::BIGINT}) AS hp
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id,
-         |         list_transform(generate_series(0, 15),
-         |           i -> list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
-         |  FROM hs),
-         |banded AS (
-         |  SELECT doc_id, sig, b AS band_idx,
-         |         md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
-         |             sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS band_key
-         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-         |  FROM banded a
-         |  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |               AND a.doc_id < b.doc_id)
+      s"""WITH $MinhashPairsCtes
          |SELECT id_a, id_b,
          |       CAST(len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors Components.connectedComponents over the minhash
+    // candidate pairs: the propagate+jump rounds unroll into chained
+    // CTEs (the c8OracleSql technique). The Spark side iterates to
+    // convergence; ComponentsSuite asserts it converges within
+    // CcOracleRounds - 1 rounds on this data, and post-convergence
+    // rounds are no-ops, so fixed-depth SQL == fixpoint Spark.
+    "neardup_clusters" ->
+      s"""WITH $MinhashPairsCtes,
+         |${ccRoundsSql(CcOracleRounds)}
+         |SELECT d.doc_id,
+         |       coalesce(l.label, d.doc_id) AS component,
+         |       CAST(coalesce(l.label, d.doc_id) = d.doc_id AS INT) AS is_survivor
+         |FROM documents d LEFT JOIN l$CcOracleRounds l ON d.doc_id = l.id
+         |ORDER BY doc_id""".stripMargin,
 
     // mirrors Dedup.ngramJaccardPairs(maxDocFreq = Some(5)): shingles
     // with document frequency > 5 are dropped BEFORE pair generation,

@@ -46,6 +46,18 @@ object AnnRecall {
         f"scan_frac=${p.toDouble / c}%.3f")
     }
 
+    // two-level assignment: S supers, P probed super-cells — recall
+    // cost of the ~2 sqrt(C) per-vector assignment vs flat C dots
+    for ((s2, p2) <- Seq((8, 1), (8, 2), (8, 4))) {
+      graft.core.OpCaches.release(); spark.catalog.clearCache(); exact.cache(); exact.count()
+      val approx = Similarity.ivfTopK(e, queries, 5, numCentroids = 64,
+        nprobe = 40, superCells = s2, superProbes = p2)
+        .select("query_id", "vec_id")
+      val hits = exact.intersect(approx).count()
+      println(f"ivf_topk_twolevel C=64 nprobe=40 S=$s2 P=$p2 " +
+        f"recall@5=${hits.toDouble / exactN}%.3f")
+    }
+
     // near-dup pair recall: truth = exact all-pairs at the threshold
     val prep = Similarity.prepared(e, "embedding", "vec_id")
       .persist()
@@ -59,20 +71,25 @@ object AnnRecall {
       .select("id_a", "id_b").cache()
     val nTruth = truth.count()
     println(s"exact_pairs_ge_0.3=$nTruth")
-    // C = 0 means autoCentroids(n); minShared is the >=k-shared-cells
-    // candidate vote. clearCache between iterations: each call holds
-    // its own MEMORY_AND_DISK projection otherwise.
-    for ((c, a, m) <- Seq((64, 8, 1), (0, 8, 1), (0, 8, 2), (0, 12, 2),
-        (0, 16, 2), (0, 12, 3), (0, 16, 3))) {
+    // C = 0 means autoCentroids(n) (sqrt growth law); minShared is the
+    // >=k-shared-cells candidate vote; S > 0 switches to two-level
+    // assignment with S supers / 2 probed super-cells. clearCache
+    // between iterations: each call holds its own MEMORY_AND_DISK
+    // projection otherwise.
+    val sAuto = math.ceil(math.sqrt(
+      Similarity.autoCentroids(nCorpus).toDouble)).toInt
+    for ((c, a, m, s2) <- Seq((64, 8, 1, 0), (0, 8, 2, 0), (0, 12, 2, 0),
+        (0, 16, 2, 0), (0, 16, 3, 0), (0, 16, 2, sAuto))) {
       graft.core.OpCaches.release(); spark.catalog.clearCache(); truth.cache(); truth.count()
       val t0 = System.nanoTime()
       val got = Similarity.ivfNearDupPairs(e, threshold = 0.3,
-        numCentroids = c, assignments = a, minSharedCells = m)
+        numCentroids = c, assignments = a, minSharedCells = m,
+        superCells = s2, superProbes = 2)
         .select("id_a", "id_b").cache()
       val nGot = got.count()
       val secs = (System.nanoTime() - t0) / 1e9
       val hits = truth.intersect(got).count()
-      println(f"ivf_neardup C=$c A=$a M=$m recall=${hits.toDouble / nTruth}%.3f " +
+      println(f"ivf_neardup C=$c A=$a M=$m S=$s2 recall=${hits.toDouble / nTruth}%.3f " +
         f"pairs=$nGot time=$secs%.2fs")
     }
 

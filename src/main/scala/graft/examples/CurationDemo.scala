@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.core.OpCaches
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, Sampling}
+import graft.operators.{Components, Curation, Dedup, Sampling}
 
 /** End-to-end training-data curation pipeline — the composition the
   * individual operators exist for:
@@ -14,7 +14,8 @@ import graft.operators.{Curation, Dedup, Sampling}
   *   documents
   *     -> exact dedup            (content-hash clusters, keep min id)
   *     -> near-dup removal       (minhash+LSH candidates, est_jaccard
-  *                                >= 0.9, drop the higher id per pair)
+  *                                >= 0.9, transitive components, keep
+  *                                the component-minimum id)
   *     -> quality filter         (top 75% per language by score)
   *     -> stratified sample      (100 docs per language, hash-ranked)
   *     -> parquet sink
@@ -44,10 +45,14 @@ object CurationDemo {
     val n1 = exact.count()
 
     // 2. near-dup removal: minhash+LSH candidates at est_jaccard >=
-    // 0.9; keep the lower id of each surviving pair (drop the higher)
-    val dupIds = Dedup.minHashCandidates(exact)
+    // 0.9, resolved to TRANSITIVE components (per-pair higher-id drops
+    // over-keep: pairs (1,3),(2,3) would keep both 1 and 2); the
+    // component-minimum id survives
+    val pairs = Dedup.minHashCandidates(exact)
       .filter(col("est_jaccard") >= 0.9)
-      .select(col("id_b").as("doc_id")).distinct()
+    val dupIds = Components.connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
     val nearDeduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
     val n2 = nearDeduped.count()
 

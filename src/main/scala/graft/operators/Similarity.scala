@@ -166,13 +166,18 @@ object Similarity {
     * columns carried through: (idCol, v, n2, cent_id) with `take`
     * rows per input vector.
     *
-    * Shape: broadcast the tiny centroid table, score every
+    * Shape: broadcast the centroid table, score every
     * (vector, centroid) in-task, keep the top `take` with the bounded
     * [[graft.functions.TopKAggregate]] — partial aggregation collapses
     * each vector's |centroids| scored rows to ONE k-heap row before
     * the shuffle, so the exchange ships one row per vector (the
     * index-build shuffle; at query time nothing larger than the probe
     * list moves).
+    *
+    * Assignment cost is n x C dot products; with the
+    * [[autoCentroids]] law C = sqrt(n x targetCell) that is
+    * ~n^1.5 x sqrt(targetCell) total — already scale-safe. For very
+    * large C, [[nearestCentroidsTwoLevel]] cuts it to ~n x sqrt(C).
     */
   private def nearestCentroids(p: DataFrame, cent: DataFrame, take: Int,
       idCol: String): DataFrame =
@@ -183,6 +188,56 @@ object Similarity {
       .agg(graft.functions.TopKFunctions.top_k(col("ccos"), col("cent_id"), take).as("top"))
       .select(col(idCol), col("v"), col("n2"),
         explode(col("top").getField("id")).as("cent_id"))
+
+  /** Two-level (coarse-then-fine) nearest-centroid assignment: the
+    * `numSuper` lowest-id centroids act as super-centroids; each
+    * centroid lives in its nearest super-cell; a vector first ranks
+    * the supers (n x S dots), then scores ONLY the centroids of its
+    * `superProbes` nearest super-cells (expected superProbes x C/S
+    * each). Per-vector work falls from C to S + superProbes x C/S —
+    * minimized at S ~ sqrt(superProbes x C), i.e. ~2 sqrt(C) dots —
+    * while everything stays relational: two broadcast joins and two
+    * bounded top-k aggregations, one shuffled row per vector.
+    *
+    * Approximation: a vector near a super-cell boundary can miss its
+    * true nearest centroid when that centroid's super-cell is not
+    * probed; `superProbes` = 2-4 recovers almost all of it (recall
+    * measured in SCALING.md via [[graft.examples.AnnRecall]]).
+    * Same (idCol, v, n2, cent_id) output contract as
+    * [[nearestCentroids]], so it swaps into both IVF operators.
+    */
+  def nearestCentroidsTwoLevel(p: DataFrame, cent: DataFrame, take: Int,
+      idCol: String, numSuper: Int, superProbes: Int = 2): DataFrame = {
+    val sup = cent.orderBy(col("cent_id")).limit(numSuper)
+      .select(col("cent_id").as("sup_id"), col("cv").as("sv"),
+        col("cn2").as("sn2"))
+    // centroid -> its one super-cell (C x S dots, index-build only)
+    val centInSup = cent.join(broadcast(sup))
+      .select(col("cent_id"), col("cv"), col("cn2"),
+        col("sup_id"),
+        cosineQ(dotQ(col("cv"), col("sv")), col("cn2"), col("sn2")).as("scos"))
+      .groupBy(col("cent_id"), col("cv"), col("cn2"))
+      .agg(graft.functions.TopKFunctions.top_k(col("scos"), col("sup_id"), 1).as("top"))
+      .select(col("cent_id"), col("cv"), col("cn2"),
+        explode(col("top").getField("id")).as("sup_id"))
+    // vector -> its superProbes nearest super-cells (n x S dots)
+    val vecSup = p.join(broadcast(sup))
+      .select(col(idCol), col("v"), col("n2"), col("sup_id"),
+        cosineQ(dotQ(col("v"), col("sv")), col("n2"), col("sn2")).as("scos"))
+      .groupBy(col(idCol), col("v"), col("n2"))
+      .agg(graft.functions.TopKFunctions.top_k(col("scos"), col("sup_id"), superProbes).as("top"))
+      .select(col(idCol), col("v"), col("n2"),
+        explode(col("top").getField("id")).as("sup_id"))
+    // vector scores only its probed super-cells' centroids; a centroid
+    // lives in exactly one super-cell, so candidates are distinct
+    vecSup.join(broadcast(centInSup), Seq("sup_id"))
+      .select(col(idCol), col("v"), col("n2"), col("cent_id"),
+        cosineQ(dotQ(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
+      .groupBy(col(idCol), col("v"), col("n2"))
+      .agg(graft.functions.TopKFunctions.top_k(col("ccos"), col("cent_id"), take).as("top"))
+      .select(col(idCol), col("v"), col("n2"),
+        explode(col("top").getField("id")).as("cent_id"))
+  }
 
   /** IVF approximate top-k: corpus vectors live in their nearest
     * centroid's cell (the inverted lists); each query scores only the
@@ -203,17 +258,24 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8,
       embCol: String = "embedding", idCol: String = "vec_id",
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      superCells: Int = 0, superProbes: Int = 2): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
-    // numCentroids <= 0 scales the index with the corpus (cells stay
-    // ~targetCell-sized; scale nprobe with it to hold recall)
+    // numCentroids <= 0 scales the index with the corpus via the
+    // autoCentroids sqrt law (scale nprobe with it to hold recall)
     val cent = centroids.getOrElse {
       val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
       centroidSample(cp, c, idCol)
     }
-    val assign = nearestCentroids(cp, cent, 1, idCol)
-    val probes = nearestCentroids(prepared(queries, embCol, idCol), cent, nprobe, idCol)
+    // superCells > 0: coarse-then-fine assignment (~2 sqrt(C) dots per
+    // vector instead of C) — the very-large-C path
+    def assignTo(df: DataFrame, take: Int): DataFrame =
+      if (superCells > 0)
+        nearestCentroidsTwoLevel(df, cent, take, idCol, superCells, superProbes)
+      else nearestCentroids(df, cent, take, idCol)
+    val assign = assignTo(cp, 1)
+    val probes = assignTo(prepared(queries, embCol, idCol), nprobe)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cent_id"))
     // one row per (query, candidate): the vector's single cell meets
@@ -225,13 +287,26 @@ object Similarity {
     finishTopKAgg(scored, k, idCol)
   }
 
-  /** Auto centroid count: one centroid per `targetCell` corpus
-    * vectors (floor 16) so cells stay boundedly small as the corpus
-    * grows — a fixed count turns every cell into an O((n/C)^2) pair
-    * quadratic at scale.
+  /** Auto centroid count: C = ceil(sqrt(n x targetCell)), floor 16.
+    *
+    * The growth law balances the two quadratics that kill the naive
+    * choices at scale: assignment scores n x C pairs (C ~ n makes that
+    * n^2 and the centroid broadcast unbounded), while per-cell pair
+    * generation is bounded by n^2/C candidates (fixed C makes THAT
+    * n^2). C = sqrt(n x targetCell) equalizes them — assignment
+    * n^1.5 x sqrt(targetCell), candidates n^1.5/sqrt(targetCell),
+    * cells of ~sqrt(n/targetCell) vectors — so total work grows as
+    * n^1.5 and the broadcast as sqrt(n). Beyond ~10^9 vectors the
+    * n x C assignment constant matters too: feed the same centroids
+    * through [[nearestCentroidsTwoLevel]] to cut per-vector work to
+    * ~2 sqrt(C) dots (cost table in SCALING.md).
+    *
+    * The DuckDB oracle rebuilds the same count via
+    * `greatest(16, CAST(ceil(sqrt(n * 16.0)) AS BIGINT))` — sqrt and
+    * ceil are IEEE-exact, so both engines agree for any n.
     */
   def autoCentroids(n: Long, targetCell: Int = 16): Int =
-    math.max(16L, (n + targetCell - 1) / targetCell).toInt
+    math.max(16L, math.ceil(math.sqrt((n * targetCell).toDouble)).toLong).toInt
 
   /** Embedding near-duplicate pairs at scale: every vector is
     * multi-assigned to its `assignments` nearest centroids; pairs
@@ -255,14 +330,18 @@ object Similarity {
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double,
       numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
       embCol: String = "embedding", idCol: String = "vec_id",
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      superCells: Int = 0, superProbes: Int = 2): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
     val cent = centroids.getOrElse {
       val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
       centroidSample(cp, c, idCol)
     }
-    val multi = nearestCentroids(cp, cent, assignments, idCol)
+    val multi =
+      if (superCells > 0)
+        nearestCentroidsTwoLevel(cp, cent, assignments, idCol, superCells, superProbes)
+      else nearestCentroids(cp, cent, assignments, idCol)
     val pairs = multi.select(col("cent_id"), col(idCol).as("id_a"))
       .join(multi.select(col("cent_id"), col(idCol).as("id_b")), Seq("cent_id"))
       .filter(col("id_a") < col("id_b"))
