@@ -448,14 +448,17 @@ object SparkEntry {
     // blocking — corpus-scaled centroid count (autoCentroids:
     // C = ceil(sqrt(16n)), the growth law that keeps BOTH the
     // assignment (nC = n^1.5) and the per-cell candidate bound
-    // (n^2/C = n^1.5) subquadratic), each vector in its 16 nearest
+    // (n^2/C = n^1.5) subquadratic), each vector in its 24 nearest
     // cells, and pairs must share >= 2 cells before the exact-cosine
     // verify. The 2-cell vote is the cost knob: random near-uniform
     // pairs rarely agree on 2+ nearest centroids while cosine>=0.3
-    // pairs rank centroids almost identically (recall in SCALING.md).
+    // pairs rank centroids almost identically. The sqrt law's finer
+    // cells sharpen the vote: A=24 at C=ceil(sqrt(16n)) measures
+    // recall 0.998 at sf0.1 — above r4's 0.969 at C=n/16, A=16 — at
+    // equal wall time (SCALING.md).
     "embedding_neardup_pairs" -> ((s, dir) =>
       Similarity.ivfNearDupPairs(Tables.embeddings(s, dir), threshold = 0.3,
-        assignments = 16, minSharedCells = 2)
+        assignments = 24, minSharedCells = 2)
         .orderBy("id_a", "id_b")),
 
     // ANN very-large-C path: two-level (coarse-then-fine) assignment —
@@ -610,8 +613,11 @@ object SparkEntry {
 
   /** Unrolled-CTE depth of the neardup_clusters oracle (Spark iterates
     * to convergence; extra SQL rounds past the fixpoint are no-ops).
+    * Measured fixpoints (CcRounds probe): 2 rounds at sf0.001/sf0.01,
+    * 12 at sf0.1 (a ~4k-node near-dup chain component); 16 covers the
+    * largest with margin — ComponentsSuite pins the margin per SF.
     */
-  private val CcOracleRounds = 5
+  private val CcOracleRounds = 16
 
   /** One propagate+jump min-label round per CTE pair, mirroring
     * Components.runRounds exactly: p_i = min over the closed
@@ -764,7 +770,7 @@ object SparkEntry {
       s"""WITH $QuantCte,
          |${centCte(AutoCentroidsSql)},
          |multi AS (SELECT vec_id, cent_id FROM ${ivfRanked("")}
-         |          WHERE rk <= 16),
+         |          WHERE rk <= 24),
          |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |         FROM multi a JOIN multi b USING (cent_id)
          |         WHERE a.vec_id < b.vec_id

@@ -78,8 +78,8 @@ object AnnRecall {
     // projection otherwise.
     val sAuto = math.ceil(math.sqrt(
       Similarity.autoCentroids(nCorpus).toDouble)).toInt
-    for ((c, a, m, s2) <- Seq((64, 8, 1, 0), (0, 8, 2, 0), (0, 12, 2, 0),
-        (0, 16, 2, 0), (0, 16, 3, 0), (0, 16, 2, sAuto))) {
+    for ((c, a, m, s2) <- Seq((64, 8, 1, 0), (0, 16, 2, 0), (0, 20, 2, 0),
+        (0, 24, 2, 0), (0, 24, 3, 0), (0, 24, 2, sAuto))) {
       graft.core.OpCaches.release(); spark.catalog.clearCache(); truth.cache(); truth.count()
       val t0 = System.nanoTime()
       val got = Similarity.ivfNearDupPairs(e, threshold = 0.3,
@@ -124,6 +124,18 @@ object AnnRecall {
           centroids = Some(km)).select("query_id", "vec_id")).count()
       println(f"clustered C=64 nprobe=$p recall@5 sample=${sampleHits.toDouble / exactCN}%.3f " +
         f"kmeans=${kmHits.toDouble / exactCN}%.3f")
+    }
+
+    // two-level assignment on the clustered corpus — where coarse
+    // structure exists for the super-cells to capture (the uniform
+    // corpus is its documented worst case)
+    for ((s2, p2) <- Seq((8, 2), (8, 4))) {
+      val hits = exactC.intersect(
+        Similarity.ivfTopK(clustered, cq, 5, numCentroids = 64, nprobe = 16,
+          superCells = s2, superProbes = p2)
+          .select("query_id", "vec_id")).count()
+      println(f"clustered_twolevel C=64 nprobe=16 S=$s2 P=$p2 " +
+        f"recall@5=${hits.toDouble / exactCN}%.3f")
     }
 
     // near-dup on the clustered corpus: sample vs k-means quantizer

@@ -63,15 +63,16 @@ class ComponentsSuite extends SparkSuite {
     assert(Components.connectedComponents(empty).count() == 0)
   }
 
-  test("minhash pairs at sf0.001/sf0.01 converge within the oracle's unrolled depth") {
-    // neardup_clusters unrolls 5 propagate+jump rounds in SQL; the
-    // Spark side must reach its fixpoint with >= 1 round to spare
-    // (the final round is the no-change detector, so fixpoint is at
-    // rounds - 1)
-    for (d <- Seq("sf0.001", "sf0.01")) {
+  test("minhash pairs converge within the oracle's unrolled depth at every SF") {
+    // neardup_clusters unrolls 16 propagate+jump rounds in SQL; the
+    // Spark side must reach its fixpoint with margin to spare (the
+    // final round is the no-change detector, so fixpoint is at
+    // rounds - 1). Measured: 2 at sf0.001/sf0.01, 12 at sf0.1.
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val pairs = Dedup.minHashCandidates(Tables.documents(spark, sf(d)))
       val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40)
-      assert(rounds - 1 <= 4, s"$d: fixpoint after ${rounds - 1} rounds > oracle margin 4")
+      assert(rounds - 1 <= 14, s"$d: fixpoint after ${rounds - 1} rounds > oracle margin 14")
+      graft.core.OpCaches.release()
     }
   }
 }
