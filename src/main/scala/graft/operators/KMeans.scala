@@ -117,17 +117,26 @@ object KMeans {
       .collect().toSeq
       .map(r => (r.getSeq[Long](1).toArray, r.getLong(2), r.getLong(3)))
 
-    var centers = weightedKMeansPlusPlus(weighted, k, seed)
+    val centers = weightedKMeansPlusPlus(weighted, k, seed)
 
-    // --- Lloyd refinement: exact integer component sums, centroids
-    // --- re-quantized by rounding the mean ---
-    val dim = centers.head.length
+    // --- Lloyd refinement, fully distributed: the assignment is the
+    // --- same broadcast-join argmin; the update aggregates exact
+    // --- integer component sums per (cell, dimension) — map-side
+    // --- partial, one (cent_id, pos) row each — and rebuilds each
+    // --- centroid array IN the engine (sorted collect_list of C x dim
+    // --- tiny structs), so the driver never materializes the
+    // --- assignment and the fit composes with sqrt-law centroid
+    // --- counts. floor(x + 0.5) is bit-for-bit Math.round, keeping
+    // --- results identical to the earlier driver-side form; empty
+    // --- cells keep their centroid via the left join. Each round
+    // --- localCheckpoints (eager) — iterative plans otherwise nest
+    // --- and re-analyze exponentially.
+    var centDf = centers.zipWithIndex
+      .map { case (cv, i) => (i, cv, cv.map(x => x * x).sum) }
+      .toDF("cent_id", "cv", "cn2")
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val centDf = broadcast(
-        centers.zipWithIndex
-          .map { case (cv, i) => (i, cv, cv.map(x => x * x).sum) }
-          .toDF("cent_id", "cv", "cn2"))
-      val assigned = cp.crossJoin(centDf)
+      val assigned = cp.crossJoin(broadcast(centDf))
         .withColumn("d2c", d2(col("v"), col("n2"), col("cv"), col("cn2")))
         .groupBy(col(idCol), col("v"))
         .agg(min(struct(col("d2c"), col("cent_id"))).as("best"))
@@ -136,22 +145,17 @@ object KMeans {
         .select(col("cent_id"), posexplode(col("v")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val acc = Array.fill(centers.length)(new Array[Long](dim))
-      val cnt = new Array[Long](centers.length)
-      sums.foreach { r =>
-        val c = r.getInt(0); val p = r.getInt(1)
-        acc(c)(p) = r.getLong(2); cnt(c) = r.getLong(3)
-      }
-      centers = centers.indices.map { c =>
-        if (cnt(c) == 0) centers(c) // empty cell keeps its centroid
-        else acc(c).map(s => math.round(s.toDouble / cnt(c)))
-      }
+      val updated = sums.groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => floor(x.getField("s").cast("double") / x.getField("n") + 0.5)
+            .cast("long")).as("cv2"))
+      centDf = centDf.join(updated, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv2"), col("cv")).as("cv"))
+        .withColumn("cn2", aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+        .localCheckpoint()
     }
-
-    centers.zipWithIndex
-      .map { case (cv, i) => (i, cv, cv.map(x => x * x).sum) }
-      .toDF("cent_id", "cv", "cn2")
+    centDf
   }
 
   /** Weighted k-means++ on the driver (Arthur & Vassilvitskii 2007,
