@@ -57,33 +57,72 @@ object EventsStream {
       session_end_ms: Long, n_events: Int, total_value: Double)
 
   /** Custom stateful sessionization: per-user sessions closed after
-    * `gapMs` of inactivity, via flatMapGroupsWithState with a
-    * processing-time timeout. The typed-state API the reference's
-    * data model has no analog for.
+    * `gapMs` of inactivity, via flatMapGroupsWithState with an
+    * EVENT-TIME timeout — when the watermark passes a user's
+    * last-event-time + gap, the idle session is emitted and its state
+    * removed, so the final session of a user who never returns still
+    * flushes (NoTimeout would hold it until stream end). The typed-
+    * state API the reference's data model has no analog for.
+    *
+    * `watermarkDelay` bounds both late data and state: events later
+    * than the delay are dropped, and a session can time out once the
+    * watermark clears its gap horizon.
+    *
+    * Batch execution of the same operator never fires timeouts (there
+    * is no watermark), so a batch run emits only gap-CLOSED sessions —
+    * the pre-existing contract MultimodalStreamingSuite pins.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    // the watermark column rides beside the typed view (the Event
+    // encoder selects fields by name); EliminateEventTimeWatermark
+    // drops the node on batch inputs
+    val streaming = events.isStreaming
+    val withWm =
+      if (streaming)
+        events.withColumn("__event_time", expr("timestamp_millis(event_time_ms)"))
+          .withWatermark("__event_time", watermarkDelay)
+          .as[Event]
+      else events
+    withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // events within a micro-batch are not ordered: sort the batch
-          val sorted = rows.toSeq.sortBy(e => (e.event_time_ms, e.event_id))
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            if (st == null) {
-              st = SessionState(e.event_time_ms, e.event_time_ms, 1, e.value)
-            } else if (e.event_time_ms - st.last > gapMs) {
-              closed += Session(userId, st.start, st.last, st.n, st.total)
-              st = SessionState(e.event_time_ms, e.event_time_ms, 1, e.value)
-            } else {
-              st = SessionState(st.start, e.event_time_ms, st.n + 1,
-                st.total + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: the
+            // session is definitively over (anything that could extend
+            // it would be beyond-watermark late and dropped)
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.start, st.last, st.n, st.total))
+          } else {
+            // events within a micro-batch are not ordered: sort the batch
+            val sorted = rows.toSeq.sortBy(e => (e.event_time_ms, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              if (st == null) {
+                st = SessionState(e.event_time_ms, e.event_time_ms, 1, e.value)
+              } else if (e.event_time_ms - st.last > gapMs) {
+                closed += Session(userId, st.start, st.last, st.n, st.total)
+                st = SessionState(e.event_time_ms, e.event_time_ms, 1, e.value)
+              } else {
+                st = SessionState(st.start, e.event_time_ms, st.n + 1,
+                  st.total + e.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // the timeout must sit strictly above the current
+              // watermark (a last+gap already behind it fires on the
+              // next trigger)
+              if (streaming)
+                state.setTimeoutTimestamp(
+                  math.max(st.last + gapMs, state.getCurrentWatermarkMs + 1))
+            } else state.remove()
+            closed.result().iterator
           }
-          if (st != null) state.update(st) else state.remove()
-          closed.result().iterator
       }
   }
 

@@ -97,6 +97,35 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(total == distinctIds)
   }
 
+  test("streaming: event-time timeout flushes an idle user's final session") {
+    import EventsStream.{Event, Session}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventsStream.sessionize(ms.toDS(), gapMs = 30 * 60 * 1000,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      // user 1's only session — then user 1 never returns (timestamps
+      // sit above the initial watermark 0 so nothing is late)
+      ms.addData(Event(0, 1, "a", 1.0, 1000000L), Event(1, 1, "a", 2.0, 1060000L))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout").count() == 0) // still open
+      // unrelated user far in the future advances the watermark past
+      // user 1's gap horizon (timeouts fire on the NEXT trigger after
+      // the watermark update)
+      ms.addData(Event(2, 2, "b", 3.0, 100000000L))
+      q.processAllAvailable()
+      ms.addData(Event(3, 2, "b", 1.0, 100000001L))
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout").as[Session].collect()
+      assert(got.exists(s => s.user_id == 1 && s.n_events == 2 &&
+        s.session_start_ms == 1000000L && s.session_end_ms == 1060000L &&
+        s.total_value == 3.0), got.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("streaming: stateful sessionize matches the batch twin") {
     import EventsStream.Event
     val events = Seq(
