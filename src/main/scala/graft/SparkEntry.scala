@@ -360,7 +360,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // Exact interpolated percentiles (median, p90) per group
+    // Exact interpolated percentiles (median, p90) per group.
+    // SCALE NOTE: exact percentile() buffers every distinct
+    // (value, count) of a group in executor memory — the oracle-exact
+    // choice at test scale, but a hot group breaks it at 100 TB. The
+    // production twin is operators.ApproxAgg.approxPercentiles
+    // (mergeable Greenwald-Khanna sketch, O(accuracy) state, rank
+    // error <= n/accuracy), unit-pinned against this form in
+    // ApproxAggSuite (cross-engine sketch internals cannot hash-match
+    // a DuckDB oracle).
     "percentiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
