@@ -30,6 +30,15 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce tiny post-shuffle partitions instead of keeping one
+      // per core: at toy scale most queries are session-floor-bound
+      // and scheduling 32 near-empty reduce tasks per exchange was
+      // ~60% of the floor (FloorProbe: j4_cartesian 0.35 -> 0.13 s;
+      // work-dominated queries measure unchanged). parallelismFirst
+      // defaults to true precisely to favor raw parallelism; 16 MB
+      // advisory keeps real shuffles at full width on this box.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
