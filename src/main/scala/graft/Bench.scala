@@ -71,8 +71,15 @@ object Bench {
       // failure times — a regression must not masquerade as a speedup
       name -> (if (failed) None else Some(median(times)))
     }
+    // the driver captures only the LAST 2000 chars of stdout and
+    // parses the JSON line out of that window — five rounds of
+    // `parsed: null` traced to this line overflowing it. So stdout
+    // gets the compact contract line (~1.1k chars: 2-decimal medians,
+    // no ratio map) and the full detail (3-decimal medians, per-query
+    // DuckDB ratios, floor, over-2x counts) goes to BENCH_DETAIL.json
+    // in the working directory.
     val qs = results.map {
-      case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, Some(v)) => "\"" + k + f"""\":$v%.2f"""
       case (k, None) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
@@ -102,6 +109,10 @@ object Bench {
       case (k, Some(v)) if baseline.get(k).exists(_ > 0) =>
         k -> math.max(0.0, v - floor) / baseline(k)
     }
+    val detailQs = results.map {
+      case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, None) => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
     val ratioJson =
       if (ratios.isEmpty) ""
       else {
@@ -110,7 +121,12 @@ object Bench {
         f""","ratios":$rs,"over_2x":${ratios.count(_._2 > 2.0)}""" +
           f""","floor":$floor%.3f,"over_2x_adj":${adjRatios.count(_._2 > 2.0)}"""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs$ratioJson,"sf":"$sfDir"}""")
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$detailQs$ratioJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -221,6 +221,29 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
 
+    // Gopher-family repetition filters: per-document duplicate-line
+    // counts plus dominant-2-gram / repeated-5-gram character counts,
+    // all from ONE codegen'd byte walk per document (no explode, no
+    // shuffle; the 8 array extracts collapse to a single kernel call
+    // via whole-stage-codegen subexpression elimination). Exact
+    // integers so the DuckDB oracle hash-matches; ratios + the
+    // published Gopher cut-offs live in RepetitionKernel's scaladoc.
+    "repetition_stats" -> ((s, dir) => {
+      val p = graft.functions.RepetitionFunctions
+        .repetition_profile(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        p.getItem(0).as("n_lines"),
+        p.getItem(1).as("n_dup_lines"),
+        p.getItem(2).as("dup_line_chars"),
+        p.getItem(3).as("line_chars"),
+        p.getItem(4).as("top2gram_chars"),
+        p.getItem(5).as("dup5gram_chars"),
+        p.getItem(6).as("n_tokens"),
+        p.getItem(7).as("token_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Text analysis: document quality scoring
     "quality_score" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -619,11 +642,14 @@ object SparkEntry {
        |  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |               AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** Unrolled-CTE depth of the neardup_clusters oracle (Spark iterates
-    * to convergence; extra SQL rounds past the fixpoint are no-ops).
-    * Measured fixpoints (CcRounds probe): 2 rounds at sf0.001/sf0.01,
-    * 12 at sf0.1 (a ~4k-node near-dup chain component); 16 covers the
-    * largest with margin — ComponentsSuite pins the margin per SF.
+  /** Unrolled-CTE depth of the neardup_clusters oracle. The oracle
+    * iterates plain propagate+jump over the RAW edge list (no
+    * shortcut phase — that is a Spark-side acceleration; both sides
+    * compute the same fixpoint, and extra SQL rounds past it are
+    * no-ops). Measured raw-scheme fixpoints (CcRounds probe, r4): 2
+    * rounds at sf0.001/sf0.01, 13 at sf0.1 (a ~600-node adversarially
+    * ordered component); 16 covers the largest with margin —
+    * ComponentsSuite pins convergence per SF.
     */
   private val CcOracleRounds = 16
 
@@ -808,6 +834,55 @@ object SparkEntry {
          |       CAST($NPunctExpr AS INT) AS n_punct,
          |       substring(md5(text), 1, 16) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors RepetitionKernel's documented conventions exactly:
+    // lines = string_split on \n (empties kept), tokens = non-empty
+    // \s+ splits, n-grams space-joined, chars = code points, all
+    // counts exact integers.
+    "repetition_stats" ->
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+        |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+        |lstats AS (
+        |  SELECT doc_id,
+        |         sum(c) AS n_lines,
+        |         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS n_dup_lines,
+        |         coalesce(sum(c * length(line)) FILTER (WHERE c > 1), 0) AS dup_line_chars,
+        |         sum(c * length(line)) AS line_chars
+        |  FROM lc GROUP BY 1),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tstats AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS token_chars
+        |  FROM toks),
+        |g2 AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+        |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |g2s AS (SELECT doc_id, max(c * length(g)) AS top2gram_chars FROM g2c GROUP BY 1),
+        |g5 AS (SELECT doc_id,
+        |              t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS g
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)),
+        |g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        |g5s AS (SELECT doc_id,
+        |               coalesce(sum(c * length(g)) FILTER (WHERE c > 1), 0) AS dup5gram_chars
+        |        FROM g5c GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(l.n_lines AS BIGINT) AS n_lines,
+        |       CAST(l.n_dup_lines AS BIGINT) AS n_dup_lines,
+        |       CAST(l.dup_line_chars AS BIGINT) AS dup_line_chars,
+        |       CAST(l.line_chars AS BIGINT) AS line_chars,
+        |       CAST(coalesce(g2s.top2gram_chars, 0) AS BIGINT) AS top2gram_chars,
+        |       CAST(coalesce(g5s.dup5gram_chars, 0) AS BIGINT) AS dup5gram_chars,
+        |       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(t.token_chars AS BIGINT) AS token_chars
+        |FROM documents d
+        |JOIN lstats l USING (doc_id)
+        |JOIN tstats t USING (doc_id)
+        |LEFT JOIN g2s USING (doc_id)
+        |LEFT JOIN g5s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, $TokensExpr AS toks FROM documents),

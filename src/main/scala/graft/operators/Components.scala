@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list — the transitive
@@ -10,35 +11,57 @@ import org.apache.spark.storage.StorageLevel
   * transitive (dropping the higher id of each pair keeps both 1 and 2
   * for pairs (1,3),(2,3); the component {1,2,3} keeps only 1).
   *
-  * Algorithm: iterative min-label propagation with pointer doubling.
-  * Each round
-  *  (a) propagates: label(v) <- min over {label(v)} ∪ {label(u) : u ∈
-  *      N(v)} — one join of the edge list against the label table plus
-  *      one map-side-partial min aggregation;
-  *  (b) jumps: label(v) <- min(label(v), label(label(v))) — one
-  *      self-join of the label table (labels are always node ids, so
-  *      the lookup is total).
-  * Labels are monotonically non-increasing and reach the component
-  * minimum in O(log diameter) rounds with the jump (propagation alone
-  * is O(diameter)). The propagate+jump pair is the relational cousin
-  * of the star-contraction MapReduce CC family (large-star/small-star,
-  * Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC 2014); pointer jumping per Shiloach & Vishkin (1982).
+  * Algorithm: degree-capped 2-hop shortcutting followed by iterative
+  * min-label propagation with pointer jumping.
   *
-  * Scale shape: nothing wider than (id, label) ever shuffles — the
-  * propagate join is keyed by node id, the min aggregation is partial,
-  * and the driver sees one changed-count scalar per round. Each
-  * round's labels are `localCheckpoint`ed (eager): persist alone is
-  * NOT enough for iterative plans — the cached data short-circuits
-  * execution but the logical plan still nests one level per round, and
-  * the per-round self-join DOUBLES it, so Catalyst re-analysis goes
-  * exponential around round ~10 (observed: minutes of pure planning on
-  * a 16-node chain). Checkpointing truncates the plan to a LogicalRDD
-  * leaf, keeping every round's analysis O(1). On a real cluster prefer
-  * reliable `checkpoint` (HDFS/object store) for fault tolerance;
-  * executor-local checkpoints die with an executor. Superseded
-  * checkpoint RDDs are freed by Spark's ContextCleaner as the frames
-  * go out of scope.
+  * Shortcut phase (once, before the loop): E' = E ∪ {(a,c) : (a,b),
+  * (b,c) ∈ E, deg(b) ≤ cap}. Each application halves the effective
+  * diameter; two applications quarter it. The degree cap bounds the
+  * blowup — near-dup components that are cliques of duplicates gain
+  * nothing from shortcutting (already diameter 1) and hub nodes would
+  * contribute deg² candidate edges, while the path-shaped components
+  * that actually need diameter reduction are low-degree by nature.
+  * Measured on the sf0.1 minhash graph (12.8k pairs, largest
+  * component 634 nodes): two shortcut rounds grow edges 3.4x and cut
+  * the label loop from 13 rounds to 5. The pointer jump alone cannot
+  * do this: jumping contracts pointer CHAINS, and with adversarially
+  * ordered node ids min-label propagation stalls on plateaus around
+  * local id minima (simulated: a randomly-ordered 4000-chain does not
+  * converge in 60 rounds with jumps alone).
+  *
+  * Label loop: label(v) <- min over the closed neighborhood, one join
+  * of the (self-looped) edge list against the label table plus a
+  * map-side-partial min aggregation; then label(v) <- min(label(v),
+  * label(label(v))) — a self-join of the narrow (id, label) table
+  * (labels are always node ids, so the lookup is total). Converges in
+  * O(log diameter) rounds; relational cousin of the star-contraction
+  * MapReduce CC family (large-star/small-star, Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014),
+  * pointer jumping per Shiloach & Vishkin (1982).
+  *
+  * Scale shape: nothing wider than (id, label) or (src, dst) ever
+  * shuffles; the min aggregation is partial; the driver sees one
+  * sum-of-labels scalar per round (labels only ever decrease, so the
+  * decimal(38,0) total — overflow-free at any node count — is
+  * strictly smaller iff any label changed). Each round's labels are
+  * checkpointed via [[org.apache.spark.sql.graft.DatasetBridge]]:
+  * persist alone leaves the logical plan nesting one level per round
+  * (Catalyst re-analysis goes exponential around round ~10), a plain
+  * `localCheckpoint` carries origin stats whose join-product estimate
+  * compounds into a BigInteger so large the driver hangs multiplying
+  * it, and the bridge variant drops the stats while KEEPING the
+  * physical hash partitioning, so the propagate join against the
+  * dst-partitioned cached edge list needs no extra exchange. AQE is
+  * disabled for the duration of the loop (restored after): adaptive
+  * re-planning re-coalesces every tiny shuffle, which both adds a
+  * scheduling round-trip per stage and breaks the stable
+  * co-partitioning the loop is built around — the fixed-width plan is
+  * exactly what a long-running 1000-executor job wants for an
+  * iteration whose per-round topology never changes. On a real
+  * cluster prefer reliable `checkpoint` (HDFS/object store) for fault
+  * tolerance; executor-local checkpoints die with an executor.
+  * Superseded checkpoint RDDs are freed by Spark's ContextCleaner as
+  * the frames go out of scope.
   */
 object Components {
 
@@ -55,33 +78,116 @@ object Components {
     * assert the oracle's unrolled-CTE depth covers it with margin).
     */
   private[graft] def runRounds(pairs: DataFrame, idA: String,
-      idB: String, maxRounds: Int): (DataFrame, Int) = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager localCheckpoint: truncate the plan to a materialized leaf
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      idB: String, maxRounds: Int, jumpsPerRound: Int = 1,
+      shortcutRounds: Int = 2, shortcutDegreeCap: Int = 32): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val conf = spark.conf
+    val aqePrev = conf.get("spark.sql.adaptive.enabled", "true")
+    val partsPrev = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      runLoop(pairs, idA, idB, maxRounds, jumpsPerRound, shortcutRounds,
+        shortcutDegreeCap, partsPrev.toInt)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqePrev)
+      conf.set("spark.sql.shuffle.partitions", partsPrev)
+    }
+  }
+
+  private def truncate(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.DatasetBridge.localCheckpointNoStats(df)
+
+  // dev-only phase timing, enabled via GRAFT_CC_DEBUG=1
+  private def debugT[A](tag: String)(f: => A): A =
+    if (System.getenv("GRAFT_CC_DEBUG") == null) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"CC_DEBUG $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+  private def runLoop(pairs: DataFrame, idA: String, idB: String,
+      maxRounds: Int, jumpsPerRound: Int, shortcutRounds: Int,
+      shortcutDegreeCap: Int, sessionPartitions: Int): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    // doubled edge list + self-loops: the self-loop row makes the
+    // propagate join yield each node's OWN label too, so no union is
+    // needed, and it regenerates existing edges during shortcutting
+    val base = debugT("init_edges")(truncate(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .union(pairs.select(col(idA).as("s")).union(pairs.select(col(idB)))
+          .distinct().select(col("s").as("src"), col("s").as("dst")))))
+
+    // size the loop's shuffle width to the graph, not the session: the
+    // per-round tables are (id, label) / (src, dst) pairs, and a
+    // session width tuned for wide scans means every tiny fixpoint
+    // round pays 32 near-empty tasks per exchange (measured ~0.9 s per
+    // round on a 57k-edge graph; ~0.35 s at the scaled width). ~1M
+    // narrow rows per partition; grows back to session width once the
+    // edge list actually is large.
+    val nEdges = base.count()
+    val loopP = math.max(2, math.min(sessionPartitions,
+      ((nEdges + (1 << 20) - 1) / (1 << 20)).toInt))
+    spark.conf.set("spark.sql.shuffle.partitions", loopP)
+
+    var edges = base.repartition(col("dst"))
+
+    // shortcut: E <- distinct(E ∪ {(a,c) : (a,b),(b,c), deg(b) ≤ cap});
+    // self-loops survive (a→a→a) and original edges survive via the
+    // explicit union, so capping never loses connectivity
+    for (_ <- 1 to shortcutRounds) {
+      val deg = edges.filter(col("src") =!= col("dst"))
+        .groupBy(col("dst").as("mid")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= shortcutDegreeCap)
+        .select(col("mid"))
+      val hop = edges.join(deg, edges("dst") === col("mid"))
+        .select(col("src"), col("dst").as("mid2"))
+        .join(edges.select(col("src").as("mid3"), col("dst").as("dst2")),
+          col("mid2") === col("mid3"))
+        .select(col("src"), col("dst2").as("dst"))
+      edges = debugT("shortcut")(truncate(edges.union(hop).distinct()
+        .repartition(col("dst"))))
+    }
+    val cachedEdges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = debugT("init_labels")(truncate(
+      cachedEdges.filter(col("src") === col("dst"))
+        .select(col("src").as("id"), col("src").as("label"))))
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0))
+    var prevSum = labelSum(labels)
     var rounds = 0
-    var changed = 1L
-    while (changed > 0 && rounds < maxRounds) {
-      val prop = labels
-        .union(edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-          .select(col("src").as("id"), col("label")))
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+    var changed = prevSum.isDefined // empty graph: already converged
+    while (changed && rounds < maxRounds) {
+      val prop = cachedEdges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val jump = prop.select(col("id").as("jid"), col("label").as("jlabel"))
-      val next = prop.join(jump, prop("label") === col("jid"))
-        .select(prop("id"), least(prop("label"), col("jlabel")).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      prop.unpersist()
+      var cur: DataFrame = prop
+      val cached = Seq.newBuilder[DataFrame]
+      cached += prop
+      for (j <- 1 to jumpsPerRound) {
+        val lookup = cur.select(col("id").as("jid"), col("label").as("jlabel"))
+        val stepped = cur.join(lookup, cur("label") === col("jid"))
+          .select(cur("id"), least(cur("label"), col("jlabel")).as("label"))
+        cur =
+          if (j < jumpsPerRound) {
+            val p = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+            cached += p
+            p
+          } else stepped
+      }
+      val next = debugT("round_ckpt")(truncate(cur))
+      val s = debugT("round_sum")(labelSum(next))
+      changed = s != prevSum
+      prevSum = s
+      cached.result().foreach(_.unpersist())
       labels = next
       rounds += 1
     }
-    edges.unpersist()
+    cachedEdges.unpersist()
     (labels, rounds)
   }
 }

@@ -1,0 +1,52 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Checkpoint helpers for iterative DataFrame algorithms.
+  *
+  * `localCheckpoint()` truncates the plan to a `LogicalRDD` leaf but
+  * PRESERVES the origin plan's estimated statistics on that leaf. Join
+  * size estimates are *products* of the children's `sizeInBytes`, so an
+  * iterative algorithm that checkpoints a plan containing k self-joins
+  * per round compounds the estimate multiplicatively: the BigInteger's
+  * bit-length grows ~2^k-fold per round, and by round ~7 of a 3-jump
+  * connected-components loop the driver spends minutes inside
+  * `BigInteger.multiplyToomCook3` computing a size estimate with tens
+  * of millions of digits (stack-trace-diagnosed, reproducible on the
+  * sf0.1 minhash graph). Re-wrapping the checkpointed RDD in a fresh
+  * `LogicalRDD` without origin stats restarts each round's estimates
+  * from the conservative `defaultSizeInBytes` leaf default — which
+  * also keeps the planner from ever auto-broadcasting the label
+  * table, the right call for a table whose size the estimator clearly
+  * cannot track.
+  *
+  * Unlike a plain `internalCreateDataFrame(df.queryExecution.toRdd,
+  * schema)` round-trip, the physical `outputPartitioning` and
+  * `outputOrdering` of the checkpointed plan are KEPT, so a loop whose
+  * rounds produce hash-partitioned output (e.g. the min-label
+  * aggregation keyed by node id) can join against a co-partitioned
+  * cached side with zero additional exchanges.
+  *
+  * Lives in the `org.apache.spark.sql` package tree because
+  * `LogicalRDD` and `Dataset.ofRows` are `private[sql]` — same pattern
+  * as [[ColumnBridge]].
+  */
+object DatasetBridge {
+
+  /** Eager local checkpoint that drops origin statistics but keeps the
+    * materialized RDD, output attributes, partitioning, and ordering.
+    */
+  def localCheckpointNoStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint().asInstanceOf[Dataset[Row]]
+    val spark = ck.sparkSession.asInstanceOf[SparkSession]
+    ck.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val clean = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming)(spark, None, None)
+        Dataset.ofRows(spark, clean)
+      case _ => ck // not a plain checkpoint leaf; leave untouched
+    }
+  }
+}

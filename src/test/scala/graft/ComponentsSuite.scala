@@ -64,14 +64,16 @@ class ComponentsSuite extends SparkSuite {
   }
 
   test("minhash pairs converge within the oracle's unrolled depth at every SF") {
-    // neardup_clusters unrolls 16 propagate+jump rounds in SQL; the
-    // Spark side must reach its fixpoint with margin to spare (the
-    // final round is the no-change detector, so fixpoint is at
-    // rounds - 1). Measured: 2 at sf0.001/sf0.01, 12 at sf0.1.
+    // The oracle unrolls 16 propagate+jump rounds in SQL over the RAW
+    // edge list (no shortcutting), which covers its own fixpoint (13
+    // rounds at sf0.1, simulated) with margin; the Spark side runs
+    // shortcut+jump and must reach the same fixpoint in far fewer
+    // rounds (measured: 2 at sf0.001/sf0.01, 6 at sf0.1 after two
+    // shortcut rounds; the final round is the no-change detector).
     for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val pairs = Dedup.minHashCandidates(Tables.documents(spark, sf(d)))
       val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40)
-      assert(rounds - 1 <= 14, s"$d: fixpoint after ${rounds - 1} rounds > oracle margin 14")
+      assert(rounds - 1 <= 8, s"$d: fixpoint after ${rounds - 1} rounds — shortcutting regressed?")
       graft.core.OpCaches.release()
     }
   }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.RepetitionKernel
+
+/** Repetition-profile kernel: hand-computed goldens, edge cases, and a
+  * randomized cross-check against an independent driver-side
+  * implementation built from Scala collections (split/sliding/groupBy)
+  * — the kernel is a single byte walk, the oracle here is the obvious
+  * high-level spelling of the same conventions.
+  */
+class RepetitionSuite extends SparkSuite {
+
+  private def profile(s: String): Seq[Long] = {
+    val arr = RepetitionKernel.repetitionProfile(UTF8String.fromString(s))
+    (0 until arr.numElements()).map(arr.getLong)
+  }
+
+  /** Independent reference: same documented conventions, collection
+    * spelling. Lines keep empties; tokens are non-empty \s+ splits;
+    * n-grams join with ' '; chars are code points.
+    */
+  private def reference(s: String): Seq[Long] = {
+    def chars(x: String): Long = x.codePointCount(0, x.length).toLong
+    val lines = s.split("\n", -1).toSeq
+    val lineGroups = lines.groupBy(identity).values.toSeq
+    val nLines = lines.size.toLong
+    val nDupLines = lineGroups.filter(_.size > 1).map(_.size.toLong).sum
+    val dupLineChars = lineGroups.filter(_.size > 1)
+      .map(g => g.size * chars(g.head)).sum
+    val lineChars = lineGroups.map(g => g.size * chars(g.head)).sum
+    val toks = s.split("\\s+", -1).toSeq.filter(_.nonEmpty)
+    def gramCounts(n: Int): Map[String, Int] =
+      if (toks.size < n) Map.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity)
+        .map { case (k, v) => k -> v.size }
+    val top2 = gramCounts(2).map { case (g, c) => c * chars(g) }
+      .maxOption.getOrElse(0L)
+    val dup5 = gramCounts(5).collect { case (g, c) if c > 1 => c * chars(g) }.sum
+    Seq(nLines, nDupLines, dupLineChars, lineChars, top2, dup5,
+      toks.size.toLong, toks.map(chars).sum)
+  }
+
+  test("golden: duplicated lines and a dominant 2-gram") {
+    // lines: "ab cd", "ab cd", "x" -> 3 lines, 2 dup instances of
+    // "ab cd" (5 chars each); tokens: ab cd ab cd x; 2-grams:
+    // "ab cd" x2 (5 chars), "cd ab" x1, "cd x" x1 -> top = 10
+    assert(profile("ab cd\nab cd\nx") ==
+      Seq(3L, 2L, 10L, 11L, 10L, 0L, 5L, 9L))
+  }
+
+  test("golden: repeated 5-gram") {
+    val five = "a b c d e"
+    val doc = s"$five $five" // tokens a b c d e a b c d e
+    val p = profile(doc)
+    // 5-grams: "a b c d e" twice (9 chars), the 5 bridging grams once
+    assert(p(5) == 18L, s"dup5gram_chars: $p")
+    assert(p(6) == 10L && p(7) == 10L)
+  }
+
+  test("edge cases: empty, blank, single token, unicode") {
+    assert(profile("") == Seq(1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(profile("   ") == Seq(1L, 0L, 0L, 3L, 0L, 0L, 0L, 0L))
+    assert(profile("hola") == Seq(1L, 0L, 0L, 4L, 0L, 0L, 1L, 4L))
+    // é is 2 UTF-8 bytes, 1 code point; dup lines of "é é"; the
+    // 2-gram "é é" (3 chars) occurs 3x across the line break -> 9
+    assert(profile("é é\né é") ==
+      Seq(2L, 2L, 6L, 6L, 9L, 0L, 4L, 4L))
+    // \f and \x0B are separators (full \s set)
+    assert(profile("a\fbc")(6) == 3L)
+  }
+
+  test("randomized: kernel matches the collection reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small word alphabet so duplicate lines and repeated n-grams
+    // actually occur; separators cover \n runs and the full \s set
+    val word = Gen.oneOf("a", "bb", "ccc", "dé", "e")
+    val sep = Gen.oneOf(" ", "  ", "\n", "\t", "\n\n", " \n", "\f", "")
+    val doc = for {
+      n <- Gen.choose(0, 60)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(n, sep)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    val params = Gen.Parameters.default
+    val texts = (0 until 300).flatMap(i => doc.apply(params, Seed(7L + i)))
+    texts.foreach { s =>
+      assert(profile(s) == reference(s), s"doc=${s.replace("\n", "\\n")}")
+    }
+  }
+
+  test("spark column: profile extracts match the kernel on sf0.001 docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val got = docs.select(col("doc_id"),
+        graft.functions.RepetitionFunctions.repetition_profile(col("text")).as("p"))
+      .orderBy("doc_id").collect()
+    val raw = docs.select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+    assert(got.length == raw.length && got.nonEmpty)
+    got.zip(raw).foreach { case (g, r) =>
+      val want = reference(r.getString(1))
+      val have = g.getSeq[Long](1)
+      assert(have == want, s"doc_id=${r.get(0)}")
+    }
+  }
+}
