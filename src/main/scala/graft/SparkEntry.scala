@@ -570,7 +570,7 @@ object SparkEntry {
     words.map(w => s"'$w'").mkString(", ")
   private val sw = TextFunctions.stopwords.toMap
 
-  private val TokensExpr = """regexp_split_to_array(trim(text), '\s+')"""
+  private val TokensExpr = """regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')"""
   private val NTokensExpr =
     s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($TokensExpr) END"
   private val NPunctExpr =
@@ -837,8 +837,9 @@ object SparkEntry {
 
     // Mirrors RepetitionKernel's documented conventions exactly:
     // lines = string_split on \n (empties kept), tokens = non-empty
-    // \s+ splits, n-grams space-joined, chars = code points, all
-    // counts exact integers.
+    // splits on the spelled-out Java-\s class (RE2 '\s' lacks 0x0B),
+    // n-grams space-joined, chars = code points, all counts exact
+    // integers.
     "repetition_stats" ->
       """WITH lines AS (
         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
@@ -851,7 +852,7 @@ object SparkEntry {
         |         sum(c * length(line)) AS line_chars
         |  FROM lc GROUP BY 1),
         |toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t
         |  FROM documents),
         |tstats AS (
         |  SELECT doc_id, len(t) AS n_tokens,
@@ -1002,7 +1003,7 @@ object SparkEntry {
     // the Spark side's 4 x 16-bit banding exhaustive)
     "simhash_pairs" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS t
         |  FROM documents WHERE length(trim(text)) > 0),
         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
         |      FROM tok WHERE t <> ''),

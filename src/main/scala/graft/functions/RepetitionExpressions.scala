@@ -30,9 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - lines   = `text` split on '\n' (0x0A never occurs inside a UTF-8
   *              multibyte sequence), empty segments kept — identical
   *              to DuckDB `string_split(text, chr(10))`;
-  *  - tokens  = maximal runs of non-`\s` bytes ([ \t\n\x0B\f\r]),
-  *              i.e. the non-empty entries of `regexp_split_to_array
-  *              (text, '\s+')`;
+  *  - tokens  = maximal runs of non-`\s` bytes, Java-regex `\s` =
+  *              [ \t\n\x0B\f\r]. NOTE: DuckDB/RE2 `'\s'` does NOT
+  *              match vertical tab (0x0B), so the oracle must spell
+  *              the class out: the non-empty entries of
+  *              `regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')`;
   *  - n-grams = adjacent token windows joined with a single space
   *              (' ' cannot occur inside a token, so the joined string
   *              is a collision-free key), char length = sum of token

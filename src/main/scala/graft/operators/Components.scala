@@ -76,22 +76,29 @@ object Components {
 
   /** Implementation with the convergence round count exposed (tests
     * assert the oracle's unrolled-CTE depth covers it with margin).
+    *
+    * The loop runs on a `newSession()` of the caller's SparkContext:
+    * it wants AQE off and a graph-sized shuffle width for the
+    * duration, and setting those on the caller's session would leak
+    * them into any concurrent query (and two concurrent loops would
+    * clobber each other's saved/restored values). The child session
+    * shares the SparkContext, cache manager, and catalog, so the
+    * transplanted plan and the returned labels interoperate freely
+    * with caller-side frames.
     */
   private[graft] def runRounds(pairs: DataFrame, idA: String,
       idB: String, maxRounds: Int, jumpsPerRound: Int = 1,
       shortcutRounds: Int = 2, shortcutDegreeCap: Int = 32): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
-    val conf = spark.conf
-    val aqePrev = conf.get("spark.sql.adaptive.enabled", "true")
-    val partsPrev = conf.get("spark.sql.shuffle.partitions", "200")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      runLoop(pairs, idA, idB, maxRounds, jumpsPerRound, shortcutRounds,
-        shortcutDegreeCap, partsPrev.toInt)
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqePrev)
-      conf.set("spark.sql.shuffle.partitions", partsPrev)
-    }
+    val caller = pairs.sparkSession
+    val sessionPartitions =
+      caller.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val loopSession = caller.newSession()
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val isolated = org.apache.spark.sql.graft.DatasetBridge
+      .transplant(pairs, loopSession)
+    val (labels, rounds) = runLoop(isolated, idA, idB, maxRounds,
+      jumpsPerRound, shortcutRounds, shortcutDegreeCap, sessionPartitions)
+    (org.apache.spark.sql.graft.DatasetBridge.transplant(labels, caller), rounds)
   }
 
   private def truncate(df: DataFrame): DataFrame =

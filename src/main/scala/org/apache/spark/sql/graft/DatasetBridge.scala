@@ -35,6 +35,24 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object DatasetBridge {
 
+  /** Re-homes a DataFrame onto another session of the same
+    * SparkContext (e.g. a `newSession()` with loop-tuned conf, so an
+    * iterative operator never mutates the caller's session-global
+    * conf). A checkpointed `LogicalRDD` leaf is rebuilt against the
+    * target session; any other plan is re-analyzed there — both are
+    * safe because sibling sessions share the SparkContext, cache
+    * manager, and catalog state that the plan's leaves reference.
+    */
+  def transplant(df: DataFrame, target: org.apache.spark.sql.SparkSession): DataFrame = {
+    val t = target.asInstanceOf[SparkSession]
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        Dataset.ofRows(t, LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming)(t, None, None))
+      case plan => Dataset.ofRows(t, plan)
+    }
+  }
+
   /** Eager local checkpoint that drops origin statistics but keeps the
     * materialized RDD, output attributes, partitioning, and ordering.
     */

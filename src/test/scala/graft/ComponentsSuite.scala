@@ -63,6 +63,23 @@ class ComponentsSuite extends SparkSuite {
     assert(Components.connectedComponents(empty).count() == 0)
   }
 
+  test("RAW propagate+jump fixpoint stays within the oracle's 16 unrolled rounds") {
+    // The neardup_clusters oracle unrolls CcOracleRounds=16 rounds of
+    // the RAW scheme (no shortcutting, one jump per round). This runs
+    // that exact scheme per SF and asserts the fixpoint lands at <= 15
+    // — an executable pin on the oracle margin, so a data or SF change
+    // that under-converges fails HERE and not as an opaque oracle hash
+    // mismatch. (Measured: 2 at sf0.001/sf0.01, 13 at sf0.1.)
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val pairs = Dedup.minHashCandidates(Tables.documents(spark, sf(d)))
+      val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40,
+        jumpsPerRound = 1, shortcutRounds = 0)
+      assert(rounds - 1 <= 15,
+        s"$d: raw fixpoint after ${rounds - 1} rounds — raise CcOracleRounds")
+      graft.core.OpCaches.release()
+    }
+  }
+
   test("minhash pairs converge within the oracle's unrolled depth at every SF") {
     // The oracle unrolls 16 propagate+jump rounds in SQL over the RAW
     // edge list (no shortcutting), which covers its own fixpoint (13
