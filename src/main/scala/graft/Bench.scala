@@ -35,10 +35,16 @@ object Bench {
       // and scheduling 32 near-empty reduce tasks per exchange was
       // ~60% of the floor (FloorProbe: j4_cartesian 0.35 -> 0.13 s;
       // work-dominated queries measure unchanged). parallelismFirst
-      // defaults to true precisely to favor raw parallelism; 16 MB
-      // advisory keeps real shuffles at full width on this box.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // defaults to true precisely to favor raw parallelism. The
+      // advisory size trades floor vs parallelism: 16m over-coalesced
+      // the mid-size window/join queries to 1-2 tasks (c2_evaluate
+      // 1.3 -> 2.6 s, c9_to_trec 1.1 -> 2.8 s vs round 4); 2m keeps
+      // the floor at ~0.19 s AND restores their width (1.9 / 1.25 s
+      // measured; heavies unchanged).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "2m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -50,7 +56,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).count().collect()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev: SPARK_GRAFT_ONLY=q1,q2 times a subset under identical
+    // session conf/warm-up (full runs leave it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       var failed = false
       val times = (1 to reps).map { _ =>
         // release prior runs' broadcasts/shuffles/caches so long
