@@ -77,12 +77,12 @@ object Components {
   /** Implementation with the convergence round count exposed (tests
     * assert the oracle's unrolled-CTE depth covers it with margin).
     *
-    * The loop runs on a `newSession()` of the caller's SparkContext:
-    * it wants AQE off and a graph-sized shuffle width for the
-    * duration, and setting those on the caller's session would leak
-    * them into any concurrent query (and two concurrent loops would
-    * clobber each other's saved/restored values). The child session
-    * shares the SparkContext, cache manager, and catalog, so the
+    * The loop runs on a clone of the caller's session (shared
+    * SparkContext/cache manager/catalog, runtime confs copied at
+    * clone time): it wants AQE off and a graph-sized shuffle width
+    * for the duration, and setting those on the caller's session
+    * would leak them into any concurrent query (and two concurrent
+    * loops would clobber each other's saved/restored values). The
     * transplanted plan and the returned labels interoperate freely
     * with caller-side frames.
     */
@@ -92,7 +92,7 @@ object Components {
     val caller = pairs.sparkSession
     val sessionPartitions =
       caller.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val loopSession = caller.newSession()
+    val loopSession = org.apache.spark.sql.graft.DatasetBridge.loopSession(caller)
     loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     val isolated = org.apache.spark.sql.graft.DatasetBridge
       .transplant(pairs, loopSession)

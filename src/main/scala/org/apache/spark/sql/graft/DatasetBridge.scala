@@ -35,13 +35,32 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object DatasetBridge {
 
-  /** Re-homes a DataFrame onto another session of the same
-    * SparkContext (e.g. a `newSession()` with loop-tuned conf, so an
+  /** A sibling session for iterative loops: a `cloneSession()` of the
+    * caller, so ALL of the caller's runtime confs (not just the
+    * builder-time options a bare `newSession()` would see — e.g. a
+    * runtime `spark.sql.legacy.parquet.nanosAsLong` or a tuned
+    * shuffle width) plus its temp views and registered functions are
+    * copied at clone time, while loop-local `conf.set` calls never
+    * leak back to the caller. The clone shares the SparkContext,
+    * cache manager, and external catalog.
+    */
+  def loopSession(caller: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    caller.asInstanceOf[SparkSession].cloneSession()
+
+  /** Re-homes a DataFrame onto a sibling session of the same
+    * SparkContext (e.g. a [[loopSession]] with loop-tuned conf, so an
     * iterative operator never mutates the caller's session-global
     * conf). A checkpointed `LogicalRDD` leaf is rebuilt against the
-    * target session; any other plan is re-analyzed there — both are
-    * safe because sibling sessions share the SparkContext, cache
-    * manager, and catalog state that the plan's leaves reference.
+    * target session; any other plan is re-analyzed there.
+    *
+    * Requires an already-ANALYZED plan: sibling sessions share the
+    * SparkContext, cache manager, and external catalog, but temp
+    * views and the function registry are per-session (a clone copies
+    * them once at clone time; they drift after), so a plan that still
+    * needs session-local resolution — unresolved relations against
+    * temp views, unresolved function names — may resolve differently
+    * or fail on the target. Analyzed leaves carry their resolved
+    * relations and function bindings with them.
     */
   def transplant(df: DataFrame, target: org.apache.spark.sql.SparkSession): DataFrame = {
     val t = target.asInstanceOf[SparkSession]

@@ -71,12 +71,13 @@ class ComponentsSuite extends SparkSuite {
     // that under-converges fails HERE and not as an opaque oracle hash
     // mismatch. (Measured: 2 at sf0.001/sf0.01, 13 at sf0.1.)
     for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val pairs = Dedup.minHashCandidates(Tables.documents(spark, sf(d)))
-      val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40,
-        jumpsPerRound = 1, shortcutRounds = 0)
-      assert(rounds - 1 <= 15,
-        s"$d: raw fixpoint after ${rounds - 1} rounds — raise CcOracleRounds")
-      graft.core.OpCaches.release()
+      try {
+        val pairs = Dedup.minHashCandidates(Tables.documents(spark, sf(d)))
+        val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40,
+          jumpsPerRound = 1, shortcutRounds = 0)
+        assert(rounds - 1 <= 15,
+          s"$d: raw fixpoint after ${rounds - 1} rounds — raise CcOracleRounds")
+      } finally graft.core.OpCaches.release()
     }
   }
 
@@ -88,10 +89,11 @@ class ComponentsSuite extends SparkSuite {
     // rounds (measured: 2 at sf0.001/sf0.01, 6 at sf0.1 after two
     // shortcut rounds; the final round is the no-change detector).
     for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val pairs = Dedup.minHashCandidates(Tables.documents(spark, sf(d)))
-      val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40)
-      assert(rounds - 1 <= 8, s"$d: fixpoint after ${rounds - 1} rounds — shortcutting regressed?")
-      graft.core.OpCaches.release()
+      try {
+        val pairs = Dedup.minHashCandidates(Tables.documents(spark, sf(d)))
+        val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40)
+        assert(rounds - 1 <= 8, s"$d: fixpoint after ${rounds - 1} rounds — shortcutting regressed?")
+      } finally graft.core.OpCaches.release()
     }
   }
 }
