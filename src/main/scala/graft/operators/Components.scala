@@ -121,10 +121,15 @@ object Components {
     // doubled edge list + self-loops: the self-loop row makes the
     // propagate join yield each node's OWN label too, so no union is
     // needed, and it regenerates existing edges during shortcutting
+    // materialize the incoming pair plan ONCE: the base union below
+    // references it four times, and an unpersisted upstream (e.g. the
+    // minhash band join) would re-execute per reference
+    val p0 = debugT("init_pairs")(truncate(
+      pairs.select(col(idA).as("a"), col(idB).as("b"))))
     val base = debugT("init_edges")(truncate(
-      pairs.select(col(idA).as("src"), col(idB).as("dst"))
-        .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-        .union(pairs.select(col(idA).as("s")).union(pairs.select(col(idB)))
+      p0.select(col("a").as("src"), col("b").as("dst"))
+        .union(p0.select(col("b").as("src"), col("a").as("dst")))
+        .union(p0.select(col("a").as("s")).union(p0.select(col("b")))
           .distinct().select(col("s").as("src"), col("s").as("dst")))))
 
     // size the loop's shuffle width to the graph, not the session: the
