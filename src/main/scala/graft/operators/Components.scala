@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DataType, DecimalType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list — the transitive
@@ -11,8 +11,12 @@ import org.apache.spark.storage.StorageLevel
   * transitive (dropping the higher id of each pair keeps both 1 and 2
   * for pairs (1,3),(2,3); the component {1,2,3} keeps only 1).
   *
-  * Algorithm: degree-capped 2-hop shortcutting followed by iterative
-  * min-label propagation with pointer jumping.
+  * Algorithm: a size-gated driver union-find for pair lists small
+  * enough to collect (the same call Spark's planner makes when it
+  * broadcasts a small join side — candidate pairs are the distillate
+  * of a near-dup pipeline and usually tiny relative to the corpus);
+  * above the gate, degree-capped 2-hop shortcutting followed by
+  * iterative min-label propagation with pointer jumping.
   *
   * Shortcut phase (once, before the loop): E' = E ∪ {(a,c) : (a,b),
   * (b,c) ∈ E, deg(b) ≤ cap}. Each application halves the effective
@@ -74,12 +78,31 @@ object Components {
       idB: String = "id_b", maxRounds: Int = 40): DataFrame =
     runRounds(pairs, idA, idB, maxRounds)._1
 
+  /** Pair count at or below which the component resolution runs as a
+    * single driver-side union-find instead of the iterative join loop
+    * — the same decision Spark's own planner makes when it broadcasts
+    * a small join side rather than shuffling both. Candidate-pair
+    * lists are the DISTILLATE of a near-dup pipeline (sf0.1: 60k docs
+    * -> 12.8k pairs), so even large corpora often land under this; a
+    * 100 TB corpus whose pair list exceeds it takes the distributed
+    * loop. 2M pairs ≈ tens of MB on the driver — conservative against
+    * a normal driver heap, configurable per call.
+    */
+  val DefaultDriverMaxPairs: Long = 2L * 1000 * 1000
+
   /** Implementation with the convergence round count exposed (tests
-    * assert the oracle's unrolled-CTE depth covers it with margin).
+    * assert the oracle's unrolled-CTE depth covers it with margin;
+    * the driver fast path reports 0 rounds).
     *
-    * The loop runs on a clone of the caller's session (shared
-    * SparkContext/cache manager/catalog, runtime confs copied at
-    * clone time): it wants AQE off and a graph-sized shuffle width
+    * The incoming pair plan is materialized ONCE (localCheckpoint) on
+    * the caller's session — downstream both paths reference it
+    * repeatedly, and an unpersisted upstream (e.g. the minhash band
+    * join) would re-execute per reference at scale. The checkpoint
+    * also yields the pair count for free, which gates the fast path.
+    *
+    * The distributed loop runs on a clone of the caller's session
+    * (shared SparkContext/cache manager/catalog, runtime confs copied
+    * at clone time): it wants AQE off and a graph-sized shuffle width
     * for the duration, and setting those on the caller's session
     * would leak them into any concurrent query (and two concurrent
     * loops would clobber each other's saved/restored values). The
@@ -88,17 +111,89 @@ object Components {
     */
   private[graft] def runRounds(pairs: DataFrame, idA: String,
       idB: String, maxRounds: Int, jumpsPerRound: Int = 1,
-      shortcutRounds: Int = 2, shortcutDegreeCap: Int = 32): (DataFrame, Int) = {
+      shortcutRounds: Int = 2, shortcutDegreeCap: Int = 32,
+      driverMaxPairs: Long = DefaultDriverMaxPairs): (DataFrame, Int) = {
     val caller = pairs.sparkSession
+    val p0 = debugT("init_pairs")(truncate(
+      pairs.select(col(idA).as("a"), col(idB).as("b"))))
+    val nPairs = p0.count()
+    val dts = p0.schema.fields.map(_.dataType)
+    if (nPairs <= driverMaxPairs && dts(0) == dts(1) &&
+        driverOrdering(dts(0)).isDefined)
+      return (debugT("driver_uf")(driverComponents(p0, dts(0))), 0)
     val sessionPartitions =
       caller.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val loopSession = org.apache.spark.sql.graft.DatasetBridge.loopSession(caller)
     loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     val isolated = org.apache.spark.sql.graft.DatasetBridge
-      .transplant(pairs, loopSession)
-    val (labels, rounds) = runLoop(isolated, idA, idB, maxRounds,
+      .transplant(p0, loopSession)
+    val (labels, rounds) = runLoop(isolated, maxRounds,
       jumpsPerRound, shortcutRounds, shortcutDegreeCap, sessionPartitions)
     (org.apache.spark.sql.graft.DatasetBridge.transplant(labels, caller), rounds)
+  }
+
+  /** Orderings the driver fast path supports; any other id type (or
+    * mismatched a/b types) falls through to the distributed loop,
+    * which is type-agnostic.
+    */
+  private def driverOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
+    case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+    case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+    case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+    case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+    case _ => None
+  }
+
+  /** Small-graph fast path: union-find with path halving on the
+    * collected pair list, then one pass assigning every node the
+    * minimum id of its component — identical semantics to the loop's
+    * fixpoint, at the cost of one collect instead of O(log d) joined
+    * rounds. Runs entirely on the caller's session; no clone, no
+    * conf changes, no checkpoints beyond the shared one.
+    */
+  private def driverComponents(p0: DataFrame, dt: DataType): DataFrame = {
+    val spark = p0.sparkSession
+    val ord = driverOrdering(dt).get
+    val rows = p0.collect()
+    val index = new java.util.HashMap[Any, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+    def idxOf(v: Any): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue()
+      else { val i = ids.length; ids += v; index.put(v, i); i }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val a = idxOf(r.get(0)); while (parent.length < ids.length) parent += parent.length
+        val b = idxOf(r.get(1)); while (parent.length < ids.length) parent += parent.length
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    // component minimum per root, then one labeled row per node
+    val minOfRoot = new java.util.HashMap[Int, Any]()
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minOfRoot.get(r)
+      if (cur == null || ord.lt(ids(i), cur)) minOfRoot.put(r, ids(i))
+      i += 1
+    }
+    val out = new java.util.ArrayList[Row](ids.length)
+    i = 0
+    while (i < ids.length) {
+      out.add(Row(ids(i), minOfRoot.get(find(i))))
+      i += 1
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", dt, nullable = false),
+      StructField("label", dt, nullable = false))))
   }
 
   private def truncate(df: DataFrame): DataFrame =
@@ -114,18 +209,15 @@ object Components {
       r
     }
 
-  private def runLoop(pairs: DataFrame, idA: String, idB: String,
+  private def runLoop(p0: DataFrame,
       maxRounds: Int, jumpsPerRound: Int, shortcutRounds: Int,
       shortcutDegreeCap: Int, sessionPartitions: Int): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
+    val spark = p0.sparkSession
     // doubled edge list + self-loops: the self-loop row makes the
     // propagate join yield each node's OWN label too, so no union is
-    // needed, and it regenerates existing edges during shortcutting
-    // materialize the incoming pair plan ONCE: the base union below
-    // references it four times, and an unpersisted upstream (e.g. the
-    // minhash band join) would re-execute per reference
-    val p0 = debugT("init_pairs")(truncate(
-      pairs.select(col(idA).as("a"), col(idB).as("b"))))
+    // needed, and it regenerates existing edges during shortcutting.
+    // p0 arrives pre-materialized (checkpointed by the caller) — the
+    // union below references it four times
     val base = debugT("init_edges")(truncate(
       p0.select(col("a").as("src"), col("b").as("dst"))
         .union(p0.select(col("b").as("src"), col("a").as("dst")))

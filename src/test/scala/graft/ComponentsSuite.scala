@@ -26,7 +26,7 @@ class ComponentsSuite extends SparkSuite {
   test("chain graph: min label reaches the far end in O(log n) rounds") {
     val chain = (0L until 16L).sliding(2).map(s => (s(0), s(1))).toSeq
     val (labels, rounds) = Components.runRounds(
-      chain.toDF("id_a", "id_b"), "id_a", "id_b", 40)
+      chain.toDF("id_a", "id_b"), "id_a", "id_b", 40, driverMaxPairs = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L until 16L).map(_ -> 0L).toMap)
     // diameter 15: plain propagation needs 15 rounds, the jump gets
@@ -56,6 +56,18 @@ class ComponentsSuite extends SparkSuite {
         (0 until n).filter(j => find(j) == root).min.toLong
       }).toMap
     assert(labelsOf(pairs) == want)
+    // the distributed loop (fast path force-disabled) must agree with
+    // the driver union-find on the identical graph
+    val (dist, _) = Components.runRounds(pairs.toDF("id_a", "id_b"),
+      "id_a", "id_b", 40, driverMaxPairs = 0)
+    assert(dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+  }
+
+  test("string ids take the driver fast path with lexicographic minima") {
+    val pairs = Seq(("b", "c"), ("a", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("empty pair list yields an empty labeling") {
@@ -74,7 +86,7 @@ class ComponentsSuite extends SparkSuite {
       try {
         val pairs = Dedup.minHashCandidates(Tables.documents(spark, sf(d)))
         val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40,
-          jumpsPerRound = 1, shortcutRounds = 0)
+          jumpsPerRound = 1, shortcutRounds = 0, driverMaxPairs = 0)
         assert(rounds - 1 <= 15,
           s"$d: raw fixpoint after ${rounds - 1} rounds — raise CcOracleRounds")
       } finally graft.core.OpCaches.release()
@@ -91,7 +103,8 @@ class ComponentsSuite extends SparkSuite {
     for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       try {
         val pairs = Dedup.minHashCandidates(Tables.documents(spark, sf(d)))
-        val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40)
+        val (_, rounds) = Components.runRounds(pairs, "id_a", "id_b", 40,
+          driverMaxPairs = 0)
         assert(rounds - 1 <= 8, s"$d: fixpoint after ${rounds - 1} rounds — shortcutting regressed?")
       } finally graft.core.OpCaches.release()
     }
