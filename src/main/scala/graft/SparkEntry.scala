@@ -560,8 +560,72 @@ object SparkEntry {
             .as("running_qty"),
           lag(col("l_quantity"), 1).over(w).as("prev_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // Full-text retrieval: BM25 top-10 documents per query (Okapi
+    // BM25, Lucene-style non-negative idf). The query-term set
+    // broadcasts and prunes the token stream before the tf shuffle;
+    // per-term weights quantize to exact integers so the score sum is
+    // order-independent; per-query top-k via the bounded aggregate
+    "bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val q = Bm25Queries.toDF("query_id", "term")
+      graft.operators.Retrieval.bm25TopK(
+        Tables.documents(s, dir), q, k = 10, k1 = Bm25K1, b = Bm25B)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Data mixing: cap each source's contribution at a token budget,
+    // walking docs best-quality-first — exact integer cumulative sum,
+    // narrow window rows, winners semi-join back to full rows
+    "domain_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Curation.tokenBudget(docs,
+        TextFunctions.qualityScore(col("text")),
+        TextFunctions.tokenCount(col("text")),
+        Seq("source"), "doc_id", budget = 800L)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality-proportional deterministic sampling: acceptance
+    // probability = min(n_tokens/100, 1) keyed on the content hash —
+    // no RNG, no shuffle, reproducible at any parallelism
+    "sample_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir), "doc_id",
+        least(TextFunctions.tokenCount(col("text")).cast("double") / lit(100.0),
+          lit(1.0)))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // Set operations as explicit API, (user, day) grain: days a user
+    // both viewed and purchased but saw no error (INTERSECT then
+    // EXCEPT, both distinct; user-level sets are vacuous here — every
+    // user has every event type)
+    "set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // ts is raw nanos (see Tables.events) — day index via exact
+      // integer division, never a double round-trip
+      def days(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      days("view").intersect(days("purchase")).except(days("error"))
+        .orderBy("user_id", "d")
     })
   )
+
+  // BM25 constants shared by the Spark side and the oracle text —
+  // all floating constants are pre-folded HERE so both engines parse
+  // the identical shortest-round-trip decimal
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark"), (1L, "join"),
+    (2L, "hash"), (2L, "table"), (2L, "scan"),
+    (3L, "stream"), (3L, "window"),
+    (4L, "vector"), (4L, "nosuchterm"))
 
   // --- text-oracle fragments (generated from the same constants the
   // --- Spark expressions use, so the two sides cannot drift) ---------
@@ -1323,6 +1387,84 @@ object SparkEntry {
         |         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
         |FROM lineitem
         |WHERE l_suppkey < 5
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // mirrors Retrieval.bm25TopK token-for-token: same tokenizer,
+    // avgdl as exact sum/count (never avg()), identical
+    // left-associative floating tree with constants pre-folded in
+    // Scala, per-term weights quantized to integers before the sum,
+    // rank on the exact scaled integer (ws DESC, doc_id)
+    "bm25_topk" ->
+      s"""WITH qr(query_id, term) AS (VALUES
+         |  ${Bm25Queries.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")}),
+         |tokq AS (SELECT doc_id, term
+         |         FROM (SELECT doc_id, unnest($TokensExpr) AS term FROM documents)
+         |         WHERE term IN (SELECT term FROM qr)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokq GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, $NTokensExpr AS dl FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |w AS (SELECT query_id, doc_id,
+         |        CAST(floor(
+         |          ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |          * ((CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
+         |             (CAST(tf AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * (CAST(dl AS DOUBLE) / avgdl))))
+         |          * 1.0e9) AS BIGINT) AS w
+         |      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+         |           CROSS JOIN st JOIN qr USING (term)),
+         |s AS (SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS ws FROM w GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, ws,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY ws DESC, doc_id) AS r
+         |       FROM s)
+         |SELECT query_id, CAST(r AS INT) AS rank, doc_id,
+         |       CAST(ws AS DOUBLE) / 1.0e9 AS score
+         |FROM rk WHERE r <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Curation.tokenBudget over TextFunctions.qualityScore:
+    // same quality expression as the quality_score oracle, exact
+    // integer running token total (quality DESC, doc_id) per source,
+    // keep while the INCLUSIVE cumsum fits the budget
+    "domain_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |             $NTokensExpr AS n_tok,
+         |             len(list_filter($TokensExpr, x -> x IN (${inList(sw("en"))}))) AS en_hits,
+         |             $NPunctExpr AS n_punct
+         |           FROM documents),
+         |q AS (SELECT doc_id, source, n_tok,
+         |        (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(en_hits AS DOUBLE) / n_tok END)
+         |        - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / length(text) END)
+         |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS quality
+         |      FROM t),
+         |c AS (SELECT doc_id, source, n_tok,
+         |        CAST(sum(n_tok) OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM q)
+         |SELECT doc_id, source, n_tok, cum_tokens
+         |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sampling.weightedSample: 48-bit md5 prefix vs
+    // floor(clamp(min(n_tok/100, 1)) * 2^48) — exact integers on both
+    // sides of the comparison
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id, lang, $NTokensExpr AS n_tok FROM documents)
+         |SELECT doc_id, lang FROM t
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT
+         |      < floor(least(greatest(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0), 0.0), 1.0) * 281474976710656.0)
+         |ORDER BY doc_id""".stripMargin,
+
+    "set_ops" ->
+      """SELECT user_id, d FROM (
+        |  (SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |   FROM events WHERE event_type = 'view'
+        |   INTERSECT
+        |   SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |   FROM events WHERE event_type = 'purchase')
+        |  EXCEPT
+        |  SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |  FROM events WHERE event_type = 'error')
+        |ORDER BY user_id, d""".stripMargin
   )
 }

@@ -73,4 +73,39 @@ object Curation {
       .select(col("col.id").as(idCol))
     df.join(kept, Seq(idCol), "left_semi")
   }
+
+  /** Token-budget curation: walking each stratum best-first
+    * (scoreCol desc, idCol asc), keep rows while the running token
+    * total stays within `budget` — the "data mixing" step that caps
+    * each domain/source's contribution to a training corpus at a
+    * token budget rather than a row count.
+    *
+    * The running total is an exact integer cumulative sum INCLUDING
+    * the current row, so a row is kept iff it fits entirely; one
+    * oversized row at the front of a stratum can exclude everything
+    * after it only if it fits itself (budget semantics, not a greedy
+    * knapsack). Adds `cum_tokens`.
+    *
+    * Scale shape: one shuffle on the stratum key; the window carries
+    * only (strata, score, tokens, id)-width rows, then winners
+    * semi-join back to the full rows — payload columns never enter
+    * the sort. Deterministic at any parallelism: the order key is
+    * total and the cumsum is integer-exact.
+    */
+  def tokenBudget(df: DataFrame, scoreCol: Column, tokensCol: Column,
+      strataCols: Seq[String], idCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    val strata = strataCols.map(col)
+    val narrow = df.select(
+      strata :+ scoreCol.as("__score") :+
+        tokensCol.cast("long").as("__tok") :+ col(idCol): _*)
+    val w = Window.partitionBy(strata: _*)
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = narrow
+      .withColumn("cum_tokens", sum(col("__tok")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("cum_tokens"))
+    df.join(kept, Seq(idCol))
+  }
 }

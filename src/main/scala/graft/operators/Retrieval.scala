@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, TopKFunctions}
+
+/** Full-text retrieval over the document corpus: BM25 scoring of a
+  * (small) query set against every document, top-k per query.
+  *
+  * Okapi BM25 with the Robertson/Sparck-Jones idf in its
+  * Lucene-standard non-negative form, idf = ln(1 + (N - df + 0.5) /
+  * (df + 0.5)) (Robertson & Zaragoza, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond", FnTIR 2009). The reference engine's
+  * domain is selective search over sharded retrieval runs
+  * (`/root/reference/dataproc/selectivesearch.py`); this operator
+  * supplies the scoring side a user of such a pipeline runs upstream.
+  *
+  * Scale shape (the design target is a corpus far larger than the
+  * query set):
+  *  - the query term set broadcasts and semi-join-prunes the exploded
+  *    token stream BEFORE the tf aggregation, so the only shuffle
+  *    over corpus-sized data carries (doc_id, matched-term) rows —
+  *    tokens that match no query never leave the map side;
+  *  - document frequencies aggregate over that pruned stream (at most
+  *    |query terms| groups) and broadcast back;
+  *  - per-term weights are computed row-local and quantized to an
+  *    exact integer (floor(w * 1e9)), so the per-document sum is
+  *    order-independent — byte-identical at any parallelism, and
+  *    reproducible against a single-threaded oracle;
+  *  - the per-query top-k uses the bounded [[TopKFunctions.top_k]]
+  *    aggregate: each map task ships at most k (score, doc) pairs per
+  *    query, never a corpus-sized sorted run.
+  *
+  * Corpus statistics (N, avgdl) reduce to one broadcast row; avgdl is
+  * computed as exact-integer sum(dl)/N rather than avg(), whose
+  * streaming accumulation order engines disagree on.
+  */
+object Retrieval {
+
+  /** Top-k documents per query by BM25.
+    *
+    * @param docs    corpus with `idCol` (long) and `textCol` (string)
+    * @param queries (queryIdCol, termCol) rows — one row per query term;
+    *                terms absent from the corpus contribute nothing
+    * @return (query_id, rank, doc_id, score) — rank 1-based by
+    *         (score desc, doc_id asc); score = quantized BM25 sum
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
+    val dl = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // all floating steps mirror the oracle SQL token-for-token:
+    // left-associative, constants pre-folded in Scala and printed via
+    // shortest-round-trip toString on both sides
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfn = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val w = tf
+      .join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * tfn * lit(1.0e9)).as("w"))
+    // rank on the exact scaled integer (as double: < 2^53, lossless);
+    // divide back to the real-valued score only at the output edge
+    val scored = w.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("ws"))
+      .select(col("query_id"), col("doc_id"), col("ws").cast("double").as("wsd"))
+    scored.groupBy(col("query_id"))
+      .agg(TopKFunctions.top_k(col("wsd"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"),
+        (col("col.score") / lit(1.0e9)).as("score"))
+  }
+}

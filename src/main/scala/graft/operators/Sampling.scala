@@ -49,6 +49,22 @@ object Sampling {
       salt: String = "graft"): DataFrame =
     df.filter(hash48(col(idCol), salt) < lit(threshold48(fraction)))
 
+  /** Deterministic WEIGHTED Bernoulli sample: keep a row iff its hash
+    * falls under `weight` of the 48-bit space, where the weight is a
+    * per-row column (clamped to [0,1]) — quality-proportional
+    * downsampling ("keep good documents with higher probability")
+    * with the same reproducibility story as [[bernoulliSample]]:
+    * stateless per-row filter, no shuffle, no RNG. The threshold is
+    * floor(weight * 2^48) — exact for any weight the engines compute
+    * identically.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      salt: String = "graft"): DataFrame = {
+    val clamped = least(greatest(weight, lit(0.0)), lit(1.0))
+    df.filter(hash48(col(idCol), salt) <
+      floor(clamped * lit(281474976710656.0)))
+  }
+
   /** Deterministic stratified sample: the `k` rows with the smallest
     * (hash, id) per stratum — a hash-ranked reservoir, reproducible
     * at any parallelism. Returns the stratum and id columns plus
