@@ -22,8 +22,9 @@ import graft.functions.{TextFunctions, TopKFunctions}
   *    token stream BEFORE the tf aggregation, so the only shuffle
   *    over corpus-sized data carries (doc_id, matched-term) rows —
   *    tokens that match no query never leave the map side;
-  *  - document frequencies aggregate over that pruned stream (at most
-  *    |query terms| groups) and broadcast back;
+  *  - document frequencies come from a window over the pruned
+  *    (doc, term) counts — at most |query terms| partitions, no
+  *    second pass over the corpus;
   *  - per-term weights are computed row-local and quantized to an
   *    exact integer (floor(w * 1e9)), so the per-document sum is
   *    order-independent — byte-identical at any parallelism, and
@@ -50,18 +51,27 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text",
       queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
-    val dl = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokenCount(col(textCol)).as("dl"))
+    // dl is referenced twice (the per-doc join and the corpus-stats
+    // row) — a tracked cache keeps its corpus pass at one; (doc_id,
+    // dl) is two machine words per document, safely cacheable at any
+    // corpus size (release via OpCaches.release() after the action)
+    val dl = graft.core.OpCaches.persistTracked(
+      docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
+    // df as a window over tf rather than a groupBy + self-join: tf is
+    // already pruned to query terms, and the window avoids executing
+    // the tokenize pass a second time for the df counts
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
     // all floating steps mirror the oracle SQL token-for-token:
     // left-associative, constants pre-folded in Scala and printed via
     // shortest-round-trip toString on both sides
@@ -72,7 +82,6 @@ object Retrieval {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
     val w = tf
-      .join(broadcast(dft), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .join(broadcast(q), Seq("term"))
