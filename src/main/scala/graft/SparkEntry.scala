@@ -301,6 +301,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental ingest dedup: near-dup candidates touching the NEW
+    // batch (doc_id % 5 == 0 plays the day's ingest) against the
+    // existing corpus — new-vs-old and new-vs-new pairs only, the
+    // corpus is never self-joined
+    "minhash_incremental_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalMinHashCandidates(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Near-dedup, exact verification path: n-gram Jaccard on pairs
     // sharing a shingle, WITH the stop-shingle df cap engaged — hot
     // shingles contribute df^2 join rows, the precise 100 TB blowup,
@@ -1022,6 +1034,17 @@ object SparkEntry {
          |SELECT id_a, id_b,
          |       CAST(len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors Dedup.incrementalMinHashCandidates: the full banded
+    // pair set (identical signatures/banding — incremental + historic
+    // == from-scratch) restricted to pairs touching the new batch
+    "minhash_incremental_pairs" ->
+      s"""WITH $MinhashPairsCtes
+         |SELECT id_a, id_b,
+         |       CAST(len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard
+         |FROM pairs
+         |WHERE id_a % 5 = 0 OR id_b % 5 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // mirrors Components.connectedComponents over the minhash
     // candidate pairs: the propagate+jump rounds unroll into chained

@@ -116,6 +116,64 @@ object Dedup {
     * release after materializing via `OpCaches.release()` or
     * `OpCaches.materializeAndRelease(result)`.
     */
+  /** Fraction of agreeing signature rows — the banded paths' shared
+    * Jaccard estimate.
+    */
+  private def sigAgreement(numHashes: Int): Column =
+    aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+      .cast("double") / numHashes
+
+  /** Incremental near-dup candidates for a batch ingest: every pair
+    * with at least one NEW document — new-vs-corpus and new-vs-new,
+    * never corpus-vs-corpus (pairs an up-to-date pipeline has already
+    * resolved). Same signatures/banding/estimate as
+    * [[minHashCandidates]], so the union of this result with the
+    * corpus's own historical pairs equals a from-scratch run.
+    *
+    * Scale shape: the band join probes the (small) new batch's band
+    * keys against the combined band index instead of self-joining the
+    * full corpus — per-band cost is |new-in-bucket| x bucket size,
+    * not bucket-size², which is the difference between a daily ingest
+    * and a full recluster at 100 TB. Pairs travel as bare normalized
+    * (id_a, id_b) and are distinct'd before signatures join back. In
+    * production the corpus side's (id, sig) pairs come from a stored
+    * signature index; signatures are deterministic content hashes, so
+    * recomputing them here from the corpus frame is byte-identical to
+    * reading that index.
+    */
+  def incrementalMinHashCandidates(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val tagged = newDocs.select(col(idCol), col(textCol), lit(true).as("__new"))
+      .union(corpus.select(col(idCol), col(textCol), lit(false).as("__new")))
+    val signed = minHashSignatures(tagged, textCol, idCol, n, numHashes)
+      .join(tagged.select(col(idCol), col("__new")), Seq(idCol))
+      .transform(graft.core.OpCaches.persistTracked)
+    val banded = signed.select(
+        col(idCol), col("__new"),
+        posexplode(lshBandKeys(col("sig"), bands, r)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val pairs = banded.filter(col("__new"))
+      .select(col("band_idx"), col("band_key"), col(idCol).as("id_x"))
+      .join(banded.select(
+        col("band_idx"), col("band_key"), col(idCol).as("id_y")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    pairs
+      .join(signed.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(signed.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), sigAgreement(numHashes).as("est_jaccard"))
+  }
+
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
@@ -130,12 +188,7 @@ object Dedup {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
     bandedCandidatePairs(banded, signed, idCol, "band_key")
-      .select(col("id_a"), col("id_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x)
-          .cast("double") / numHashes).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), sigAgreement(numHashes).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard for every pair sharing at least one shingle.

@@ -206,4 +206,20 @@ class TextDedupSuite extends SparkSuite {
     val got = Dedup.simHashPairs(docs, maxHamming = 3).collect()
     assert(got.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L && r.getInt(2) == 0))
   }
+
+  test("incremental minhash == full run restricted to pairs touching the batch") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val full = Dedup.minHashCandidates(docs).collect().map(key).toSet
+    graft.core.OpCaches.release()
+    val isNew = (id: Long) => id % 5 == 0
+    val inc = Dedup.incrementalMinHashCandidates(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0)).collect().map(key).toSet
+    assert(inc == full.filter(p => isNew(p._1) || isNew(p._2)))
+    assert(inc.nonEmpty, "vacuous split — adjust the batch predicate")
+    // the invariant the ingest pipeline relies on: no corpus-corpus pair
+    assert(inc.forall(p => isNew(p._1) || isNew(p._2)))
+  }
 }
