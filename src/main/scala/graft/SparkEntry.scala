@@ -516,6 +516,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Product quantization (memory-side ANN scale path): 4 subspaces
+    // x 16-entry sample codebooks, documents stored as 4 small codes,
+    // queries score via exact-integer ADC table lookups
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Sessionization (relational form): 30-min-gap user sessions via
     // lag + cumulative-sum windows; exact-cents totals
     "sessionize_batch" -> ((s, dir) => {
@@ -875,6 +884,38 @@ object SparkEntry {
          |        FROM scored)
          |SELECT query_id, vec_id, cosine, rank FROM rk2 WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Pq.pqTopK: sample sub-codebooks from the 16 lowest-id
+    // vectors' quantized sub-slices (4 subspaces x 16 dims), exact
+    // integer L2 argmin encode with ties to the LOWER code index, ADC
+    // distance-table scoring, rank (pq_dist ASC, vec_id ASC). Spark
+    // expands (a-b)² as a²+b²-2ab over native integer dots — same
+    // integers, so the forms cannot diverge
+    "ann_pq_topk" ->
+      s"""WITH $QuantCte,
+         |low AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM qn
+         |        QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+         |cb AS (SELECT sub.s, low.j,
+         |         list_slice(low.v, sub.s * 16 + 1, sub.s * 16 + 16) AS e
+         |       FROM low CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) sub),
+         |enc AS (SELECT vec_id, s, j AS code FROM (
+         |          SELECT qn.vec_id, cb.s, cb.j,
+         |            row_number() OVER (PARTITION BY qn.vec_id, cb.s ORDER BY
+         |              list_sum(list_transform(generate_series(1, 16),
+         |                i -> (qn.v[cb.s * 16 + i] - cb.e[i]) * (qn.v[cb.s * 16 + i] - cb.e[i]))), cb.j) AS r
+         |          FROM qn CROSS JOIN cb) WHERE r = 1),
+         |dtab AS (SELECT q.vec_id AS query_id, cb.s, cb.j,
+         |           CAST(list_sum(list_transform(generate_series(1, 16),
+         |             i -> (q.v[cb.s * 16 + i] - cb.e[i]) * (q.v[cb.s * 16 + i] - cb.e[i]))) AS BIGINT) AS d
+         |         FROM qn q CROSS JOIN cb WHERE q.vec_id < 8),
+         |sc AS (SELECT dtab.query_id, enc.vec_id, CAST(sum(dtab.d) AS BIGINT) AS pq_dist
+         |       FROM enc JOIN dtab ON enc.s = dtab.s AND enc.code = dtab.j
+         |       WHERE dtab.query_id != enc.vec_id GROUP BY 1, 2),
+         |rk AS (SELECT query_id, vec_id, pq_dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, vec_id) AS r
+         |       FROM sc)
+         |SELECT query_id, CAST(r AS INT) AS rank, vec_id, pq_dist
+         |FROM rk WHERE r <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "embedding_neardup_pairs" ->
       s"""WITH $QuantCte,

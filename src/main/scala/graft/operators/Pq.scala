@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding search — the MEMORY-side
+  * scale path beside IVF's compute-side one (Jégou, Douze & Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * The vector space splits into `m` subspaces; each subspace gets a
+  * small codebook, and every vector is stored as `m` small codes —
+  * 4 bytes here versus 256+ for the raw vector, the difference
+  * between an embedding index that fits executor memory at 10^10
+  * vectors and one that does not. Queries score documents with
+  * asymmetric distance computation (ADC): one exact distance TABLE
+  * per (query, subspace, code) — |Q| x m x ksub rows, broadcast —
+  * then every document's distance is m integer table lookups summed,
+  * never a touch of the raw corpus vector.
+  *
+  * Codebook: the sub-vectors of the `ksub` lowest-id vectors — the
+  * same deterministic, SQL-rebuildable convention as the IVF centroid
+  * sample, so the whole pipeline is hash-exact against a relational
+  * oracle. A fitted k-means sub-codebook (per subspace, via
+  * [[KMeans]]) slots through the same (subspace, code, entry)
+  * contract when quantization quality matters more than oracle
+  * replay; codebook quality changes recall, not the operator's shape.
+  *
+  * Numerics: all distances are exact integer L2 on the quantized
+  * (×1000) vectors — argmin ties break on the lower code index,
+  * ranking ties on the lower vector id, so results are deterministic
+  * at any parallelism and engine.
+  *
+  * Scale shape: the codebook is m x ksub sub-vectors — driver-side
+  * tiny at any corpus size; encoding is one projection over the
+  * corpus with m x ksub native integer dot products per row (no
+  * shuffle, no join); the ADC scan shuffles only (query_id, vec_id,
+  * partial-sum) rows into a map-side-combined aggregation, and the
+  * per-query result is bounded by the top-k aggregate. Nothing wider
+  * than the m-byte code array persists per document.
+  */
+object Pq {
+
+  /** Driver-side codebook: `codebook(s)(j)` = the j-th entry of
+    * subspace s, taken from the `ksub` lowest-id vectors' quantized
+    * sub-slices (deterministic; mirrors the IVF centroid-sample
+    * convention).
+    */
+  def codebook(corpus: DataFrame, m: Int, ksub: Int,
+      embCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Array[Long]]] = {
+    val rows = Similarity.prepared(corpus, embCol, idCol)
+      .orderBy(col(idCol)).limit(ksub)
+      .select(col("v")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(rows.nonEmpty, "empty corpus — no codebook")
+    val dim = rows(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    Array.tabulate(m, rows.length)((s, j) => rows(j).slice(s * sub, s * sub + sub))
+  }
+
+  /** (idCol, codes) — `codes(s)` = index of the nearest codebook entry
+    * of subspace s by exact integer L2, ties to the lower index.
+    * Expansion (a-b)² = a²+b²-2ab keeps every per-entry distance a
+    * native codegen'd [[graft.functions.VectorFunctions.dot_long]]
+    * instead of an interpreted higher-order zip.
+    */
+  def encode(prep: DataFrame, cb: Array[Array[Array[Long]]],
+      idCol: String = "vec_id"): DataFrame = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val vs = slice(col("v"), s * sub + 1, sub)
+      val vn2 = Similarity.dotQ(vs, vs)
+      val cands = cb(s).indices.map { j =>
+        val e = cb(s)(j)
+        val en2 = e.map(x => x * x).sum
+        struct(
+          (vn2 + lit(en2) - lit(2L) * Similarity.dotQ(vs, lit(e))).as("d"),
+          lit(j).as("j"))
+      }
+      least(cands: _*).getField("j").as(s"__c$s")
+    }
+    prep.select(col(idCol) +: codeCols: _*)
+      .select(col(idCol), array((0 until m).map(s => col(s"__c$s")): _*).as("codes"))
+  }
+
+  /** ADC distance table for every query row: (query_id, s, j, d) with
+    * d = exact integer L2 between the query's subspace-s slice and
+    * codebook entry j.
+    */
+  private def distTable(qprep: DataFrame, cb: Array[Array[Array[Long]]],
+      idCol: String): DataFrame = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val entries = (0 until m).flatMap { s =>
+      val vs = slice(col("v"), s * sub + 1, sub)
+      val vn2 = Similarity.dotQ(vs, vs)
+      cb(s).indices.map { j =>
+        val e = cb(s)(j)
+        val en2 = e.map(x => x * x).sum
+        struct(lit(s).as("s"), lit(j).as("j"),
+          (vn2 + lit(en2) - lit(2L) * Similarity.dotQ(vs, lit(e))).as("d"))
+      }
+    }
+    qprep.select(col(idCol).as("query_id"), explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.j").as("j"), col("e.d").as("d"))
+  }
+
+  /** PQ-ADC top-k: every document scored as the sum of its m table
+    * lookups (full PQ scan — compose with an IVF cell filter for
+    * IVF+PQ), ranked (distance asc, id asc), self-matches excluded.
+    * Returns (query_id, rank, vec_id, pq_dist).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 16,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val prep = Similarity.prepared(corpus, embCol, idCol)
+    val cb = codebook(corpus, m, ksub, embCol, idCol)
+    val codes = encode(prep, cb, idCol)
+    val dtab = distTable(Similarity.prepared(queries, embCol, idCol), cb, idCol)
+    val scored = codes
+      .select(col(idCol), posexplode(col("codes")))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "j")
+      .join(broadcast(dtab), Seq("s", "j"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("d")).as("pq_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions
+        .top_k((-col("pq_dist")).cast("double"), col(idCol), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol),
+        (-col("col.score")).cast("long").as("pq_dist"))
+  }
+}

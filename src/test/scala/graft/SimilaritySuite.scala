@@ -184,4 +184,46 @@ class SimilaritySuite extends SparkSuite {
     assert(pairs.contains((0L, 4L)) && pairs.contains((1L, 4L)))
     assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
   }
+
+  private def pqCorpus(n: Int, dim: Int, seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map(i => (i.toLong,
+      Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pq: codebook vectors encode to their own index (zero quantization error)") {
+    val c = pqCorpus(64, 32, seed = 5)
+    val cb = graft.operators.Pq.codebook(c, m = 4, ksub = 16)
+    assert(cb.length == 4 && cb(0).length == 16 && cb(0)(0).length == 8)
+    val codes = graft.operators.Pq.encode(
+      Similarity.prepared(c, "embedding", "vec_id"), cb)
+      .filter($"vec_id" < 16).orderBy("vec_id").collect()
+    codes.foreach { r =>
+      val id = r.getLong(0).toInt
+      assert(r.getSeq[Int](1) == Seq.fill(4)(id),
+        s"vec $id should be its own nearest codebook entry in every subspace")
+    }
+  }
+
+  test("pq: an exact duplicate ranks first by ADC distance") {
+    import org.apache.spark.sql.functions.lit
+    val base = pqCorpus(100, 32, seed = 7)
+    val dup = base.filter($"vec_id" === 50L)
+      .select(lit(999L).as("vec_id"), $"embedding")
+    val c = base.union(dup)
+    val got = graft.operators.Pq.pqTopK(
+      c, c.filter($"vec_id" === 50L), k = 3, m = 4, ksub = 16)
+      .orderBy("rank").collect()
+    // identical vector -> identical codes -> minimal (equal) ADC
+    // distance; no self-match in the result
+    assert(got(0).getLong(2) == 999L)
+    assert(got.forall(_.getLong(2) != 50L))
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // deterministic across runs
+    val again = graft.operators.Pq.pqTopK(
+      c, c.filter($"vec_id" === 50L), k = 3, m = 4, ksub = 16)
+      .orderBy("rank").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
