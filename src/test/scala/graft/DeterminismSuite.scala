@@ -22,7 +22,11 @@ class DeterminismSuite extends SparkSuite {
     "c8_select_buckets",      // flatMapGroups greedy resolver
     "sample_stratified",      // bounded top-k reservoir
     "quality_topp",           // per-stratum rank cut
-    "sessionize_batch")       // lag/cumsum windows
+    "sessionize_batch",       // lag/cumsum windows
+    "bm25_topk",              // quantized order-free sum + bounded top-k
+    "minhash_incremental_pairs", // asymmetric band probe
+    "domain_token_budget",    // exact cumsum window walk
+    "ann_pq_topk")            // ADC table-lookup sum + argmin encode
 
   test("registered queries are identical at 3 and 17 shuffle partitions") {
     val dir = sf("sf0.001")
