@@ -17,6 +17,7 @@ import graft.operators.{Components, Curation, Dedup, Sampling}
   *                                >= 0.9, transitive components, keep
   *                                the component-minimum id)
   *     -> quality filter         (top 75% per language by score)
+  *     -> token-budget mixing    (per-source cap, best-quality-first)
   *     -> stratified sample      (100 docs per language, hash-ranked)
   *     -> parquet sink
   *
@@ -62,17 +63,25 @@ object CurationDemo {
       "doc_id", 0.75)
     val n3 = filtered.count()
 
-    // 4. deterministic stratified sample: 100 per language
-    val sampled = Sampling.stratifiedSampleRows(
-      filtered, Seq("lang"), "doc_id", 100)
+    // 4. data mixing: cap each source's token contribution,
+    // best-quality-first (exact integer running total)
+    val mixed = Curation.tokenBudget(filtered,
+      TextFunctions.qualityScore(col("text")),
+      TextFunctions.tokenCount(col("text")),
+      Seq("source"), "doc_id", budget = 500L)
+    val n4 = mixed.count()
 
-    // 5. sink + release the operator-held caches in one call
+    // 5. deterministic stratified sample: 100 per language
+    val sampled = Sampling.stratifiedSampleRows(
+      mixed.drop("cum_tokens"), Seq("lang"), "doc_id", 100)
+
+    // 6. sink + release the operator-held caches in one call
     OpCaches.materializeAndRelease(sampled)
     sampled.write.mode("overwrite").partitionBy("lang").parquet(outDir)
-    val n4 = spark.read.parquet(outDir).count()
+    val n5 = spark.read.parquet(outDir).count()
 
     println(s"CURATION_OK in=$n0 exact_dedup=$n1 near_dedup=$n2 " +
-      s"quality=$n3 sampled=$n4 out=$outDir")
+      s"quality=$n3 mixed=$n4 sampled=$n5 out=$outDir")
     spark.stop()
   }
 }
