@@ -525,6 +525,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF+PQ: ADC scan restricted to each query's probed IVF cells —
+    // IVF cuts the scanned fraction, PQ the bytes per scanned vector
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 8), 5,
+        numCentroids = 64, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // Sessionization (relational form): 30-min-gap user sessions via
     // lag + cumulative-sum windows; exact-cents totals
     "sessionize_batch" -> ((s, dir) => {
@@ -701,6 +710,26 @@ object SparkEntry {
        |          list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.cv[i]))
        |            / sqrt(CAST(q.n2 * c.cn2 AS DOUBLE)) DESC, c.cent_id) AS rk
        | FROM qn q CROSS JOIN cent c$where)""".stripMargin
+
+  // the PQ codebook/encode/distance-table pipeline as reusable CTEs
+  // (shared by the plain-PQ and the IVF+PQ oracle): 4 subspaces x 16
+  // dims, 16-entry sample codebooks from the lowest-id vectors
+  private val PqCtes =
+    s"""low AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM qn
+       |        QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+       |cb AS (SELECT sub.s, low.j,
+       |         list_slice(low.v, sub.s * 16 + 1, sub.s * 16 + 16) AS e
+       |       FROM low CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) sub),
+       |enc AS (SELECT vec_id, s, j AS code FROM (
+       |          SELECT qn.vec_id, cb.s, cb.j,
+       |            row_number() OVER (PARTITION BY qn.vec_id, cb.s ORDER BY
+       |              list_sum(list_transform(generate_series(1, 16),
+       |                i -> (qn.v[cb.s * 16 + i] - cb.e[i]) * (qn.v[cb.s * 16 + i] - cb.e[i]))), cb.j) AS r
+       |          FROM qn CROSS JOIN cb) WHERE r = 1),
+       |dtab AS (SELECT q.vec_id AS query_id, cb.s, cb.j,
+       |           CAST(list_sum(list_transform(generate_series(1, 16),
+       |             i -> (q.v[cb.s * 16 + i] - cb.e[i]) * (q.v[cb.s * 16 + i] - cb.e[i]))) AS BIGINT) AS d
+       |         FROM qn q CROSS JOIN cb WHERE q.vec_id < 8)""".stripMargin
 
   // the minhash signature/banding/candidate pipeline as reusable CTEs
   // (shared by the pair query and the cluster-resolution query)
@@ -893,24 +922,36 @@ object SparkEntry {
     // integers, so the forms cannot diverge
     "ann_pq_topk" ->
       s"""WITH $QuantCte,
-         |low AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM qn
-         |        QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
-         |cb AS (SELECT sub.s, low.j,
-         |         list_slice(low.v, sub.s * 16 + 1, sub.s * 16 + 16) AS e
-         |       FROM low CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) sub),
-         |enc AS (SELECT vec_id, s, j AS code FROM (
-         |          SELECT qn.vec_id, cb.s, cb.j,
-         |            row_number() OVER (PARTITION BY qn.vec_id, cb.s ORDER BY
-         |              list_sum(list_transform(generate_series(1, 16),
-         |                i -> (qn.v[cb.s * 16 + i] - cb.e[i]) * (qn.v[cb.s * 16 + i] - cb.e[i]))), cb.j) AS r
-         |          FROM qn CROSS JOIN cb) WHERE r = 1),
-         |dtab AS (SELECT q.vec_id AS query_id, cb.s, cb.j,
-         |           CAST(list_sum(list_transform(generate_series(1, 16),
-         |             i -> (q.v[cb.s * 16 + i] - cb.e[i]) * (q.v[cb.s * 16 + i] - cb.e[i]))) AS BIGINT) AS d
-         |         FROM qn q CROSS JOIN cb WHERE q.vec_id < 8),
+         |$PqCtes,
          |sc AS (SELECT dtab.query_id, enc.vec_id, CAST(sum(dtab.d) AS BIGINT) AS pq_dist
          |       FROM enc JOIN dtab ON enc.s = dtab.s AND enc.code = dtab.j
          |       WHERE dtab.query_id != enc.vec_id GROUP BY 1, 2),
+         |rk AS (SELECT query_id, vec_id, pq_dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, vec_id) AS r
+         |       FROM sc)
+         |SELECT query_id, CAST(r AS INT) AS rank, vec_id, pq_dist
+         |FROM rk WHERE r <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Pq.ivfPqTopK: same PQ CTEs, the ADC scan restricted to
+    // the candidates from the C=64 IVF assignment with nprobe=8 —
+    // assignment/probing replay Similarity's (cos DESC, cent_id)
+    // tiebreaks exactly as in the ann_ivf_topk oracle
+    "ann_ivfpq_topk" ->
+      s"""WITH $QuantCte,
+         |${centCte("64")},
+         |$PqCtes,
+         |assign AS (SELECT vec_id, cent_id FROM ${ivfRanked("")} WHERE rk = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id
+         |           FROM ${ivfRanked(" WHERE q.vec_id < 8")} WHERE rk <= 8),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |         FROM assign a JOIN probes p USING (cent_id)
+         |         WHERE a.vec_id != p.query_id),
+         |sc AS (SELECT c.query_id, c.vec_id, CAST(sum(dtab.d) AS BIGINT) AS pq_dist
+         |       FROM cand c
+         |       JOIN enc ON enc.vec_id = c.vec_id
+         |       JOIN dtab ON dtab.query_id = c.query_id
+         |                AND dtab.s = enc.s AND dtab.j = enc.code
+         |       GROUP BY 1, 2),
          |rk AS (SELECT query_id, vec_id, pq_dist,
          |         row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, vec_id) AS r
          |       FROM sc)

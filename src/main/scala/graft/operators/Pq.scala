@@ -46,8 +46,12 @@ object Pq {
     * convention).
     */
   def codebook(corpus: DataFrame, m: Int, ksub: Int,
-      embCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Array[Long]]] = {
-    val rows = Similarity.prepared(corpus, embCol, idCol)
+      embCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Array[Long]]] =
+    codebookFromPrep(Similarity.prepared(corpus, embCol, idCol), m, ksub, idCol)
+
+  private[operators] def codebookFromPrep(prep: DataFrame, m: Int,
+      ksub: Int, idCol: String): Array[Array[Array[Long]]] = {
+    val rows = prep
       .orderBy(col(idCol)).limit(ksub)
       .select(col("v")).collect()
       .map(_.getSeq[Long](0).toArray)
@@ -118,13 +122,25 @@ object Pq {
     val cb = codebook(corpus, m, ksub, embCol, idCol)
     val codes = encode(prep, cb, idCol)
     val dtab = distTable(Similarity.prepared(queries, embCol, idCol), cb, idCol)
-    val scored = codes
+    finishAdc(adcScores(codes, dtab, idCol), k, idCol)
+  }
+
+  /** ADC scoring of (id, codes) rows against a broadcast distance
+    * table: explode each document's m codes, look up, sum — exact
+    * integer, map-side-combined. `codes` may carry extra columns
+    * (e.g. an IVF cell filter applied upstream).
+    */
+  private def adcScores(codes: DataFrame, dtab: DataFrame,
+      idCol: String): DataFrame =
+    codes
       .select(col(idCol), posexplode(col("codes")))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "j")
       .join(broadcast(dtab), Seq("s", "j"))
       .filter(col("query_id") =!= col(idCol))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("d")).as("pq_dist"))
+
+  private def finishAdc(scored: DataFrame, k: Int, idCol: String): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKFunctions
         .top_k((-col("pq_dist")).cast("double"), col(idCol), k).as("top"))
@@ -133,5 +149,42 @@ object Pq {
         (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as(idCol),
         (-col("col.score")).cast("long").as("pq_dist"))
+
+  /** IVF+PQ: the ADC scan restricted to each query's `nprobe` nearest
+    * IVF cells — the composition that serves 10^10+ vectors: IVF cuts
+    * the scanned FRACTION to ~nprobe/C, PQ cuts the BYTES per scanned
+    * vector to m codes. Cells and probes use the same centroid-sample
+    * convention and (cosine DESC, cent_id) tiebreaks as
+    * [[Similarity.ivfTopK]]; each vector lives in exactly one cell and
+    * probe cells are distinct, so a (query, doc) candidate appears at
+    * most once and ADC sums stay exact. With nprobe = numCentroids the
+    * result equals [[pqTopK]] exactly (unit-pinned).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cp = Similarity.prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val cent = Similarity.centroidSample(cp, numCentroids, idCol)
+    val cb = codebookFromPrep(cp, m, ksub, idCol)
+    val codes = encode(cp, cb, idCol)
+      .join(Similarity.nearestCentroids(cp, cent, 1, idCol)
+        .select(col(idCol), col("cent_id")), Seq(idCol))
+    val qprep = Similarity.prepared(queries, embCol, idCol)
+    val probes = Similarity.nearestCentroids(qprep, cent, nprobe, idCol)
+      .select(col(idCol).as("query_id"), col("cent_id"))
+    val dtab = distTable(qprep, cb, idCol)
+    val cells = codes.join(
+      broadcast(probes.withColumnRenamed("query_id", "__pq")), Seq("cent_id"))
+      .filter(col("__pq") =!= col(idCol))
+    // restrict the per-query ADC join to the probed (query, doc)
+    // candidates: dtab rows join on (query_id, s, j)
+    val scored = cells
+      .select(col("__pq").as("query_id"), col(idCol), posexplode(col("codes")))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "j")
+      .join(broadcast(dtab), Seq("query_id", "s", "j"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("d")).as("pq_dist"))
+    finishAdc(scored, k, idCol)
   }
 }

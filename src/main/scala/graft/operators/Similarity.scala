@@ -157,7 +157,7 @@ object Similarity {
     * the sample stays on oracle-checked paths, the fit is the quality
     * path for clustered corpora (comparison in SCALING.md).
     */
-  private def centroidSample(cp: DataFrame, numCentroids: Int,
+  private[operators] def centroidSample(cp: DataFrame, numCentroids: Int,
       idCol: String): DataFrame =
     cp.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
@@ -179,7 +179,7 @@ object Similarity {
     * ~n^1.5 x sqrt(targetCell) total — already scale-safe. For very
     * large C, [[nearestCentroidsTwoLevel]] cuts it to ~n x sqrt(C).
     */
-  private def nearestCentroids(p: DataFrame, cent: DataFrame, take: Int,
+  private[operators] def nearestCentroids(p: DataFrame, cent: DataFrame, take: Int,
       idCol: String): DataFrame =
     p.join(broadcast(cent))
       .select(col(idCol), col("v"), col("n2"), col("cent_id"),

@@ -226,4 +226,24 @@ class SimilaritySuite extends SparkSuite {
       .orderBy("rank").collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("pq: ivfPqTopK with full probing equals the plain PQ scan exactly") {
+    val c = pqCorpus(120, 32, seed = 11)
+    val q = c.filter($"vec_id" < 4)
+    val full = graft.operators.Pq.pqTopK(c, q, k = 5).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    graft.core.OpCaches.release()
+    val ivfpq = graft.operators.Pq.ivfPqTopK(c, q, k = 5,
+      numCentroids = 16, nprobe = 16).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(ivfpq == full)
+    graft.core.OpCaches.release()
+    // narrow probing returns a subset of the probed candidates with
+    // contiguous re-ranked positions
+    val narrow = graft.operators.Pq.ivfPqTopK(c, q, k = 5,
+      numCentroids = 16, nprobe = 2).orderBy("query_id", "rank").collect()
+    narrow.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).toSeq == (1 to rows.length))
+    }
+  }
 }
