@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.operators.Dedup
+
+/** Streaming document ingest: near-duplicate screening of arriving
+  * documents against a STATIC corpus index — the online half of the
+  * ingest-dedup story ([[graft.operators.Dedup.incrementalMinHashCandidates]]
+  * is the batch compaction half).
+  *
+  * Semantics: each micro-batch emits a candidate row per (new doc,
+  * corpus doc, shared band) — at-least-once PER PAIR (once per shared
+  * band; `est_jaccard` is identical on every copy), because an
+  * exactly-once pair needs a distinct(), which is stateful in a
+  * stream. Downstream either tolerates duplicates (alerting,
+  * quarantine) or the daily batch pass resolves exactly; new-vs-new
+  * pairs within the stream are likewise the batch pass's job (a
+  * stream-stream self-join would grow state without bound).
+  *
+  * Scale shape: the corpus band index is the static join side (in
+  * production: the stored signature table — signatures are
+  * deterministic content hashes, so store and recompute are
+  * byte-identical); each arriving document computes its signature and
+  * band keys ROW-LOCALLY (no shuffle, no state), and the stream-static
+  * join is stateless, so the only state Spark keeps is the source
+  * offsets.
+  */
+object DocsStream {
+
+  /** The documents contract schema (TESTDATA.md). */
+  val DocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream of document batches. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(DocumentsSchema).parquet(dir)
+
+  /** Row-local minhash signature: identical values to
+    * [[Dedup.minHashSignatures]]'s explode+groupBy form (unit-pinned)
+    * but computed entirely within the row — the form a streaming
+    * plan needs, since cross-row aggregation is stateful. NULL when
+    * the document has no shingles (< n tokens).
+    */
+  def rowSignature(text: Column, n: Int = 3, numHashes: Int = 16): Column = {
+    val hp = transform(TextFunctions.wordShingles(text, n),
+      s => HashFunctions.md5_pair(s))
+    when(size(hp) > 0,
+      array((0 until numHashes).map(i =>
+        array_min(transform(hp,
+          p => p.getItem(0) + lit(i.toLong) * p.getItem(1)))): _*))
+  }
+
+  /** Candidates of each arriving document against the corpus:
+    * (new_id, corpus_id, band_idx, est_jaccard) per shared band.
+    */
+  def nearDupAgainstCorpus(docsStream: DataFrame, corpus: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val corpusIndex = Dedup
+      .minHashSignatures(corpus, textCol, idCol, n, numHashes)
+      .select(col(idCol).as("corpus_id"), col("sig").as("sig_b"),
+        posexplode(Dedup.lshBandKeys(col("sig"), bands, r)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val streamBanded = docsStream
+      .select(col(idCol).as("new_id"),
+        rowSignature(col(textCol), n, numHashes).as("sig_a"))
+      .filter(col("sig_a").isNotNull)
+      .select(col("new_id"), col("sig_a"),
+        posexplode(Dedup.lshBandKeys(col("sig_a"), bands, r)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    streamBanded
+      .join(corpusIndex, Seq("band_idx", "band_key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"), col("band_idx"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x)
+          .cast("double") / numHashes).as("est_jaccard"))
+  }
+}

@@ -149,4 +149,56 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(batchTwin.length == 3)
     assert(batchTwin.head.getAs[Int]("n_events") == 2)
   }
+
+  test("streaming: row-local minhash signature equals the batch explode+groupBy form") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val rowForm = docs.select(col("doc_id"),
+        graft.streaming.DocsStream.rowSignature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batchForm = graft.operators.Dedup.minHashSignatures(
+        docs, "text", "doc_id", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rowForm == batchForm)
+  }
+
+  test("streaming: near-dup screening vs static corpus matches the batch incremental operator") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val newPred = col("doc_id") % 5 === 0
+    // stage the full documents file as the arriving stream; the
+    // screen only considers rows matching the new-batch predicate
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-docs")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("batch.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val arriving = graft.streaming.DocsStream
+      .readDocuments(spark, streamDir.toString)
+      .filter(newPred)
+    val q = graft.streaming.DocsStream
+      .nearDupAgainstCorpus(arriving, docs.filter(!newPred))
+      .writeStream.format("memory").queryName("docs_screen")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // at-least-once per pair (once per shared band): distinct +
+    // normalize, then compare against the batch operator's
+    // new-vs-corpus subset (it also emits new-vs-new, which the
+    // stream leaves to compaction)
+    val streamed = spark.table("docs_screen")
+      .select(least(col("new_id"), col("corpus_id")).as("id_a"),
+        greatest(col("new_id"), col("corpus_id")).as("id_b"),
+        col("est_jaccard"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.core.OpCaches.release()
+    val isNew = (id: Long) => id % 5 == 0
+    val batch = graft.operators.Dedup.incrementalMinHashCandidates(
+        docs.filter(newPred), docs.filter(!newPred))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => isNew(p._1) ^ isNew(p._2)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "vacuous screen — adjust the split")
+  }
 }
