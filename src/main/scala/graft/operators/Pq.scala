@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * between an embedding index that fits executor memory at 10^10
   * vectors and one that does not. Queries score documents with
   * asymmetric distance computation (ADC): one exact distance TABLE
-  * per (query, subspace, code) — |Q| x m x ksub rows, broadcast —
-  * then every document's distance is m integer table lookups summed,
-  * never a touch of the raw corpus vector.
+  * per (query, subspace, code) — |Q| x m x ksub longs, collected once
+  * and shipped as task-local literal arrays (the faiss in-cache-table
+  * shape) — then every document's distance is m integer array lookups
+  * summed map-side, never a touch of the raw corpus vector.
   *
   * Codebook: the sub-vectors of the `ksub` lowest-id vectors — the
   * same deterministic, SQL-rebuildable convention as the IVF centroid
@@ -33,10 +34,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: the codebook is m x ksub sub-vectors — driver-side
   * tiny at any corpus size; encoding is one projection over the
   * corpus with m x ksub native integer dot products per row (no
-  * shuffle, no join); the ADC scan shuffles only (query_id, vec_id,
-  * partial-sum) rows into a map-side-combined aggregation, and the
-  * per-query result is bounded by the top-k aggregate. Nothing wider
-  * than the m-byte code array persists per document.
+  * shuffle, no join); the ADC scan computes every (doc, query)
+  * distance map-side, so the ONLY exchange in the whole scan is the
+  * bounded top-k partial aggregation (<= k rows per query per task).
+  * Nothing wider than the m-byte code array persists per document.
   */
 object Pq {
 
@@ -118,27 +119,54 @@ object Pq {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // prep feeds the codebook collect (a limit-ksub TakeOrdered — one
+    // cheap pass) and the encode projection (one full pass); NOT
+    // cached deliberately — persisting the full quantized-vector
+    // projection is exactly what doesn't fit at corpus scale, and the
+    // two passes never co-execute
     val prep = Similarity.prepared(corpus, embCol, idCol)
-    val cb = codebook(corpus, m, ksub, embCol, idCol)
+    val cb = codebookFromPrep(prep, m, ksub, idCol)
     val codes = encode(prep, cb, idCol)
-    val dtab = distTable(Similarity.prepared(queries, embCol, idCol), cb, idCol)
-    finishAdc(adcScores(codes, dtab, idCol), k, idCol)
+    val dt = collectDistTables(
+      Similarity.prepared(queries, embCol, idCol), cb, idCol)
+    // the faiss shape, relationally: ADC tables live as task-local
+    // literal arrays (|Q| x m x ksub longs — driver/closure-tiny),
+    // pq_dist is computed MAP-SIDE per (doc, query), and the only
+    // exchange in the whole scan is the bounded top-k partial
+    // aggregation (<= k rows per query per task)
+    val qScores = dt.map { case (qid, tab) =>
+      struct(lit(qid).as("query_id"), lookupDist(tab).as("pq_dist"))
+    }
+    val scored = codes
+      .select(col(idCol), explode(array(qScores: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col(idCol),
+        col("q.pq_dist").as("pq_dist"))
+      .filter(col("query_id") =!= col(idCol))
+    finishAdc(scored, k, idCol)
   }
 
-  /** ADC scoring of (id, codes) rows against a broadcast distance
-    * table: explode each document's m codes, look up, sum — exact
-    * integer, map-side-combined. `codes` may carry extra columns
-    * (e.g. an IVF cell filter applied upstream).
+  /** Exact-integer ADC sum for one query's tables: m literal-array
+    * lookups indexed by the row's code array.
     */
-  private def adcScores(codes: DataFrame, dtab: DataFrame,
-      idCol: String): DataFrame =
-    codes
-      .select(col(idCol), posexplode(col("codes")))
-      .withColumnRenamed("pos", "s").withColumnRenamed("col", "j")
-      .join(broadcast(dtab), Seq("s", "j"))
-      .filter(col("query_id") =!= col(idCol))
-      .groupBy(col("query_id"), col(idCol))
-      .agg(sum(col("d")).as("pq_dist"))
+  private def lookupDist(tab: Array[Array[Long]]): Column =
+    tab.indices.map(s =>
+      element_at(lit(tab(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+
+  /** Driver-side ADC tables: query id -> per-subspace distance array
+    * (query ids sorted for deterministic plan construction).
+    */
+  private def collectDistTables(qprep: DataFrame, cb: Array[Array[Array[Long]]],
+      idCol: String): Seq[(Long, Array[Array[Long]])] = {
+    val m = cb.length
+    val ksub = cb(0).length
+    distTable(qprep, cb, idCol).collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (qid, rows) =>
+        val tab = Array.ofDim[Long](m, ksub)
+        rows.foreach(r => tab(r.getInt(1))(r.getInt(2)) = r.getLong(3))
+        (qid, tab)
+      }
+  }
 
   private def finishAdc(scored: DataFrame, k: Int, idCol: String): DataFrame =
     scored.groupBy(col("query_id"))
@@ -172,19 +200,17 @@ object Pq {
         .select(col(idCol), col("cent_id")), Seq(idCol))
     val qprep = Similarity.prepared(queries, embCol, idCol)
     val probes = Similarity.nearestCentroids(qprep, cent, nprobe, idCol)
-      .select(col(idCol).as("query_id"), col("cent_id"))
-    val dtab = distTable(qprep, cb, idCol)
-    val cells = codes.join(
-      broadcast(probes.withColumnRenamed("query_id", "__pq")), Seq("cent_id"))
+      .select(col(idCol).as("__pq"), col("cent_id"))
+    val dt = collectDistTables(qprep, cb, idCol)
+    val cells = codes.join(broadcast(probes), Seq("cent_id"))
       .filter(col("__pq") =!= col(idCol))
-    // restrict the per-query ADC join to the probed (query, doc)
-    // candidates: dtab rows join on (query_id, s, j)
-    val scored = cells
-      .select(col("__pq").as("query_id"), col(idCol), posexplode(col("codes")))
-      .withColumnRenamed("pos", "s").withColumnRenamed("col", "j")
-      .join(broadcast(dtab), Seq("query_id", "s", "j"))
-      .groupBy(col("query_id"), col(idCol))
-      .agg(sum(col("d")).as("pq_dist"))
+    // probed candidates score map-side off the literal ADC tables,
+    // dispatched on the probing query id — no per-pair shuffle
+    val distByQuery = dt.foldRight(lit(null).cast("long")) {
+      case ((qid, tab), acc) => when(col("__pq") === qid, lookupDist(tab)).otherwise(acc)
+    }
+    val scored = cells.select(col("__pq").as("query_id"), col(idCol),
+      distByQuery.as("pq_dist"))
     finishAdc(scored, k, idCol)
   }
 }
