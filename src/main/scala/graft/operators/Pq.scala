@@ -191,6 +191,9 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // index build touches the vectors four times (centroid sample,
+    // assignment, codebook, encode) — cache the projection for the
+    // build's duration, as ivfTopK does
     val cp = Similarity.prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
     val cent = Similarity.centroidSample(cp, numCentroids, idCol)
