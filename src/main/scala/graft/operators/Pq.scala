@@ -50,6 +50,32 @@ object Pq {
       embCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Array[Long]]] =
     codebookFromPrep(Similarity.prepared(corpus, embCol, idCol), m, ksub, idCol)
 
+  /** Fitted sub-codebooks: per-subspace k-means (seeded,
+    * deterministic, exact-integer — [[KMeans.kmeansCentroids]]) over
+    * the corpus's sub-vector slices. Same return contract as
+    * [[codebook]], so it swaps into [[encode]]/[[pqTopK]] unchanged —
+    * the quality path when quantization distortion matters more than
+    * SQL-oracle replay (registered queries keep the sample codebook
+    * the oracle can rebuild). Entry order is cent_id-ascending:
+    * deterministic at any parallelism.
+    */
+  def kmeansCodebook(corpus: DataFrame, m: Int, ksub: Int,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      seed: Long = 42L): Array[Array[Array[Long]]] = {
+    val prep = Similarity.prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val dim = prep.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sp = prep.select(col(idCol), slice(col("v"), s * sub + 1, sub).as("v"))
+        .withColumn("n2", Similarity.norm2Q(col("v")))
+      KMeans.kmeansCentroids(sp, ksub, idCol, seed = seed + s)
+        .orderBy(col("cent_id"))
+        .select(col("cv")).collect().map(_.getSeq[Long](0).toArray)
+    }.toArray
+  }
+
   private[operators] def codebookFromPrep(prep: DataFrame, m: Int,
       ksub: Int, idCol: String): Array[Array[Array[Long]]] = {
     val rows = prep
@@ -118,14 +144,15 @@ object Pq {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 16,
-      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      embCol: String = "embedding", idCol: String = "vec_id",
+      codebooks: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     // prep feeds the codebook collect (a limit-ksub TakeOrdered — one
     // cheap pass) and the encode projection (one full pass); NOT
     // cached deliberately — persisting the full quantized-vector
     // projection is exactly what doesn't fit at corpus scale, and the
     // two passes never co-execute
     val prep = Similarity.prepared(corpus, embCol, idCol)
-    val cb = codebookFromPrep(prep, m, ksub, idCol)
+    val cb = codebooks.getOrElse(codebookFromPrep(prep, m, ksub, idCol))
     val codes = encode(prep, cb, idCol)
     val dt = collectDistTables(
       Similarity.prepared(queries, embCol, idCol), cb, idCol)

@@ -227,6 +227,26 @@ class SimilaritySuite extends SparkSuite {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("pq: fitted k-means sub-codebooks slot through the same contract") {
+    import org.apache.spark.sql.functions.lit
+    val base = pqCorpus(80, 32, seed = 13)
+    val cb = graft.operators.Pq.kmeansCodebook(base, m = 4, ksub = 8)
+    assert(cb.length == 4 && cb.forall(_.length <= 8) && cb(0)(0).length == 8)
+    graft.core.OpCaches.release()
+    val cb2 = graft.operators.Pq.kmeansCodebook(base, m = 4, ksub = 8)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq,
+      "fitted codebook must be deterministic")
+    graft.core.OpCaches.release()
+    // plugs into the same scan: a planted duplicate still ranks first
+    val dup = base.filter($"vec_id" === 30L)
+      .select(lit(888L).as("vec_id"), $"embedding")
+    val c = base.union(dup)
+    val got = graft.operators.Pq.pqTopK(c, c.filter($"vec_id" === 30L),
+      k = 3, m = 4, ksub = 8, codebooks = Some(cb))
+      .orderBy("rank").collect()
+    assert(got(0).getLong(2) == 888L)
+  }
+
   test("pq: ivfPqTopK with full probing equals the plain PQ scan exactly") {
     val c = pqCorpus(120, 32, seed = 11)
     val q = c.filter($"vec_id" < 4)
