@@ -592,6 +592,34 @@ object SparkEntry {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
+    // Range (theta) join: errors of the same user within the hour
+    // BEFORE each purchase — equi on user_id with an exact-integer
+    // nano range residual (ts is raw nanos; never a double round-trip)
+    "j_range_prior_errors" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("ets"),
+          col("event_id").as("eid"))
+      p.join(e, p("user_id") === e("user_id") &&
+          col("ets") >= col("ts") - lit(3600000000000L) &&
+          col("ets") <= col("ts"), "left")
+        .groupBy(p("event_id"))
+        .agg(count(col("eid")).as("n_prior_errors"))
+        .orderBy("event_id")
+    }),
+
+    // GROUPING SETS beyond rollup/cube: per-language and per-source
+    // aggregates in one pass (the union of two group-bys)
+    "grouping_sets_agg" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("gs_documents")
+      s.sql("""SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+              |FROM gs_documents
+              |GROUP BY GROUPING SETS ((lang), (source))
+              |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+    }),
+
     // Full-text retrieval: BM25 top-10 documents per query (Okapi
     // BM25, Lucene-style non-negative idf). The query-term set
     // broadcasts and prunes the token stream before the tf shuffle;
@@ -1493,6 +1521,24 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_suppkey < 5
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "j_range_prior_errors" ->
+      """SELECT p.event_id,
+        |       count(e.event_id) AS n_prior_errors
+        |FROM events p LEFT JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND e.event_type = 'error'
+        | AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    "grouping_sets_agg" ->
+      """SELECT lang, source, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source))
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
     // mirrors Retrieval.bm25TopK token-for-token: same tokenizer,
     // avgdl as exact sum/count (never avg()), identical
