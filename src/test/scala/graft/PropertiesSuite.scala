@@ -197,4 +197,54 @@ class PropertiesSuite extends SparkSuite {
       assert(fast == loop, s"case #$ci diverged: $c\nfast=$fast\nloop=$loop")
     }
   }
+
+  test("tokenBudget: budget sweep is monotone, nested, and exact at the edges") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 60L).map(i =>
+      (i, s"g${i % 3}", rnd.nextDouble() * 10, 1L + rnd.nextInt(20)))
+      .toDF("doc_id", "grp", "score", "tok")
+    val totalByGrp = docs.groupBy("grp").agg(sum("tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def kept(budget: Long): Set[Long] =
+      graft.operators.Curation.tokenBudget(docs, col("score"), col("tok"),
+        Seq("grp"), "doc_id", budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sweep = Seq(1L, 20L, 50L, 120L, 1000L).map(b => b -> kept(b))
+    // nested: a bigger budget never drops a kept row
+    sweep.zip(sweep.tail).foreach { case ((b1, k1), (b2, k2)) =>
+      assert(k1.subsetOf(k2), s"budget $b1 -> $b2 lost rows")
+    }
+    // a budget >= every stratum total keeps everything
+    assert(sweep.last._2.size == 60)
+    assert(totalByGrp.values.max <= 1000L)
+  }
+
+  test("bm25: k sweep is a ranked prefix chain; scores within a query are non-increasing") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val q = Seq((1L, "spark"), (1L, "join"), (2L, "hash")).toDF("query_id", "term")
+    def run(k: Int) = graft.operators.Retrieval.bm25TopK(docs, q, k)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val k5 = run(5); val k10 = run(10)
+    // k=5 is exactly the first five ranks of k=10 per query
+    val k10prefix = k10.filter(_._2 <= 5)
+    assert(k5.toSeq == k10prefix.toSeq)
+    k10.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(_._2)
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+          s"rank order violates (score desc, doc_id asc): $a then $b")
+      }
+    }
+  }
+
+  test("weightedSample: acceptance rate tracks the weight (law of large numbers)") {
+    val docs = (0L until 4000L).map(i => (i, i)).toDF("doc_id", "v")
+    for (w <- Seq(0.1, 0.5, 0.9)) {
+      val got = graft.operators.Sampling.weightedSample(docs, "doc_id", lit(w)).count()
+      val expect = 4000 * w
+      assert(math.abs(got - expect) < 4000 * 0.05,
+        s"weight $w: got $got, expected ~$expect")
+    }
+  }
 }
