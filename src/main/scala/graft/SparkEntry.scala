@@ -592,6 +592,21 @@ object SparkEntry {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
+    // Distribution-analytic windows: quartile bucket + percent_rank
+    // of each doc's quality within its language (full (quality,
+    // doc_id) tiebreak so every engine bins identically)
+    "ntile_quality" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), col("lang"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"))
+        .orderBy("doc_id")
+    }),
+
     // Range (theta) join: errors of the same user within the hour
     // BEFORE each purchase — equi on user_id with an exact-integer
     // nano range residual (ts is raw nanos; never a double round-trip)
@@ -1521,6 +1536,25 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_suppkey < 5
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // same quality expression as the quality_score oracle; ntile and
+    // percent_rank bin identically under the total (quality DESC,
+    // doc_id) order
+    "ntile_quality" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |             $NTokensExpr AS n_tok,
+         |             len(list_filter($TokensExpr, x -> x IN (${inList(sw("en"))}))) AS en_hits,
+         |             $NPunctExpr AS n_punct
+         |           FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |        (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(en_hits AS DOUBLE) / n_tok END)
+         |        - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / length(text) END)
+         |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS quality
+         |      FROM t)
+         |SELECT doc_id, lang,
+         |       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS INT) AS quartile,
+         |       percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS pct_rank
+         |FROM q ORDER BY doc_id""".stripMargin,
 
     "j_range_prior_errors" ->
       """SELECT p.event_id,

@@ -26,7 +26,9 @@ class DeterminismSuite extends SparkSuite {
     "bm25_topk",              // quantized order-free sum + bounded top-k
     "minhash_incremental_pairs", // asymmetric band probe
     "domain_token_budget",    // exact cumsum window walk
-    "ann_pq_topk")            // ADC table-lookup sum + argmin encode
+    "ann_pq_topk",            // ADC table-lookup sum + argmin encode
+    "grouping_sets_agg",      // null-keyed grouping rows
+    "j_range_prior_errors")   // range-residual join + count
 
   test("registered queries are identical at 3 and 17 shuffle partitions") {
     val dir = sf("sf0.001")
