@@ -14,21 +14,9 @@ package graft
   */
 class DeterminismSuite extends SparkSuite {
 
-  private val QueriesUnderTest = Seq(
-    "minhash_lsh_pairs",      // banded self-join + distinct + agg
-    "simhash_pairs",          // native kernel + banding
-    "embedding_neardup_pairs",// IVF multi-assign + shared-cell vote
-    "c2_evaluate",            // arrival walk (mapPartitions iterator)
-    "c8_select_buckets",      // flatMapGroups greedy resolver
-    "sample_stratified",      // bounded top-k reservoir
-    "quality_topp",           // per-stratum rank cut
-    "sessionize_batch",       // lag/cumsum windows
-    "bm25_topk",              // quantized order-free sum + bounded top-k
-    "minhash_incremental_pairs", // asymmetric band probe
-    "domain_token_budget",    // exact cumsum window walk
-    "ann_pq_topk",            // ADC table-lookup sum + argmin encode
-    "grouping_sets_agg",      // null-keyed grouping rows
-    "j_range_prior_errors")   // range-residual join + count
+  // EVERY registered query: partition-independence is a blanket
+  // claim, so the sweep is blanket too (sf0.001 keeps it cheap)
+  private val QueriesUnderTest = SparkEntry.queries.keys.toSeq.sorted
 
   test("registered queries are identical at 3 and 17 shuffle partitions") {
     val dir = sf("sf0.001")
