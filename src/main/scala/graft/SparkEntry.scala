@@ -592,6 +592,15 @@ object SparkEntry {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
+    // Sequence packing: concat-then-chunk attribution of each doc to
+    // the 512-token training sequences it lands in, per language —
+    // exact integer offsets, a doc may straddle bin boundaries
+    "pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(
+        Tables.documents(s, dir), TextFunctions.tokenCount(col("text")),
+        Seq("lang"), "doc_id", seqLen = 512L)
+        .orderBy("doc_id", "bin_id")),
+
     // Distribution-analytic windows: quartile bucket + percent_rank
     // of each doc's quality within its language (full (quality,
     // doc_id) tiebreak so every engine bins identically)
@@ -1536,6 +1545,22 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_suppkey < 5
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // mirrors Packing.packSequences: per-lang token stream in doc_id
+    // order, chunked every 512 tokens; a doc starting at s with t
+    // tokens spans bins s//512 .. (s+t-1)//512
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang, $NTokensExpr AS n_tok FROM documents),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+         |      FROM t WHERE n_tok > 0),
+         |b AS (SELECT doc_id, lang, n_tok, e - n_tok AS s, e,
+         |        unnest(generate_series((e - n_tok) // 512, (e - 1) // 512)) AS bin_id
+         |      FROM c)
+         |SELECT lang, doc_id, bin_id,
+         |       least(e, (bin_id + 1) * 512) - greatest(s, bin_id * 512) AS tok_in_bin
+         |FROM b ORDER BY doc_id, bin_id""".stripMargin,
 
     // same quality expression as the quality_score oracle; ntile and
     // percent_rank bin identically under the total (quality DESC,

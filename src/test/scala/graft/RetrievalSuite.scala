@@ -73,6 +73,35 @@ class RetrievalSuite extends SparkSuite {
       Seq("grp"), "doc_id", budget = 7L).count() == 0)
   }
 
+  test("packSequences: hand case — straddling docs split exactly across bins") {
+    val docs = Seq((1L, "g", 3L), (2L, "g", 4L), (3L, "g", 2L))
+      .toDF("doc_id", "grp", "tok")
+    val got = graft.operators.Packing.packSequences(
+      docs, col("tok"), Seq("grp"), "doc_id", seqLen = 4L)
+      .orderBy("doc_id", "bin_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 3L),            // doc1: all 3 tokens in bin 0
+      (2L, 0L, 1L), (2L, 1L, 3L), // doc2 straddles bins 0/1
+      (3L, 1L, 1L), (3L, 2L, 1L))) // doc3 straddles bins 1/2
+  }
+
+  test("packSequences: per-doc token totals conserved; interior bins exactly full") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val packed = graft.operators.Packing.packSequences(
+      docs, TextFunctions.tokenCount(col("text")), Seq("lang"), "doc_id", 512L)
+    val perDoc = packed.groupBy("doc_id").agg(sum("tok_in_bin").as("t"))
+    val want = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    assert(perDoc.join(want, "doc_id").filter(col("t") =!= col("n")).count() == 0)
+    val perBin = packed.groupBy("lang", "bin_id").agg(sum("tok_in_bin").as("t"))
+    val lastBin = packed.groupBy("lang").agg(max("bin_id").as("bin_id"))
+    assert(perBin.join(lastBin, Seq("lang", "bin_id"), "left_anti")
+      .filter(col("t") =!= 512L).count() == 0,
+      "every non-final bin must hold exactly seqLen tokens")
+  }
+
   test("weightedSample: clamped edges and nesting in the weight") {
     val docs = (0L until 500L).map(d => (d, d)).toDF("doc_id", "v")
     assert(Sampling.weightedSample(docs, "doc_id", lit(1.5)).count() == 500)
