@@ -116,6 +116,32 @@ object Dedup {
     * release after materializing via `OpCaches.release()` or
     * `OpCaches.materializeAndRelease(result)`.
     */
+  /** Benchmark contamination check: documents sharing at least one
+    * word n-gram with a benchmark/eval corpus, with the count of
+    * distinct matched n-grams — the decontamination step a
+    * pretraining pipeline runs so evaluation data never leaks into
+    * training data (n = 8 is the conventional overlap window).
+    *
+    * Scale shape: the benchmark side is distinct n-grams, broadcast
+    * (eval sets are tiny next to the corpus — at extreme benchmark
+    * sizes swap the broadcast for a bloom-filter pre-pass in front of
+    * the same join); the corpus tokenizes once, the join prunes
+    * map-side, and the count aggregates with map-side combine. Output
+    * is only flagged documents.
+    */
+  def contaminatedDocs(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"))
+  }
+
   /** Fraction of agreeing signature rows — the banded paths' shared
     * Jaccard estimate.
     */

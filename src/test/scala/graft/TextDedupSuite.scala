@@ -207,6 +207,17 @@ class TextDedupSuite extends SparkSuite {
     assert(got.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L && r.getInt(2) == 0))
   }
 
+  test("contaminatedDocs flags exactly the docs sharing an 8-gram with the benchmark") {
+    val bench = Seq((100L, "q w e r t y u i")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "start pad q w e r t y u i end pad"), // contains the 8-gram
+      (2L, "q w e r t y u x totally different"), // 7-gram prefix only
+      (3L, "short text")).toDF("doc_id", "text")
+    val got = Dedup.contaminatedDocs(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L))
+  }
+
   test("incremental minhash == full run restricted to pairs touching the batch") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     def key(r: org.apache.spark.sql.Row) =
