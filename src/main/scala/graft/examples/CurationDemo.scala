@@ -16,6 +16,7 @@ import graft.operators.{Components, Curation, Dedup, Sampling}
   *     -> near-dup removal       (minhash+LSH candidates, est_jaccard
   *                                >= 0.9, transitive components, keep
   *                                the component-minimum id)
+  *     -> decontamination        (drop benchmark 8-gram overlaps)
   *     -> quality filter         (top 75% per language by score)
   *     -> token-budget mixing    (per-source cap, best-quality-first)
   *     -> stratified sample      (100 docs per language, hash-ranked)
@@ -57,9 +58,17 @@ object CurationDemo {
     val nearDeduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
     val n2 = nearDeduped.count()
 
+    // 2b. decontamination: drop docs sharing any 8-gram with the
+    // "benchmark" slice (doc_id % 97 == 1 plays the eval set)
+    val bench = docs.filter(col("doc_id") % 97 === 1)
+    val contaminated = Dedup.contaminatedDocs(nearDeduped, bench)
+      .select(col("doc_id"))
+    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val n2b = clean.count()
+
     // 3. quality filter: top 75% per language by score
     val filtered = Curation.topFraction(
-      nearDeduped, TextFunctions.qualityScore(col("text")), Seq("lang"),
+      clean, TextFunctions.qualityScore(col("text")), Seq("lang"),
       "doc_id", 0.75)
     val n3 = filtered.count()
 
@@ -80,7 +89,7 @@ object CurationDemo {
     sampled.write.mode("overwrite").partitionBy("lang").parquet(outDir)
     val n5 = spark.read.parquet(outDir).count()
 
-    println(s"CURATION_OK in=$n0 exact_dedup=$n1 near_dedup=$n2 " +
+    println(s"CURATION_OK in=$n0 exact_dedup=$n1 near_dedup=$n2 decontaminated=$n2b " +
       s"quality=$n3 mixed=$n4 sampled=$n5 out=$outDir")
     spark.stop()
   }

@@ -58,6 +58,26 @@ object DocsStream {
           p => p.getItem(0) + lit(i.toLong) * p.getItem(1)))): _*))
   }
 
+  /** Streaming decontamination screen: (doc_id, matched_ngram) for
+    * every arriving document sharing a word n-gram with the static
+    * benchmark set — one row per matched n-gram (the per-doc count is
+    * a stateful aggregation; the batch
+    * [[graft.operators.Dedup.contaminatedDocs]] provides it at
+    * compaction). Row-local tokenize, stateless stream-static join,
+    * benchmark n-grams broadcastable.
+    */
+  def contaminationScreen(docsStream: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+    docsStream
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+      .join(bench, Seq("s"))
+      .select(col(idCol), col("s").as("matched_ngram"))
+  }
+
   /** Candidates of each arriving document against the corpus:
     * (new_id, corpus_id, band_idx, est_jaccard) per shared band.
     */

@@ -163,6 +163,31 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(rowForm == batchForm)
   }
 
+  test("streaming: contamination screen flags the same docs as the batch operator") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val benchPred = col("doc_id") % 97 === 1
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-contam")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("batch.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val arriving = graft.streaming.DocsStream
+      .readDocuments(spark, streamDir.toString)
+    val q = graft.streaming.DocsStream
+      .contaminationScreen(arriving, docs.filter(benchPred))
+      .writeStream.format("memory").queryName("contam_screen")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedIds = spark.table("contam_screen")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val batchIds = graft.operators.Dedup.contaminatedDocs(
+        docs, docs.filter(benchPred))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedIds == batchIds)
+    assert(streamedIds.nonEmpty)
+  }
+
   test("streaming: near-dup screening vs static corpus matches the batch incremental operator") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
