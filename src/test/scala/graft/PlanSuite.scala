@@ -126,4 +126,38 @@ class PlanSuite extends SparkSuite {
     // whole-stage-codegen stage rather than forcing a fallback Project
     assert(p.contains("*(") && p.contains("rollinghash"), p.take(2000))
   }
+
+  test("weighted sample plans as a shuffle-free scan-filter") {
+    import org.apache.spark.sql.functions._
+    val p = graft.operators.Sampling.weightedSample(
+      Tables.documents(spark, sf("sf0.001")), "doc_id",
+      least(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("double") / lit(100.0), lit(1.0)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("bm25 prunes the token stream with a broadcast semi-join before the tf shuffle") {
+    val p = plan("bm25_topk")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(4000))
+    // the corpus scan reads only (doc_id, text)
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"), p.take(4000))
+  }
+
+  test("pq ADC scan carries no join: distance tables are literal lookups") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val p = graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(4000))
+    // the bounded top-k aggregation is partial (map-side) first
+    assert(p.contains("partial_top_k") ||
+      "partial.*top_k".r.findFirstIn(p).isDefined, p.take(4000))
+  }
+
+  test("contamination check broadcasts the benchmark n-gram side") {
+    val p = plan("contamination_check")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
 }
