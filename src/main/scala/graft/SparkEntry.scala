@@ -198,6 +198,21 @@ object SparkEntry {
           (sum(Tables.cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour_ts", "event_type")),
 
+    // Sliding-window aggregation (1 h window, 15 min slide): each
+    // event attributes to 4 overlapping windows via an exact integer
+    // explode — the relational twin of window(ts, '1 hour', '15 min')
+    // without a timestamp round-trip on raw nanos
+    "events_sliding_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), Tables.cents(col("value")).as("cents"),
+          explode(sequence(lit(0L), lit(3L))).as("i"), col("ts"))
+        .select(col("event_type"), col("cents"),
+          ((expr("ts div 900000000000") - col("i")) * 900L).as("win_start_s"))
+        .groupBy(col("win_start_s"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("cents")).cast("double") / 100).as("total_value"))
+        .orderBy("win_start_s", "event_type")),
+
     // Exact deduplication: content-hash clustering (one shuffle)
     "dedup_exact_clusters" -> ((s, dir) =>
       Dedup.exactClusters(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1543,6 +1558,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
+
+    // mirrors events_sliding_agg: epoch_ns // 15min is the same exact
+    // integer bucket as Spark's `ts div` on the raw nanos
+    "events_sliding_agg" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents,
+        |             epoch_ns(ts) // 900000000000 AS b
+        |           FROM events),
+        |x AS (SELECT event_type, cents, (b - i) * 900 AS win_start_s
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i))
+        |SELECT win_start_s, event_type, count(*) AS n,
+        |       CAST(sum(cents) AS DOUBLE) / 100 AS total_value
+        |FROM x GROUP BY 1, 2
+        |ORDER BY win_start_s, event_type""".stripMargin,
 
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
