@@ -358,6 +358,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: for each purchase, the user's EARLIEST
+    // non-purchase event at or after it (next-event attribution)
+    "asof_events_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
+      val w = Window.partitionBy(col("user_id"), col("rt"))
+        .orderBy(col("next_id").asc)
+      val r = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("rt"),
+          col("event_id").as("next_id"), col("value").as("next_value"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn")
+      graft.operators.AsOf.asofJoinForward(
+        l, r, Seq("user_id"), "t", "rt", Seq("next_id", "next_value"))
+        .orderBy("event_id")
+    }),
+
     // Rollup aggregation (subtotals + grand total)
     "rollup_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1466,6 +1484,17 @@ object SparkEntry {
         |      QUALIFY row_number() OVER (PARTITION BY user_id, rt ORDER BY prior_id DESC) = 1)
         |SELECT l.user_id, l.event_id, l.t, r.prior_id, r.prior_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt
+        |ORDER BY l.event_id""".stripMargin,
+
+    "asof_events_fwd" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase'),
+        |r0 AS (SELECT user_id, epoch_us(ts) AS rt, event_id AS next_id, value AS next_value
+        |       FROM events WHERE event_type <> 'purchase'),
+        |r AS (SELECT * FROM r0
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, rt ORDER BY next_id) = 1)
+        |SELECT l.user_id, l.event_id, l.t, r.next_id, r.next_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.rt
         |ORDER BY l.event_id""".stripMargin,
 
     "rollup_agg" ->

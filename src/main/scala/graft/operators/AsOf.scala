@@ -26,7 +26,22 @@ object AsOf {
     * deterministic result — pre-deduplicate if unsure.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, on: Seq[String],
-      leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame =
+    asofJoin(left, right, on, leftTime, rightTime, rightVals, forward = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row
+    * with `rightTime >= leftTime` in the same key group — the "next
+    * event after" mirror of [[asofJoinBackward]] (reversed window
+    * frame, `first` instead of `last`; the match is inclusive at
+    * equal times on both variants).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame =
+    asofJoin(left, right, on, leftTime, rightTime, rightVals, forward = true)
+
+  private def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftOnly = left.columns.filterNot(on.contains).toSeq
     require(rightVals.intersect(left.columns.toSeq).isEmpty,
       s"rightVals collide with left columns: ${rightVals.intersect(left.columns.toSeq).mkString(",")}")
@@ -41,18 +56,28 @@ object AsOf {
       .select(on.map(col) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("__t"), col("__side")) ++ rightVals.map(col): _*)
-    // right (side 0) sorts before left (side 1) at equal time -> the
-    // match is inclusive (rightTime == leftTime counts)
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all rightVals ride in ONE struct filled by a single last(): a
-    // legitimately-NULL value column must come from the SAME matched
-    // right row as its siblings, not back-fill from an older one
+    // backward: right (side 0) sorts before left (side 1) at equal
+    // time and the frame looks back -> inclusive last(). forward:
+    // left sorts before right at equal time and the frame looks
+    // ahead -> inclusive first().
+    val w0 = Window.partitionBy(on.map(col): _*)
+    val w =
+      if (forward)
+        w0.orderBy(col("__t").asc, col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        w0.orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all rightVals ride in ONE struct filled by a single last()/
+    // first(): a legitimately-NULL value column must come from the
+    // SAME matched right row as its siblings, not fill from another
+    val pick: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => if (forward) first(c, ignoreNulls = true).over(w)
+           else last(c, ignoreNulls = true).over(w)
     val packed = l.unionByName(r)
       .withColumn("__rv",
         when(col("__side") === 0, struct(rightVals.map(col): _*)))
-      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__rv", pick(col("__rv")))
     rightVals.foldLeft(packed) { (df, c) =>
         df.withColumn(c, col("__rv").getField(c))
       }

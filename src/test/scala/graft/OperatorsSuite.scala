@@ -138,6 +138,19 @@ class OperatorsSuite extends SparkSuite {
       (1L, 100L, Some(10.0)), (1L, 250L, Some(20.0)), (2L, 50L, None)))
   }
 
+  test("asofJoinForward picks the earliest right row at or after left time") {
+    val left = Seq((1L, 100L, "o1"), (1L, 250L, "o2"), (2L, 70L, "o3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0),
+      (2L, 60L, 40.0)).toDF("k", "rt", "v")
+    val got = AsOf.asofJoinForward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect()
+    // (1, 100) matches rt=100 inclusively; (1, 250) -> rt=300;
+    // (2, 70) is after every right row -> null
+    assert(got.map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)))).toSeq == Seq(
+      (1L, 100L, Some(10.0)), (1L, 250L, Some(30.0)), (2L, 70L, None)))
+  }
+
   test("asofJoinBackward keeps NULL value columns from the matched row (no frankenrow)") {
     // right row at rt=200 carries v=NULL: the left row at t=250 must
     // take (NULL, "b") from THAT row — not back-fill v=10.0 from rt=100
