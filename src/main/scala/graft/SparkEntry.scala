@@ -567,6 +567,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF+PQ with exact re-ranking: the ADC scan nominates 50
+    // candidates per query, only those fetch raw vectors for the
+    // exact cosine — the full production ANN shape
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.ivfPqRerankTopK(e, e.filter(col("vec_id") < 8), 5,
+        numCentroids = 64, nprobe = 8, rerank = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // Sessionization (relational form): 30-min-gap user sessions via
     // lag + cumulative-sum windows; exact-cents totals
     "sessionize_batch" -> ((s, dir) => {
@@ -825,6 +835,26 @@ object SparkEntry {
        |             i -> (q.v[cb.s * 16 + i] - cb.e[i]) * (q.v[cb.s * 16 + i] - cb.e[i]))) AS BIGINT) AS d
        |         FROM qn q CROSS JOIN cb WHERE q.vec_id < 8)""".stripMargin
 
+  // the IVF-restricted ADC scan as reusable CTEs (shared by the
+  // IVF+PQ query and its rerank variant): C=64 assignment, nprobe=8,
+  // ADC sums ranked (pq_dist ASC, vec_id)
+  private val IvfPqAdcCtes =
+    s"""assign AS (SELECT vec_id, cent_id FROM ${ivfRanked("")} WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id
+       |           FROM ${ivfRanked(" WHERE q.vec_id < 8")} WHERE rk <= 8),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |         FROM assign a JOIN probes p USING (cent_id)
+       |         WHERE a.vec_id != p.query_id),
+       |sc AS (SELECT c.query_id, c.vec_id, CAST(sum(dtab.d) AS BIGINT) AS pq_dist
+       |       FROM cand c
+       |       JOIN enc ON enc.vec_id = c.vec_id
+       |       JOIN dtab ON dtab.query_id = c.query_id
+       |                AND dtab.s = enc.s AND dtab.j = enc.code
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT query_id, vec_id, pq_dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, vec_id) AS r
+       |       FROM sc)""".stripMargin
+
   // the minhash signature/banding/candidate pipeline as reusable CTEs
   // (shared by the pair query and the cluster-resolution query)
   private val MinhashPairsCtes =
@@ -1034,23 +1064,29 @@ object SparkEntry {
       s"""WITH $QuantCte,
          |${centCte("64")},
          |$PqCtes,
-         |assign AS (SELECT vec_id, cent_id FROM ${ivfRanked("")} WHERE rk = 1),
-         |probes AS (SELECT vec_id AS query_id, cent_id
-         |           FROM ${ivfRanked(" WHERE q.vec_id < 8")} WHERE rk <= 8),
-         |cand AS (SELECT p.query_id, a.vec_id
-         |         FROM assign a JOIN probes p USING (cent_id)
-         |         WHERE a.vec_id != p.query_id),
-         |sc AS (SELECT c.query_id, c.vec_id, CAST(sum(dtab.d) AS BIGINT) AS pq_dist
-         |       FROM cand c
-         |       JOIN enc ON enc.vec_id = c.vec_id
-         |       JOIN dtab ON dtab.query_id = c.query_id
-         |                AND dtab.s = enc.s AND dtab.j = enc.code
-         |       GROUP BY 1, 2),
-         |rk AS (SELECT query_id, vec_id, pq_dist,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, vec_id) AS r
-         |       FROM sc)
+         |$IvfPqAdcCtes
          |SELECT query_id, CAST(r AS INT) AS rank, vec_id, pq_dist
          |FROM rk WHERE r <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Pq.ivfPqRerankTopK: the ADC ranking nominates the top
+    // 50 candidates per query, then ONLY those rows take the exact
+    // quantized cosine, re-ranked (cos DESC, vec_id) to the final 5
+    "ann_ivfpq_rerank" ->
+      s"""WITH $QuantCte,
+         |${centCte("64")},
+         |$PqCtes,
+         |$IvfPqAdcCtes,
+         |cand2 AS (SELECT query_id, vec_id FROM rk WHERE r <= 50),
+         |ex AS (SELECT c2.query_id, c2.vec_id,
+         |         ${cosSql("q.v", "d.v", "q.n2", "d.n2")} AS cosine
+         |       FROM cand2 c2
+         |       JOIN qn d ON d.vec_id = c2.vec_id
+         |       JOIN qn q ON q.vec_id = c2.query_id),
+         |rk2 AS (SELECT query_id, vec_id, cosine,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r2
+         |        FROM ex)
+         |SELECT query_id, CAST(r2 AS INT) AS rank, vec_id, cosine
+         |FROM rk2 WHERE r2 <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "embedding_neardup_pairs" ->
       s"""WITH $QuantCte,

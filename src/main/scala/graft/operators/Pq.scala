@@ -243,4 +243,42 @@ object Pq {
       distByQuery.as("pq_dist"))
     finishAdc(scored, k, idCol)
   }
+
+  /** IVF+PQ with exact re-ranking (the "refine" step): the ADC scan
+    * nominates each query's `rerank` best candidates by quantized
+    * distance, then ONLY those rows fetch their raw vectors for an
+    * exact cosine, ranked (cosine desc, id asc) to the final k —
+    * the full production ANN shape: IVF bounds the scanned fraction,
+    * PQ bounds the scanned bytes, the refine join touches `rerank`
+    * vectors per query instead of the corpus. With full probing and
+    * `rerank` >= corpus size this EQUALS brute-force
+    * [[Similarity.cosineTopK]] exactly (unit-pinned).
+    * Returns (query_id, rank, vec_id, cosine).
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
+      rerank: Int = 100,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val cand = ivfPqTopK(corpus, queries, rerank, numCentroids, nprobe,
+      m, ksub, embCol, idCol)
+      .select(col("query_id"), col(idCol))
+    val cp = Similarity.prepared(corpus, embCol, idCol)
+    val qp = Similarity.prepared(queries, embCol, idCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val exact = cand
+      .join(cp, Seq(idCol))
+      .join(broadcast(qp), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        Similarity.cosineQ(Similarity.dotQ(col("qv"), col("v")),
+          col("qn2"), col("n2")).as("cosine"))
+    exact.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions
+        .top_k(col("cosine"), col(idCol), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol),
+        col("col.score").as("cosine"))
+  }
 }

@@ -266,4 +266,19 @@ class SimilaritySuite extends SparkSuite {
       assert(rows.map(_.getInt(1)).toSeq == (1 to rows.length))
     }
   }
+
+  test("pq: full-probe rerank with corpus-wide candidates equals brute force exactly") {
+    val c = pqCorpus(90, 32, seed = 17)
+    val q = c.filter($"vec_id" < 3)
+    val brute = Similarity.cosineTopK(c, q, 5).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    graft.core.OpCaches.release()
+    val refined = graft.operators.Pq.ivfPqRerankTopK(c, q, 5,
+      numCentroids = 16, nprobe = 16, rerank = 200)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // same (query, doc, cosine, rank) tuples — the refine step fully
+    // recovers the exact ranking when nothing is pruned
+    assert(refined.map(t => (t._1, t._3, t._4, t._2)) == brute)
+  }
 }
