@@ -198,6 +198,21 @@ object SparkEntry {
           (sum(Tables.cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour_ts", "event_type")),
 
+    // Approximate-aggregate twins (HyperLogLog++ distinct, G-K
+    // percentile sketch): approximate BY DESIGN — sketch internals
+    // differ across engines, so no hash oracle can exist; the driver
+    // records rows-only and ApproxAggSuite pins the values against
+    // the exact forms within the documented error bounds. These are
+    // the 100 TB path beside the exact `percentiles`/`distinct_agg`
+    "approx_agg_sketches" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.ApproxAgg
+        .approxDistinct(ev, Seq("event_type"), Seq("user_id"))
+        .join(graft.operators.ApproxAgg.approxPercentiles(
+          ev, Seq("event_type"), "value", Seq(0.5, 0.9)), Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // Sliding-window aggregation (1 h window, 15 min slide): each
     // event attributes to 4 overlapping windows via an exact integer
     // explode — the relational twin of window(ts, '1 hour', '15 min')
@@ -959,6 +974,15 @@ object SparkEntry {
        |FROM results r JOIN resolved v USING (query, shard, bucket)
        |ORDER BY r.query, r.score DESC, r.shard, r.bucket, r.gdocid""".stripMargin
   }
+
+  /** Registered queries that are approximate BY DESIGN (mergeable
+    * sketches whose internals differ across engines): no hash oracle
+    * can exist, the driver records a rows-only check, and the unit
+    * suite pins the values against the exact forms within the
+    * documented error bounds. Additions here must stay deliberate —
+    * EntrySuite asserts this set is exactly the no-oracle remainder.
+    */
+  val rowsOnlyQueries: Set[String] = Set("approx_agg_sketches")
 
   def oracleSql: Map[String, String] = Map(
     "c8_select_buckets" -> c8OracleSql,

@@ -14,9 +14,13 @@ package graft
   */
 class DeterminismSuite extends SparkSuite {
 
-  // EVERY registered query: partition-independence is a blanket
-  // claim, so the sweep is blanket too (sf0.001 keeps it cheap)
-  private val QueriesUnderTest = SparkEntry.queries.keys.toSeq.sorted
+  // EVERY registered query except the declared approximate sketches:
+  // partition-independence is a blanket claim for the exact surface,
+  // while sketch merges (G-K percentile summaries) guarantee error
+  // BOUNDS, not byte-equality across merge orders (sf0.001 keeps the
+  // sweep cheap)
+  private val QueriesUnderTest =
+    (SparkEntry.queries.keySet -- SparkEntry.rowsOnlyQueries).toSeq.sorted
 
   test("registered queries are identical at 3 and 17 shuffle partitions") {
     val dir = sf("sf0.001")

@@ -17,11 +17,14 @@ class EntrySuite extends SparkSuite {
     assert(df.columns.contains("query") && df.columns.contains("score"))
   }
 
-  test("every query has an oracle, and no oracle is orphaned") {
-    // full coverage as of round 3: the md5 decode stub and the
-    // simhash_md5 signature made the last two queries SQL-expressible
-    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty)
+  test("every query has an oracle unless declared rows-only; no oracle is orphaned") {
+    // the only queries allowed to lack an oracle are the declared
+    // approximate-by-design sketches (rows-only driver check +
+    // exact-form error-bound pins in ApproxAggSuite)
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
+      SparkEntry.rowsOnlyQueries)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+    assert((SparkEntry.rowsOnlyQueries -- SparkEntry.queries.keySet).isEmpty)
   }
 
   test("bucketed tables sort-merge-join with no exchange and no sort") {
