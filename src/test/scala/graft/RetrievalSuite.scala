@@ -102,6 +102,22 @@ class RetrievalSuite extends SparkSuite {
       "every non-final bin must hold exactly seqLen tokens")
   }
 
+  test("packSequencesGlobal: two-phase cumsum equals the window form at any partition count") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val toks = TextFunctions.tokenCount(col("text"))
+    // single-stratum window form = the global reference
+    val ref = graft.operators.Packing.packSequences(
+      docs.withColumn("one", lit(1)), toks, Seq("one"), "doc_id", 512L)
+      .select("doc_id", "bin_id", "tok_in_bin")
+      .collect().map(_.toSeq).toSet
+    for (p <- Seq(3, 7)) {
+      val got = graft.operators.Packing.packSequencesGlobal(
+        docs, toks, "doc_id", 512L, numPartitions = p)
+        .collect().map(_.toSeq).toSet
+      assert(got == ref, s"two-phase cumsum diverged at $p partitions")
+    }
+  }
+
   test("weightedSample: clamped edges and nesting in the weight") {
     val docs = (0L until 500L).map(d => (d, d)).toDF("doc_id", "v")
     assert(Sampling.weightedSample(docs, "doc_id", lit(1.5)).count() == 500)
