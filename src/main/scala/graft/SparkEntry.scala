@@ -198,6 +198,20 @@ object SparkEntry {
           (sum(Tables.cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour_ts", "event_type")),
 
+    // Full outer join as explicit API, (user, day) grain: view-only
+    // days and purchase-only days survive with nulls on the other
+    // side (user-level joins are vacuous here — every user has every
+    // event type)
+    "j_full_outer_days" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def perDay(t: String, n: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"), expr("ts div 86400000000000").as("d"))
+        .agg(count(lit(1)).as(n))
+      perDay("view", "n_view")
+        .join(perDay("purchase", "n_buy"), Seq("user_id", "d"), "full_outer")
+        .orderBy("user_id", "d")
+    }),
+
     // Approximate-aggregate twins (HyperLogLog++ distinct, G-K
     // percentile sketch): approximate BY DESIGN — sketch internals
     // differ across engines, so no hash oracle can exist; the driver
@@ -1647,6 +1661,17 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "j_full_outer_days" ->
+      """WITH v AS (SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |             count(*) AS n_view
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |        count(*) AS n_buy
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, d, n_view, n_buy
+        |FROM v FULL JOIN p USING (user_id, d)
+        |ORDER BY user_id, d""".stripMargin,
 
     // mirrors events_sliding_agg: epoch_ns // 15min is the same exact
     // integer bucket as Spark's `ts div` on the raw nanos
