@@ -218,12 +218,17 @@ object SparkEntry {
     // records rows-only and ApproxAggSuite pins the values against
     // the exact forms within the documented error bounds. These are
     // the 100 TB path beside the exact `percentiles`/`distinct_agg`
+    // (array projected to scalar p50/p90 columns — the driver's
+    // pandas comparator can't sort an array column)
     "approx_agg_sketches" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       graft.operators.ApproxAgg
         .approxDistinct(ev, Seq("event_type"), Seq("user_id"))
         .join(graft.operators.ApproxAgg.approxPercentiles(
           ev, Seq("event_type"), "value", Seq(0.5, 0.9)), Seq("event_type"))
+        .select(col("event_type"), col("user_id_approx"),
+          col("p_approx")(0).as("p50_approx"),
+          col("p_approx")(1).as("p90_approx"))
         .orderBy("event_type")
     }),
 
@@ -702,15 +707,19 @@ object SparkEntry {
     // nano range residual (ts is raw nanos; never a double round-trip)
     "j_range_prior_errors" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
+      // both sides derive from the same scan: rename the error side's
+      // join key so the equi-predicate is between distinct columns
+      // (avoids Spark's trivially-true same-lineage warning and the
+      // cross-join trap a lineage-changing refactor would spring)
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val e = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts").as("ets"),
+        .select(col("user_id").as("e_user_id"), col("ts").as("ets"),
           col("event_id").as("eid"))
-      p.join(e, p("user_id") === e("user_id") &&
+      p.join(e, col("user_id") === col("e_user_id") &&
           col("ets") >= col("ts") - lit(3600000000000L) &&
           col("ets") <= col("ts"), "left")
-        .groupBy(p("event_id"))
+        .groupBy(col("event_id"))
         .agg(count(col("eid")).as("n_prior_errors"))
         .orderBy("event_id")
     }),

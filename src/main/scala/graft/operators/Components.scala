@@ -73,6 +73,12 @@ object Components {
     * minimum id of the node's connected component. Ids absent from
     * `pairs` are their own singleton components — callers left-join
     * and coalesce (see the neardup_clusters registered query).
+    *
+    * Null semantics: a pair with a null on either side is dropped
+    * before anything runs (filtered ahead of the fast-path gate, so
+    * the driver union-find and the distributed loop see the same
+    * edges); a node paired ONLY with null thus gets no label row and
+    * falls under the caller-side singleton coalesce above.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 40): DataFrame =
@@ -115,7 +121,8 @@ object Components {
       driverMaxPairs: Long = DefaultDriverMaxPairs): (DataFrame, Int) = {
     val caller = pairs.sparkSession
     val p0 = debugT("init_pairs")(truncate(
-      pairs.select(col(idA).as("a"), col(idB).as("b"))))
+      pairs.select(col(idA).as("a"), col(idB).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)))
     val nPairs = p0.count()
     val dts = p0.schema.fields.map(_.dataType)
     if (nPairs <= driverMaxPairs && dts(0) == dts(1) &&

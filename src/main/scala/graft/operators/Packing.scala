@@ -63,12 +63,18 @@ object Packing {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val sorted = df
-      .select(col(idCol), tokensCol.cast("long").as("__tok"))
-      .filter(col("__tok") > 0)
-      .repartitionByRange(p, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .withColumn("__pid", spark_partition_id())
+    // Materialized ONCE: phase 1 (subtotal collect) and phase 2 (the
+    // window) must see the SAME partitioning. Re-executing the plan
+    // could re-sample repartitionByRange's boundaries (and rerun any
+    // nondeterministic upstream), silently shifting rows across
+    // partitions and corrupting the broadcast prefix offsets.
+    val sorted = org.apache.spark.sql.graft.DatasetBridge
+      .localCheckpointNoStats(df
+        .select(col(idCol), tokensCol.cast("long").as("__tok"))
+        .filter(col("__tok") > 0)
+        .repartitionByRange(p, col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .withColumn("__pid", spark_partition_id()))
     // phase 1: one subtotal per partition -> exclusive prefix offsets
     val subtotals = sorted.groupBy(col("__pid"))
       .agg(sum(col("__tok")).as("__sub"))

@@ -179,6 +179,19 @@ object Pq {
     tab.indices.map(s =>
       element_at(lit(tab(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
 
+  /** Ceiling on the query-set size the literal ADC dispatch accepts:
+    * both dispatch shapes are LINEAR in |Q| per candidate row
+    * (pqTopK's exploded literal array, ivfPqTopK's nested CASE WHEN
+    * chain), and past roughly this many branches whole-stage codegen
+    * hits its 64 KB/method limits and falls back to interpreted
+    * evaluation — silently, and per-row. The operators are designed
+    * for the production-ANN regime (queries ≪ corpus); a larger
+    * query set should be chunked by the caller, or scored via a
+    * broadcast map-join dispatch instead. The require makes the
+    * regime boundary fail loudly rather than degrade quietly.
+    */
+  val MaxLiteralQueries: Int = 1024
+
   /** Driver-side ADC tables: query id -> per-subspace distance array
     * (query ids sorted for deterministic plan construction).
     */
@@ -186,13 +199,17 @@ object Pq {
       idCol: String): Seq[(Long, Array[Array[Long]])] = {
     val m = cb.length
     val ksub = cb(0).length
-    distTable(qprep, cb, idCol).collect()
+    val tabs = distTable(qprep, cb, idCol).collect()
       .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
       .map { case (qid, rows) =>
         val tab = Array.ofDim[Long](m, ksub)
         rows.foreach(r => tab(r.getInt(1))(r.getInt(2)) = r.getLong(3))
         (qid, tab)
       }
+    require(tabs.size <= MaxLiteralQueries,
+      s"ADC literal dispatch supports at most $MaxLiteralQueries queries " +
+        s"(got ${tabs.size}): chunk the query set or use a broadcast-join dispatch")
+    tabs
   }
 
   private def finishAdc(scored: DataFrame, k: Int, idCol: String): DataFrame =

@@ -22,9 +22,11 @@ import graft.functions.{TextFunctions, TopKFunctions}
   *    token stream BEFORE the tf aggregation, so the only shuffle
   *    over corpus-sized data carries (doc_id, matched-term) rows —
   *    tokens that match no query never leave the map side;
-  *  - document frequencies come from a window over the pruned
-  *    (doc, term) counts — at most |query terms| partitions, no
-  *    second pass over the corpus;
+  *  - document frequencies reduce via a map-side-combined
+  *    groupBy(term) aggregate (|terms| rows) broadcast back onto the
+  *    pruned (doc, term) counts — never a per-term window, whose
+  *    single-task partitions would be corpus-sized for a high-df
+  *    term; the cached tf keeps the corpus pass at one;
   *  - per-term weights are computed row-local and quantized to an
   *    exact integer (floor(w * 1e9)), so the per-document sum is
   *    order-independent — byte-identical at any parallelism, and
@@ -62,16 +64,20 @@ object Retrieval {
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
-    // df as a window over tf rather than a groupBy + self-join: tf is
-    // already pruned to query terms, and the window avoids executing
-    // the tokenize pass a second time for the df counts
-    val tf = docs
+    // tf is referenced twice (df aggregate + the weighted join) — the
+    // tracked cache keeps the tokenize pass at one. df as a tiny
+    // groupBy(term) aggregate broadcast back onto tf, NOT a window
+    // partitioned by term: the window would route every (doc, term)
+    // row of one term to a single task, and a stopword-like high-df
+    // query term makes that partition corpus-sized. The aggregate is
+    // map-side combined (|terms| rows cross the wire) and the join
+    // side is at most |query terms| rows.
+    val tf = graft.core.OpCaches.persistTracked(docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // all floating steps mirror the oracle SQL token-for-token:
     // left-associative, constants pre-folded in Scala and printed via
     // shortest-round-trip toString on both sides
@@ -82,6 +88,7 @@ object Retrieval {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
     val w = tf
+      .join(broadcast(dfCounts), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .join(broadcast(q), Seq("term"))
