@@ -123,7 +123,10 @@ object SparkEntry {
 
     // C9 = A4 -> P6 -> P3 -> T3 -> T1 -> P1: TREC run frame
     "c9_to_trec" -> ((s, dir) =>
-      SelectiveSearch.trecFrame(
+      // bounded top_k_tag form: <= cutoff rows per query cross the
+      // shuffle (the window reference form ships every result row;
+      // EvaluateSuite pins their equality)
+      SelectiveSearch.trecFrameTopK(
         Tables.results(s, dir)
           .withColumn("title", concat(lit("doc"), col("gdocid"))),
         cutoff = 50)),

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs.
   * Implemented as a simple binary min-heap keyed by "worst first" so
@@ -140,11 +141,166 @@ case class TopKByScore(
   override def prettyName: String = "top_k"
 }
 
+/** Bounded top-k buffer over (score desc, tag asc) where the tag is a
+  * string — the string-payload sibling of [[TopKBuffer]] for ranked
+  * outputs whose tiebreak/identity is textual (e.g. TREC document
+  * titles). Tag comparison is UTF8String binary order, which equals
+  * code-point order and matches DuckDB's default collation on ASCII.
+  */
+final class TopKTagBuffer(val k: Int) {
+  var size = 0
+  val scores = new Array[Double](k)
+  val tags = new Array[UTF8String](k)
+
+  @inline private def worse(s1: Double, t1: UTF8String,
+      s2: Double, t2: UTF8String): Boolean =
+    s1 < s2 || (s1 == s2 && t1.compareTo(t2) > 0)
+
+  private def siftUp(pos0: Int): Unit = {
+    var pos = pos0
+    while (pos > 0) {
+      val parent = (pos - 1) >> 1
+      if (worse(scores(pos), tags(pos), scores(parent), tags(parent))) {
+        swap(pos, parent); pos = parent
+      } else return
+    }
+  }
+
+  private def siftDown(pos0: Int): Unit = {
+    var pos = pos0
+    while (true) {
+      val l = 2 * pos + 1
+      val r = l + 1
+      var worst = pos
+      if (l < size && worse(scores(l), tags(l), scores(worst), tags(worst))) worst = l
+      if (r < size && worse(scores(r), tags(r), scores(worst), tags(worst))) worst = r
+      if (worst == pos) return
+      swap(pos, worst); pos = worst
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val tt = tags(a); tags(a) = tags(b); tags(b) = tt
+  }
+
+  /** `tag` must be OWNED by the buffer (clone row-backed values before
+    * inserting — update() does).
+    */
+  def insert(score: Double, tag: UTF8String): Unit = {
+    if (size < k) {
+      scores(size) = score; tags(size) = tag; size += 1
+      siftUp(size - 1)
+    } else if (k > 0 && worse(scores(0), tags(0), score, tag)) {
+      scores(0) = score; tags(0) = tag
+      siftDown(0)
+    }
+  }
+
+  /** (score, tag) pairs ordered best-first. */
+  def sortedPairs: Array[(Double, UTF8String)] = {
+    val out = (0 until size).map(i => (scores(i), tags(i))).toArray
+    out.sortWith { case ((s1, t1), (s2, t2)) =>
+      s1 > s2 || (s1 == s2 && t1.compareTo(t2) < 0)
+    }
+  }
+}
+
+/** `top_k_tag(score, tag, k)`: per-group top-k rows by (score desc,
+  * tag asc) as `array<struct<score:double, tag:string>>`, best-first —
+  * same bounded-shuffle contract as [[TopKByScore]] (each map task
+  * ships at most k rows per group), for string-keyed rankings a
+  * long id cannot carry.
+  */
+case class TopKByScoreTag(
+    scoreExpr: Expression, tagExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKTagBuffer] {
+
+  require(k > 0, "top_k_tag needs k > 0")
+
+  override def children: Seq[Expression] = Seq(scoreExpr, tagExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType), StructField("tag", StringType))))
+
+  override def createAggregationBuffer(): TopKTagBuffer = new TopKTagBuffer(k)
+
+  override def update(buf: TopKTagBuffer, input: InternalRow): TopKTagBuffer = {
+    val s = scoreExpr.eval(input)
+    val t = tagExpr.eval(input)
+    // clone: the UTF8String points into a reused row buffer
+    if (s != null && t != null)
+      buf.insert(s.asInstanceOf[Double], t.asInstanceOf[UTF8String].clone())
+    buf
+  }
+
+  override def merge(buf: TopKTagBuffer, other: TopKTagBuffer): TopKTagBuffer = {
+    var i = 0
+    while (i < other.size) { buf.insert(other.scores(i), other.tags(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKTagBuffer): Any = {
+    val rows: Array[Any] = buf.sortedPairs.map { case (s, t) =>
+      InternalRow(s, t): Any
+    }
+    new GenericArrayData(rows): ArrayData
+  }
+
+  override def serialize(buf: TopKTagBuffer): Array[Byte] = {
+    var bytes = 0
+    var i = 0
+    while (i < buf.size) { bytes += buf.tags(i).numBytes(); i += 1 }
+    val bb = ByteBuffer.allocate(8 + buf.size * 12 + bytes)
+    bb.putInt(buf.k).putInt(buf.size)
+    i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.scores(i))
+      val tb = buf.tags(i).getBytes
+      bb.putInt(tb.length).put(tb)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKTagBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKTagBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble
+      val tb = new Array[Byte](bb.getInt)
+      bb.get(tb)
+      buf.insert(s, UTF8String.fromBytes(tb))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScoreTag =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScoreTag =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TopKByScoreTag =
+    copy(scoreExpr = c(0), tagExpr = c(1))
+  override def prettyName: String = "top_k_tag"
+}
+
 object TopKFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** Aggregate column: per-group top-k (score desc, id asc) pairs. */
   def top_k(score: Column, id: Column, k: Int): Column =
     column(TopKByScore(expression(score), expression(id.cast("long")), k)
+      .toAggregateExpression())
+
+  /** Aggregate column: per-group top-k (score desc, tag asc) pairs,
+    * tag a string.
+    */
+  def top_k_tag(score: Column, tag: Column, k: Int): Column =
+    column(TopKByScoreTag(expression(score), expression(tag.cast("string")), k)
       .toAggregateExpression())
 }

@@ -432,7 +432,10 @@ object SelectiveSearch {
     */
   def toTrec(results: DataFrame, path: String, cutoff: Int = 1000,
       tiebreak: Seq[String] = Seq("title")): Unit = {
-    trecFrame(results, cutoff, tiebreak)
+    val frame =
+      if (tiebreak == Seq("title")) trecFrameTopK(results, cutoff)
+      else trecFrame(results, cutoff, tiebreak)
+    frame
       .coalesce(1)
       .write.mode("overwrite")
       .option("sep", "\t").option("header", "false")
@@ -457,6 +460,31 @@ object SelectiveSearch {
       .filter(col("rank") < lit(cutoff))
       .orderBy(col("query").asc, col("rank").asc)
       .select("query", "iter", "title", "rank", "score", "run_id")
+  }
+
+  /** [[trecFrame]] for the standard (score desc, title asc) order via
+    * the bounded `top_k_tag` aggregate: each map task ships at most
+    * `cutoff` rows per query across the shuffle, where the window
+    * form sorts and shuffles EVERY result row before the rank filter
+    * discards all but `cutoff` of them — at retrieval scale (queries x
+    * full shard runs) that is the difference between shuffling the
+    * run files and shuffling the export. Equal to
+    * `trecFrame(results, cutoff)` row-for-row (EvaluateSuite pins it);
+    * score is exported as double (the window form preserves the input
+    * column's type — callers feeding non-double scores who care about
+    * the exported type should cast upstream).
+    */
+  def trecFrameTopK(results: DataFrame, cutoff: Int = 1000): DataFrame = {
+    ensureHasColumns(results, Seq("query", "score", "title"))
+    results
+      .groupBy(col("query"))
+      .agg(graft.functions.TopKFunctions
+        .top_k_tag(col("score").cast("double"), col("title"), cutoff).as("top"))
+      .select(col("query"), posexplode(col("top")))
+      .select(col("query"), lit("Q0").as("iter"),
+        col("col.tag").as("title"), col("pos").cast("int").as("rank"),
+        col("col.score").as("score"), lit("null").as("run_id"))
+      .orderBy(col("query").asc, col("rank").asc)
   }
 
   private def moveSinglePartFile(spark: SparkSession, dir: String, dest: String): Unit = {

@@ -123,4 +123,20 @@ class EvaluateSuite extends SparkSuite {
       .first().getDouble(1)
     assert(got == 0.5) // (1+0)/2, not /10
   }
+
+  test("trecFrameTopK equals the window trecFrame row-for-row, ties included") {
+    // score ties within and across queries; more rows than cutoff
+    val r = results.withColumn("title", concat(lit("doc"), $"gdocid"))
+      .withColumn("score", $"score" - ($"gdocid" % 2) * ($"score" - 500.0))
+    val cutoff = 5
+    val win = SelectiveSearch.trecFrame(r, cutoff)
+      .withColumn("score", $"score".cast("double")).collect()
+    val agg = SelectiveSearch.trecFrameTopK(r, cutoff).collect()
+    assert(agg.toSeq == win.toSeq)
+    // also at a cutoff wider than any group (no truncation edge)
+    val winAll = SelectiveSearch.trecFrame(r, 1000)
+      .withColumn("score", $"score".cast("double")).collect()
+    val aggAll = SelectiveSearch.trecFrameTopK(r, 1000).collect()
+    assert(aggAll.toSeq == winAll.toSeq)
+  }
 }
