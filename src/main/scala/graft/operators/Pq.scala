@@ -77,11 +77,17 @@ object Pq {
   }
 
   private[operators] def codebookFromPrep(prep: DataFrame, m: Int,
-      ksub: Int, idCol: String): Array[Array[Array[Long]]] = {
-    val rows = prep
+      ksub: Int, idCol: String): Array[Array[Array[Long]]] =
+    codebookFromVecs(prep
       .orderBy(col(idCol)).limit(ksub)
       .select(col("v")).collect()
-      .map(_.getSeq[Long](0).toArray)
+      .map(_.getSeq[Long](0).toArray).toSeq, m)
+
+  /** The codebook slicing on already-collected vectors (the `ksub`
+    * lowest-id rows, id-ascending).
+    */
+  private def codebookFromVecs(rows: Seq[Array[Long]],
+      m: Int): Array[Array[Array[Long]]] = {
     require(rows.nonEmpty, "empty corpus — no codebook")
     val dim = rows(0).length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -96,7 +102,7 @@ object Pq {
     * instead of an interpreted higher-order zip.
     */
   def encode(prep: DataFrame, cb: Array[Array[Array[Long]]],
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", cellCol: Option[Column] = None): DataFrame = {
     val m = cb.length
     val sub = cb(0)(0).length
     val codeCols = (0 until m).map { s =>
@@ -111,8 +117,14 @@ object Pq {
       }
       least(cands: _*).getField("j").as(s"__c$s")
     }
-    prep.select(col(idCol) +: codeCols: _*)
-      .select(col(idCol), array((0 until m).map(s => col(s"__c$s")): _*).as("codes"))
+    // cellCol (an expression over the prep's v/n2, e.g. a literal
+    // nearest-centroid argmin) FUSES the IVF cell assignment into the
+    // same single projection — one corpus pass, no assignment join
+    val cell = cellCol.map(_.as("cent_id")).toSeq
+    prep.select(col(idCol) +: codeCols ++: cell: _*)
+      .select(col(idCol) +:
+        array((0 until m).map(s => col(s"__c$s")): _*).as("codes") +:
+        cell.map(_ => col("cent_id")): _*)
   }
 
   /** ADC distance table for every query row: (query_id, s, j, d) with
@@ -154,8 +166,10 @@ object Pq {
     val prep = Similarity.prepared(corpus, embCol, idCol)
     val cb = codebooks.getOrElse(codebookFromPrep(prep, m, ksub, idCol))
     val codes = encode(prep, cb, idCol)
-    val dt = collectDistTables(
-      Similarity.prepared(queries, embCol, idCol), cb, idCol)
+    // ADC tables from one tiny query-set collect + driver arithmetic
+    // (exact integers — identical to the relational distTable form)
+    val dt = driverDistTables(Similarity.collectVecRows(
+      Similarity.prepared(queries, embCol, idCol), idCol), cb)
     // the faiss shape, relationally: ADC tables live as task-local
     // literal arrays (|Q| x m x ksub longs — driver/closure-tiny),
     // pq_dist is computed MAP-SIDE per (doc, query), and the only
@@ -206,10 +220,47 @@ object Pq {
         rows.foreach(r => tab(r.getInt(1))(r.getInt(2)) = r.getLong(3))
         (qid, tab)
       }
-    require(tabs.size <= MaxLiteralQueries,
-      s"ADC literal dispatch supports at most $MaxLiteralQueries queries " +
-        s"(got ${tabs.size}): chunk the query set or use a broadcast-join dispatch")
+    guardQueryCount(tabs.size)
     tabs
+  }
+
+  private def guardQueryCount(n: Int): Unit =
+    require(n <= MaxLiteralQueries,
+      s"ADC literal dispatch supports at most $MaxLiteralQueries queries " +
+        s"(got $n): chunk the query set or use a broadcast-join dispatch")
+
+  /** [[collectDistTables]] computed in driver scala from an
+    * already-collected query set — exact integer arithmetic, no
+    * additional Spark job. d(q, s, j) = |q_s|² + |e|² - 2 q_s·e over
+    * the quantized subspace slices, identical to [[distTable]].
+    */
+  private def driverDistTables(qrows: Array[Similarity.VecRow],
+      cb: Array[Array[Array[Long]]]): Seq[(Long, Array[Array[Long]])] = {
+    guardQueryCount(qrows.length)
+    val m = cb.length
+    val ksub = cb(0).length
+    val sub = cb(0)(0).length
+    qrows.toSeq.sortBy(_.id).map { q =>
+      val tab = Array.ofDim[Long](m, ksub)
+      var s = 0
+      while (s < m) {
+        var vn2 = 0L
+        var i = 0
+        while (i < sub) { val x = q.v(s * sub + i); vn2 += x * x; i += 1 }
+        var j = 0
+        while (j < ksub) {
+          val e = cb(s)(j)
+          var en2 = 0L; var d = 0L; i = 0
+          while (i < sub) {
+            en2 += e(i) * e(i); d += q.v(s * sub + i) * e(i); i += 1
+          }
+          tab(s)(j) = vn2 + en2 - 2L * d
+          j += 1
+        }
+        s += 1
+      }
+      (q.id, tab)
+    }
   }
 
   private def finishAdc(scored: DataFrame, k: Int, idCol: String): DataFrame =
@@ -235,24 +286,58 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    // index build touches the vectors four times (centroid sample,
-    // assignment, codebook, encode) — cache the projection for the
-    // build's duration, as ivfTopK does
+    // index build: cache the projection for the build's duration, as
+    // ivfTopK does
     val cp = Similarity.prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
-    val cent = Similarity.centroidSample(cp, numCentroids, idCol)
-    val cb = codebookFromPrep(cp, m, ksub, idCol)
-    val codes = encode(cp, cb, idCol)
-      .join(Similarity.nearestCentroids(cp, cent, 1, idCol)
-        .select(col(idCol), col("cent_id")), Seq(idCol))
-    val qprep = Similarity.prepared(queries, embCol, idCol)
-    val probes = Similarity.nearestCentroids(qprep, cent, nprobe, idCol)
-      .select(col(idCol).as("__pq"), col("cent_id"))
-    val dt = collectDistTables(qprep, cb, idCol)
+    if (numCentroids <= Similarity.MaxLiteralCentroids) {
+      // literal regime — exactly TWO driver jobs before the scan:
+      // (1) one corpus TakeOrdered collect whose lowest-id rows serve
+      //     BOTH the centroid table and the codebook sample,
+      // (2) one collect of the (contract-small) query set, from which
+      //     ADC tables and the probe list compute in driver scala
+      //     (exact integer / bit-identical double ordering).
+      // The scan itself is ONE map-side corpus pass: codes and cell
+      // id fuse into the encode projection, probes broadcast as a
+      // LocalRelation — no assignment join, no agg shuffle.
+      val low = Similarity.collectVecRows(
+        cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
+      val cents = low.take(numCentroids)
+        .map(r => Similarity.CentRow(r.id, r.v, r.n2))
+      val cb = codebookFromVecs(low.take(ksub).map(_.v).toSeq, m)
+      val qrows = Similarity.collectVecRows(
+        Similarity.prepared(queries, embCol, idCol), idCol)
+      val dt = driverDistTables(qrows, cb)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val probes = qrows.toSeq.flatMap(q =>
+        Similarity.driverNearestCells(q, cents, nprobe).map(c => (q.id, c)))
+        .toDF("__pq", "cent_id")
+      val codes = encode(cp, cb, idCol, cellCol =
+        Some(element_at(Similarity.litNearestCells(cents, 1), 1)))
+      adcScan(codes, probes, dt, k, idCol)
+    } else {
+      // over-limit centroid table: the joined index-build shape
+      val cent = Similarity.centroidSample(cp, numCentroids, idCol)
+      val cb = codebookFromPrep(cp, m, ksub, idCol)
+      val qprep = Similarity.prepared(queries, embCol, idCol)
+      val codes = encode(cp, cb, idCol)
+        .join(Similarity.nearestCentroids(cp, cent, 1, idCol)
+          .select(col(idCol), col("cent_id")), Seq(idCol))
+      val probes = Similarity.nearestCentroids(qprep, cent, nprobe, idCol)
+        .select(col(idCol).as("__pq"), col("cent_id"))
+      adcScan(codes, probes, collectDistTables(qprep, cb, idCol), k, idCol)
+    }
+  }
+
+  /** Shared ADC tail: probed candidates score map-side off the literal
+    * ADC tables, dispatched on the probing query id — the only
+    * exchange is the bounded top-k.
+    */
+  private def adcScan(codes: DataFrame, probes: DataFrame,
+      dt: Seq[(Long, Array[Array[Long]])], k: Int, idCol: String): DataFrame = {
     val cells = codes.join(broadcast(probes), Seq("cent_id"))
       .filter(col("__pq") =!= col(idCol))
-    // probed candidates score map-side off the literal ADC tables,
-    // dispatched on the probing query id — no per-pair shuffle
     val distByQuery = dt.foldRight(lit(null).cast("long")) {
       case ((qid, tab), acc) => when(col("__pq") === qid, lookupDist(tab)).otherwise(acc)
     }
@@ -283,8 +368,12 @@ object Pq {
     val cp = Similarity.prepared(corpus, embCol, idCol)
     val qp = Similarity.prepared(queries, embCol, idCol)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val exact = cand
-      .join(cp, Seq(idCol))
+    // the nomination list is |Q| x rerank rows (query-set-bounded, and
+    // the ADC dispatch already caps |Q|): BROADCAST it so the refine
+    // is a map-side semi-join over the cached corpus projection — no
+    // corpus-sized shuffle between nomination and rerank
+    val exact = cp
+      .join(broadcast(cand), Seq(idCol))
       .join(broadcast(qp), Seq("query_id"))
       .select(col("query_id"), col(idCol),
         Similarity.cosineQ(Similarity.dotQ(col("qv"), col("v")),

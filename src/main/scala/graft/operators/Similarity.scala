@@ -162,12 +162,103 @@ object Similarity {
     cp.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
 
+  /** Centroid tables at or below this row count compile into the
+    * assignment expression as LITERALS ([[litNearestCells]]): the
+    * argmin runs entirely map-side in one whole-stage-codegen
+    * projection — no broadcast build, no bounded-agg shuffle, no
+    * per-vector heap. Past it (the sqrt-law count outgrows codegen's
+    * per-method budget) assignment falls back to the broadcast-join +
+    * bounded-top-k shape. 256 keeps the generated comparator well
+    * under the 64 KB method limit at dim 64.
+    */
+  private[operators] val MaxLiteralCentroids = 256
+
+  /** A collected centroid row: (cent_id, quantized vector, norm2). */
+  private[operators] final case class CentRow(id: Long, cv: Array[Long], cn2: Long)
+
+  /** The centroid table collected for literal compilation, or None if
+    * it exceeds `max` rows (the collect probes max + 1 rows, so an
+    * over-limit table never materializes on the driver).
+    */
+  private[operators] def collectCentroidRows(cent: DataFrame,
+      max: Int = MaxLiteralCentroids): Option[Array[CentRow]] = {
+    val rows = cent
+      .select(col("cent_id").cast("long"), col("cv"), col("cn2").cast("long"))
+      .orderBy(col("cent_id")).limit(max + 1).collect()
+    if (rows.length > max) None
+    else Some(rows.map(r =>
+      CentRow(r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2))))
+  }
+
+  /** `array<bigint>` of the row's `take` nearest centroid ids by
+    * (cosine desc, cent_id asc), computed map-side against literal
+    * centroids. Ordering matches the bounded-top-k path exactly:
+    * struct comparison on (-cosine, cent_id) equals (score desc,
+    * id asc) for the non-NaN cosines quantized integer dots produce
+    * (a zero dot yields -0.0 on every branch, so zero-cosine ties
+    * still fall through to the id tiebreak).
+    */
+  private[operators] def litNearestCells(cents: Array[CentRow], take: Int): Column = {
+    val entries = cents.map { c =>
+      struct((-cosineQ(dotQ(col("v"), lit(c.cv)), col("n2"), lit(c.cn2))).as("nc"),
+        lit(c.id).as("cid"))
+    }.toSeq
+    if (take == 1) array(least(entries: _*).getField("cid"))
+    else transform(slice(array_sort(array(entries: _*)), 1, take),
+      e => e.getField("cid"))
+  }
+
+  /** [[nearestCentroids]] against pre-collected literal centroids:
+    * one map-side projection, no join, no shuffle.
+    */
+  private[operators] def nearestCentroidsFromRows(p: DataFrame,
+      cents: Array[CentRow], take: Int, idCol: String): DataFrame =
+    p.select(col(idCol), col("v"), col("n2"),
+      explode(litNearestCells(cents, take)).as("cent_id"))
+
+  /** A collected prepared-vector row: (id, quantized vector, norm2). */
+  private[operators] final case class VecRow(id: Long, v: Array[Long], n2: Long)
+
+  /** Collect a SMALL prepared frame (query sets, centroid tables) to
+    * the driver — one tiny job; the caller guarantees boundedness.
+    */
+  private[operators] def collectVecRows(prep: DataFrame,
+      idCol: String): Array[VecRow] =
+    prep.select(col(idCol).cast("long"), col("v"), col("n2").cast("long"))
+      .orderBy(col(idCol)).collect()
+      .map(r => VecRow(r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+
+  /** Driver-side mirror of [[litNearestCells]] for a collected vector:
+    * the `take` nearest centroid ids by (cosine desc, cent_id asc).
+    * Bit-identical to the in-engine form — the cosine is the same one
+    * double division/sqrt over exact integer parts (IEEE ops are
+    * deterministic across JVM and engine), and the comparator is
+    * java.lang.Double.compare, Spark's own double ordering.
+    */
+  private[operators] def driverNearestCells(vr: VecRow,
+      cents: Array[CentRow], take: Int): Array[Long] = {
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    cents.map { c =>
+      val cos = dot(vr.v, c.cv).toDouble / math.sqrt((vr.n2 * c.cn2).toDouble)
+      (-cos, c.id)
+    }.sortWith { case ((n1, i1), (n2_, i2)) =>
+      val c = java.lang.Double.compare(n1, n2_)
+      c < 0 || (c == 0 && i1 < i2)
+    }.take(take).map(_._2)
+  }
+
   /** The `take` nearest centroids of every vector in `p`, vector
     * columns carried through: (idCol, v, n2, cent_id) with `take`
     * rows per input vector.
     *
-    * Shape: broadcast the centroid table, score every
-    * (vector, centroid) in-task, keep the top `take` with the bounded
+    * Small centroid tables (≤ [[MaxLiteralCentroids]]) compile into a
+    * literal map-side argmin — see [[litNearestCells]]. Otherwise:
+    * broadcast the centroid table, score every (vector, centroid)
+    * in-task, keep the top `take` with the bounded
     * [[graft.functions.TopKAggregate]] — partial aggregation collapses
     * each vector's |centroids| scored rows to ONE k-heap row before
     * the shuffle, so the exchange ships one row per vector (the
@@ -180,14 +271,16 @@ object Similarity {
     * large C, [[nearestCentroidsTwoLevel]] cuts it to ~n x sqrt(C).
     */
   private[operators] def nearestCentroids(p: DataFrame, cent: DataFrame, take: Int,
-      idCol: String): DataFrame =
-    p.join(broadcast(cent))
+      idCol: String): DataFrame = collectCentroidRows(cent) match {
+    case Some(cents) => nearestCentroidsFromRows(p, cents, take, idCol)
+    case None => p.join(broadcast(cent))
       .select(col(idCol), col("v"), col("n2"), col("cent_id"),
         cosineQ(dotQ(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
       .groupBy(col(idCol), col("v"), col("n2"))
       .agg(graft.functions.TopKFunctions.top_k(col("ccos"), col("cent_id"), take).as("top"))
       .select(col(idCol), col("v"), col("n2"),
         explode(col("top").getField("id")).as("cent_id"))
+  }
 
   /** Two-level (coarse-then-fine) nearest-centroid assignment: the
     * `numSuper` lowest-id centroids act as super-centroids; each
@@ -274,10 +367,28 @@ object Similarity {
       if (superCells > 0)
         nearestCentroidsTwoLevel(df, cent, take, idCol, superCells, superProbes)
       else nearestCentroids(df, cent, take, idCol)
-    val assign = assignTo(cp, 1)
-    val probes = assignTo(prepared(queries, embCol, idCol), nprobe)
-      .select(col(idCol).as("query_id"), col("v").as("qv"),
-        col("n2").as("qn2"), col("cent_id"))
+    // literal-centroid regime: the query side is broadcast-small BY
+    // CONTRACT, so collect it once and compute the probe list in
+    // driver scala ([[driverNearestCells]] — bit-identical ordering);
+    // the probes then broadcast as a LocalRelation, no extra job
+    val centsOpt =
+      if (superCells > 0) None else collectCentroidRows(cent)
+    val (assign, probes) = centsOpt match {
+      case Some(cents) =>
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        val qrows = collectVecRows(prepared(queries, embCol, idCol), idCol)
+        val probeRows = qrows.toSeq.flatMap(q =>
+          driverNearestCells(q, cents, nprobe)
+            .map(c => (q.id, q.v.toSeq, q.n2, c)))
+        (nearestCentroidsFromRows(cp, cents, 1, idCol),
+          probeRows.toDF("query_id", "qv", "qn2", "cent_id"))
+      case None =>
+        (assignTo(cp, 1),
+          assignTo(prepared(queries, embCol, idCol), nprobe)
+            .select(col(idCol).as("query_id"), col("v").as("qv"),
+              col("n2").as("qn2"), col("cent_id")))
+    }
     // one row per (query, candidate): the vector's single cell meets
     // each probing query once, so no dedup is needed before top-k
     val scored = assign.join(broadcast(probes), Seq("cent_id"))
