@@ -595,6 +595,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ scan over FITTED k-means sub-codebooks (the quality path):
+    // rows-only BY DESIGN — a seeded k-means|| fit is deterministic
+    // and engine-reproducible but not practically SQL-replayable, so
+    // no hash oracle can exist; SimilaritySuite pins the driver fit
+    // == the distributed loop bit-for-bit and the codebook contract
+    "ann_pq_fitted_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.operators.Pq.kmeansCodebook(e, m = 4, ksub = 16)
+      graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5,
+        codebooks = Some(cb))
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF+PQ: ADC scan restricted to each query's probed IVF cells —
     // IVF cuts the scanned fraction, PQ the bytes per scanned vector
     "ann_ivfpq_topk" -> ((s, dir) => {
@@ -1008,7 +1021,8 @@ object SparkEntry {
     * documented error bounds. Additions here must stay deliberate —
     * EntrySuite asserts this set is exactly the no-oracle remainder.
     */
-  val rowsOnlyQueries: Set[String] = Set("approx_agg_sketches")
+  val rowsOnlyQueries: Set[String] =
+    Set("approx_agg_sketches", "ann_pq_fitted_topk")
 
   def oracleSql: Map[String, String] = Map(
     "c8_select_buckets" -> c8OracleSql,

@@ -61,6 +61,21 @@ object KMeans {
     (shiftrightunsigned(xxhash64(lit(seed), idc), 11).cast("double") /
       lit((1L << 53).toDouble))
 
+  /** Vector count at or below which the fit runs as a single
+    * driver-side loop over one collected projection instead of the
+    * iterative job sequence — the same size-gated fast path as
+    * `Components`' union-find. A k-means fit is ~(rounds + iters) x 2
+    * jobs distributed; under the gate that is all floor (the data is
+    * a few MB), and index fits at 100 TB typically run on a bounded
+    * SAMPLE anyway (the faiss `train` convention), which lands under
+    * the gate by construction. 65536 x dim-64 longs ≈ 34 MB on the
+    * driver. The driver loop reproduces the distributed arithmetic
+    * bit-for-bit (exact integer distances, xxhash64 coins,
+    * java.lang.Double ops in the same order), pinned by a cross-path
+    * equality test.
+    */
+  val DefaultDriverMaxFitVectors: Long = 65536
+
   /** k-means|| centroids over a prepared corpus (`Similarity.prepared`
     * output: idCol, v, n2). Returns (cent_id, cv, cn2) with cent_id =
     * 0..k-1 in a deterministic order.
@@ -68,13 +83,34 @@ object KMeans {
     * @param rounds  oversampling rounds (the paper's ~5 suffice)
     * @param factor  oversampling factor l = factor * k per round
     * @param iters   Lloyd refinement iterations after init
+    * @param driverMaxVectors corpora at or below this row count (with
+    *   a bigint id) fit on the driver — see
+    *   [[DefaultDriverMaxFitVectors]]; 0 forces the distributed loop
     */
   def kmeansCentroids(cp: DataFrame, k: Int, idCol: String = "vec_id",
       seed: Long = 42L, rounds: Int = 5, factor: Int = 2,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      driverMaxVectors: Long = DefaultDriverMaxFitVectors): DataFrame = {
     val spark = cp.sparkSession
     import spark.implicits._
     require(k >= 1)
+
+    // --- size-gated driver fast path (bigint ids only: the coin hash
+    // --- must reproduce xxhash64-of-long exactly) ---
+    if (driverMaxVectors > 0 &&
+        cp.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      val probe = cp.select(col(idCol), col("v"), col("n2"))
+        .limit(driverMaxVectors.toInt + 1).collect()
+      if (probe.length <= driverMaxVectors) {
+        val rows = probe
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+          .sortBy(_._1)
+        val centers = driverKmeans(rows, k, seed, rounds, factor, iters)
+        return centers.zipWithIndex
+          .map { case (cv, i) => (i, cv, cv.map(x => x * x).sum) }
+          .toDF("cent_id", "cv", "cn2")
+      }
+    }
 
     def collectVecs(df: DataFrame): Seq[(Array[Long], Long)] =
       df.select(col("v"), col("n2")).collect().toSeq
@@ -92,10 +128,14 @@ object KMeans {
       val dists = minD2(cp, candidates, idCol)
       val phi = dists.agg(sum(col("best_d2"))).as[Long].head()
       if (phi > 0) {
+        // id-ordered collect: the candidate SEQUENCE feeds cand_id and
+        // the seeded k-means++ walk downstream, and an unordered
+        // filter collect would make the fit depend on partitioning
         val picked = collectVecs(
           dists.filter(
             coin(col(idCol), seed + r) * lit(phi.toDouble) <
-              lit(l.toDouble) * col("best_d2")))
+              lit(l.toDouble) * col("best_d2"))
+            .orderBy(col(idCol)))
         candidates = candidates ++ picked
       }
     }
@@ -156,6 +196,118 @@ object KMeans {
         .localCheckpoint()
     }
     centDf
+  }
+
+  /** The whole fit as a single driver loop over collected
+    * (id, v, n2) rows SORTED BY ID — a bit-for-bit mirror of the
+    * distributed path: same xxhash64 coins (via catalyst's XXH64),
+    * same exact-integer distances with (d2, index) argmin tiebreaks,
+    * same double op order in the sampling comparison and the
+    * floor(s/n + 0.5) Lloyd update, same candidate sequence (id
+    * order, matching the distributed path's ordered collect).
+    * Cross-path equality is pinned in SimilaritySuite.
+    */
+  private[operators] def driverKmeans(rows: Array[(Long, Array[Long], Long)],
+      k: Int, seed: Long, rounds: Int, factor: Int,
+      iters: Int): IndexedSeq[Array[Long]] = {
+    require(rows.nonEmpty, "empty corpus — no centroids")
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // xxhash64(lit(seed), id): children fold left from the default 42
+    def h(id: Long, s: Long): Long =
+      XXH64.hashLong(id, XXH64.hashLong(s, 42L))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var x = 0L; var i = 0
+      while (i < a.length) { x += a(i) * b(i); i += 1 }
+      x
+    }
+    def d2(va: Array[Long], na2: Long, vb: Array[Long], nb2: Long): Long =
+      na2 + nb2 - 2L * dot(va, vb)
+    val n = rows.length
+    val dim = rows(0)._2.length
+
+    // init round 0: smallest (hash, id)
+    var firstI = 0
+    var i = 1
+    while (i < n) {
+      val (hi, hf) = (h(rows(i)._1, seed), h(rows(firstI)._1, seed))
+      if (hi < hf || (hi == hf && rows(i)._1 < rows(firstI)._1)) firstI = i
+      i += 1
+    }
+    val candidates =
+      scala.collection.mutable.ArrayBuffer[(Array[Long], Long)](
+        (rows(firstI)._2, rows(firstI)._3))
+    val l = factor.toLong * k
+
+    // oversampling rounds, candidates appended in id order
+    for (r <- 1 to rounds) {
+      val best = rows.map { case (_, v, n2) =>
+        var b = Long.MaxValue
+        candidates.foreach { case (cv, cn2) =>
+          val d = d2(v, n2, cv, cn2); if (d < b) b = d
+        }
+        b
+      }
+      val phi = best.sum
+      if (phi > 0) {
+        i = 0
+        val fresh = scala.collection.mutable.ArrayBuffer[(Array[Long], Long)]()
+        while (i < n) {
+          val coin = (h(rows(i)._1, seed + r) >>> 11).toDouble /
+            (1L << 53).toDouble
+          if (coin * phi.toDouble < l.toDouble * best(i).toDouble)
+            fresh += ((rows(i)._2, rows(i)._3))
+          i += 1
+        }
+        candidates ++= fresh
+      }
+    }
+
+    // weights: points per nearest candidate ((d2, index) argmin)
+    val wcount = new Array[Long](candidates.length)
+    rows.foreach { case (_, v, n2) =>
+      var bi = 0; var bd = Long.MaxValue
+      var ci = 0
+      while (ci < candidates.length) {
+        val (cv, cn2) = candidates(ci)
+        val d = d2(v, n2, cv, cn2)
+        if (d < bd) { bd = d; bi = ci }
+        ci += 1
+      }
+      wcount(bi) += 1
+    }
+    val weighted = candidates.toSeq.zipWithIndex
+      .map { case ((cv, cn2), ci) => (cv, cn2, wcount(ci)) }
+    var cents = weightedKMeansPlusPlus(weighted, k, seed)
+      .map(cv => (cv, cv.map(x => x * x).sum))
+
+    // Lloyd: exact integer component sums, floor(s/n + 0.5) update,
+    // empty cells keep their centroid
+    for (_ <- 1 to iters) {
+      val sums = Array.ofDim[Long](cents.length, dim)
+      val cnt = new Array[Long](cents.length)
+      rows.foreach { case (_, v, n2) =>
+        var bi = 0; var bd = Long.MaxValue
+        var ci = 0
+        while (ci < cents.length) {
+          val (cv, cn2) = cents(ci)
+          val d = d2(v, n2, cv, cn2)
+          if (d < bd) { bd = d; bi = ci }
+          ci += 1
+        }
+        var p = 0
+        while (p < dim) { sums(bi)(p) += v(p); p += 1 }
+        cnt(bi) += 1
+      }
+      cents = cents.indices.map { ci =>
+        if (cnt(ci) == 0) cents(ci)
+        else {
+          val cv = Array.tabulate(dim)(p =>
+            math.floor(sums(ci)(p).toDouble / cnt(ci).toDouble + 0.5).toLong)
+          (cv, cv.map(x => x * x).sum)
+        }
+      }
+    }
+    cents.map(_._1).toIndexedSeq
   }
 
   /** Weighted k-means++ on the driver (Arthur & Vassilvitskii 2007,

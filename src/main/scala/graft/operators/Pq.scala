@@ -64,16 +64,42 @@ object Pq {
       seed: Long = 42L): Array[Array[Array[Long]]] = {
     val prep = Similarity.prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
-    val dim = prep.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-    (0 until m).map { s =>
-      val sp = prep.select(col(idCol), slice(col("v"), s * sub + 1, sub).as("v"))
-        .withColumn("n2", Similarity.norm2Q(col("v")))
-      KMeans.kmeansCentroids(sp, ksub, idCol, seed = seed + s)
-        .orderBy(col("cent_id"))
-        .select(col("cv")).collect().map(_.getSeq[Long](0).toArray)
-    }.toArray
+    // size-gated driver fit (KMeans.driverKmeans, the bit-for-bit
+    // mirror of the distributed loop): ONE collect serves all m
+    // subspace fits — sub-slices and sub-norms are driver arithmetic.
+    // Over the gate (or a non-bigint id), each subspace runs the
+    // distributed loop on its sliced projection as before.
+    val gate = KMeans.DefaultDriverMaxFitVectors
+    val probe =
+      if (prep.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        prep.select(col(idCol), col("v")).limit(gate.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (probe.nonEmpty && probe.length <= gate) {
+      val rows = probe.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      val dim = rows(0)._2.length
+      require(dim % m == 0, s"m=$m must divide dim=$dim")
+      val sub = dim / m
+      (0 until m).map { s =>
+        val subRows = rows.map { case (id, v) =>
+          val sv = v.slice(s * sub, s * sub + sub)
+          (id, sv, sv.map(x => x * x).sum)
+        }
+        KMeans.driverKmeans(subRows, ksub, seed + s,
+          rounds = 5, factor = 2, iters = 5).toArray
+      }.toArray
+    } else {
+      val dim = prep.select(size(col("v"))).head().getInt(0)
+      require(dim % m == 0, s"m=$m must divide dim=$dim")
+      val sub = dim / m
+      (0 until m).map { s =>
+        val sp = prep.select(col(idCol), slice(col("v"), s * sub + 1, sub).as("v"))
+          .withColumn("n2", Similarity.norm2Q(col("v")))
+        KMeans.kmeansCentroids(sp, ksub, idCol, seed = seed + s)
+          .orderBy(col("cent_id"))
+          .select(col("cv")).collect().map(_.getSeq[Long](0).toArray)
+      }.toArray
+    }
   }
 
   private[operators] def codebookFromPrep(prep: DataFrame, m: Int,

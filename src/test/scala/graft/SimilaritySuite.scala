@@ -169,6 +169,29 @@ class SimilaritySuite extends SparkSuite {
     assert(ivf == brute)
   }
 
+  test("kmeans driver fast path equals the distributed loop bit-for-bit") {
+    import graft.operators.KMeans
+    // asymmetric data (no symmetry to hide an ordering bug), 40 rows
+    val df = (0 until 40)
+      .map(i => (i.toLong, Seq(
+        (math.sin(i * 1.7) * 3 + i % 7).toFloat,
+        (math.cos(i * 0.9) * 2 - i % 5).toFloat,
+        (i % 11 * 0.3).toFloat,
+        (math.sin(i * 0.31) - 1.2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cp = Similarity.prepared(df, "embedding", "vec_id")
+    val driver = KMeans.kmeansCentroids(cp, 5, seed = 7L)
+      .orderBy("cent_id").collect().map(_.toSeq).toSeq
+    val dist = KMeans.kmeansCentroids(cp, 5, seed = 7L,
+      driverMaxVectors = 0) // force the distributed loop
+      .orderBy("cent_id").collect().map(_.toSeq).toSeq
+    assert(driver == dist)
+    // and at a different partitioning (the ordered candidate collect)
+    val dist2 = KMeans.kmeansCentroids(cp.repartition(7), 5, seed = 7L,
+      driverMaxVectors = 0).orderBy("cent_id").collect().map(_.toSeq).toSeq
+    assert(driver == dist2)
+  }
+
   test("ivf assignment puts every corpus vector in exactly one cell") {
     val queries = corpus.filter($"vec_id" === 0L)
     // nprobe = all cells => every non-query vector scored exactly once
