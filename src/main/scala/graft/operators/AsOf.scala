@@ -56,24 +56,27 @@ object AsOf {
       .select(on.map(col) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("__t"), col("__side")) ++ rightVals.map(col): _*)
-    // backward: right (side 0) sorts before left (side 1) at equal
-    // time and the frame looks back -> inclusive last(). forward:
-    // left sorts before right at equal time and the frame looks
-    // ahead -> inclusive first().
+    // BOTH variants run as an O(n) RUNNING frame (unboundedPreceding
+    // -> currentRow + last()): a frame anchored at unboundedFollowing
+    // makes WindowExec re-scan to the partition end for EVERY row
+    // (quadratic per partition). backward: time ascending, right
+    // (side 0) before left at equal time -> inclusive. forward: time
+    // DESCENDING (the mirror traversal) with right still first at
+    // equal time, so "last right seen so far" is the earliest right
+    // at-or-after the row — identical semantics, linear cost.
     val w0 = Window.partitionBy(on.map(col): _*)
     val w =
       if (forward)
-        w0.orderBy(col("__t").asc, col("__side").desc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        w0.orderBy(col("__t").desc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else
         w0.orderBy(col("__t").asc, col("__side").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all rightVals ride in ONE struct filled by a single last()/
-    // first(): a legitimately-NULL value column must come from the
-    // SAME matched right row as its siblings, not fill from another
+    // all rightVals ride in ONE struct filled by a single last(): a
+    // legitimately-NULL value column must come from the SAME matched
+    // right row as its siblings, not fill from another
     val pick: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      c => if (forward) first(c, ignoreNulls = true).over(w)
-           else last(c, ignoreNulls = true).over(w)
+      c => last(c, ignoreNulls = true).over(w)
     val packed = l.unionByName(r)
       .withColumn("__rv",
         when(col("__side") === 0, struct(rightVals.map(col): _*)))
