@@ -131,7 +131,14 @@ object SparkEntry {
           .withColumn("title", concat(lit("doc"), col("gdocid"))),
         cutoff = 50)),
 
-    // T2: per-group head (top-k within (query, shard) by score)
+    // T2: per-group head (top-k within (query, shard) by score).
+    // Stays the WINDOW form deliberately: gdocid is NOT unique in
+    // this data (the synthetic results carry duplicate rows), so a
+    // bounded-top_k + id fetch-back would both drop duplicate-id rows
+    // inside the heap and over-fetch rows sharing a selected id; a
+    // row-faithful bounded form needs the full row as the aggregate
+    // payload (c9_to_trec's top_k_tag shape), which for this 5-column
+    // frame buys little over the per-group window sort
     "t2_group_head" -> ((s, dir) => {
       val w = Window.partitionBy(col("query"), col("shard"))
         .orderBy(col("score").desc, col("gdocid").asc)
