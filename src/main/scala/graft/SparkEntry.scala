@@ -701,6 +701,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Same check through the bloom pre-pass (the extreme-benchmark
+    // scale path): false positives only widen the exact join's probe
+    // side, so it shares contamination_check's oracle verbatim
+    "contamination_check_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminatedDocsBloom(docs, docs.filter(col("doc_id") % 97 === 1))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: concat-then-chunk attribution of each doc to
     // the 512-token training sequences it lands in, per language —
     // exact integer offsets, a doc may straddle bin boundaries
@@ -1734,6 +1743,22 @@ object SparkEntry {
     // mirrors Dedup.contaminatedDocs: distinct 8-gram shingles per
     // doc, benchmark slice doc_id % 97 = 1, count of matched shingles
     "contamination_check" ->
+      s"""WITH w AS (SELECT doc_id, $TokensExpr AS ws FROM documents),
+         |sh8 AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(generate_series(1, len(ws) - 7),
+         |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         |                ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS sg
+         |  FROM w WHERE len(ws) >= 8),
+         |bench AS (SELECT DISTINCT unnest(sg) AS s FROM sh8 WHERE doc_id % 97 = 1),
+         |ex AS (SELECT doc_id, unnest(sg) AS s FROM sh8)
+         |SELECT ex.doc_id, count(*) AS n_matched
+         |FROM ex JOIN bench USING (s)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the bloom pre-pass never changes the exact join's result, so
+    // its oracle is contamination_check's verbatim
+    "contamination_check_bloom" ->
       s"""WITH w AS (SELECT doc_id, $TokensExpr AS ws FROM documents),
          |sh8 AS (
          |  SELECT doc_id,

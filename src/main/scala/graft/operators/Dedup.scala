@@ -142,6 +142,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_matched"))
   }
 
+  /** [[contaminatedDocs]] with a BLOOM-FILTER pre-pass — the
+    * extreme-benchmark-size path its Scaladoc promises: when the
+    * benchmark's distinct n-gram set is too large to broadcast-join
+    * comfortably, a bloom filter over the grams (built by Spark's own
+    * mergeable BloomFilterAggregate, collected once as a literal)
+    * prunes the corpus's exploded gram stream MAP-SIDE before the
+    * exact join. False positives only ever ADD rows to the exact
+    * join's probe side, so the result is identical to
+    * [[contaminatedDocs]] (unit-pinned, and the registered query
+    * shares its oracle). At `fpp` ~1% the filter is ~1.2 bytes per
+    * gram versus ~50+ for the gram strings — a 100x smaller
+    * task-shipped structure, and the join itself then touches only
+    * the pruned survivors.
+    */
+  def contaminatedDocsBloom(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 8, expectedGrams: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bench = benchmark
+      .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+      .transform(graft.core.OpCaches.persistTracked)
+    val bloomBytes = bench
+      .select(column(new BloomFilterAggregate(
+        expression(xxhash64(col("s"))), expectedGrams).toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    // empty benchmark -> null sketch; nothing can match
+    val grams = docs
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+    val pruned =
+      if (bloomBytes == null) grams.filter(lit(false))
+      else grams.filter(column(BloomFilterMightContain(
+        Literal(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        expression(xxhash64(col("s"))))))
+    pruned
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"))
+  }
+
   /** Fraction of agreeing signature rows — the banded paths' shared
     * Jaccard estimate.
     */

@@ -160,4 +160,38 @@ class PlanSuite extends SparkSuite {
     val p = plan("contamination_check")
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
+
+  test("bloom contamination prunes map-side before the exact join") {
+    val p = plan("contamination_check_bloom")
+    // the might_contain filter must sit in the scan-side stage, and
+    // the exact join still broadcasts the benchmark grams
+    assert(p.contains("might_contain"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    spark.catalog.clearCache()
+  }
+
+  test("ivf+pq index build is one map-side pass: no assignment join, one agg exchange") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val df = graft.operators.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 8), 5,
+      numCentroids = 16, nprobe = 4)
+    val p = df.queryExecution.executedPlan.toString
+    // cell ids come from the literal argmin fused into the encode
+    // projection — the only joins are the broadcast probe join, the
+    // only shuffle the bounded top-k aggregation
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(4000))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n${p.take(4000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("bm25 document frequencies come from an aggregate, not a per-term window") {
+    // the per-term window routed every (doc, term) row of one term to
+    // a single task — a corpus-scale partition for a stopword-like
+    // query term; the fix aggregates (map-side combined) + broadcasts
+    val p = plan("bm25_topk")
+    assert(!p.contains("Window"), p.take(4000))
+    spark.catalog.clearCache()
+  }
 }

@@ -218,6 +218,22 @@ class TextDedupSuite extends SparkSuite {
     assert(got == Map(1L -> 1L))
   }
 
+  test("contaminatedDocsBloom equals the broadcast form; empty benchmark flags nothing") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val bench = docs.filter(col("doc_id") % 97 === 1)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Dedup.contaminatedDocs(docs, bench))
+    val bloom = asMap(Dedup.contaminatedDocsBloom(docs, bench))
+    assert(bloom == exact)
+    assert(exact.nonEmpty, "vacuous benchmark slice")
+    // tiny sketch (high FP rate) still exact — FPs only widen the probe
+    val tiny = asMap(Dedup.contaminatedDocsBloom(docs, bench, expectedGrams = 8))
+    assert(tiny == exact)
+    val none = Dedup.contaminatedDocsBloom(docs, docs.filter(lit(false)))
+    assert(none.count() == 0)
+  }
+
   test("incremental minhash == full run restricted to pairs touching the batch") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     def key(r: org.apache.spark.sql.Row) =
