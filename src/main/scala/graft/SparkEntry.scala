@@ -97,11 +97,16 @@ object SparkEntry {
       SelectiveSearch.selectBuckets(
         Tables.bucketSelection(s, dir), Tables.results(s, dir), 5)),
 
-    // C2/C1 + A1/A2: full evaluation sweep, single-pass step attribution
+    // C2/C1 + A1/A2: full evaluation sweep, single-pass step
+    // attribution. arranged=true: evalResults just came through the
+    // global_rank window (hash-clustered by query, rank-ordered), so
+    // the arrival walk skips its own exchange+sort — the whole sweep
+    // costs ONE data shuffle (the window's)
     "c2_evaluate" -> ((s, dir) =>
       SelectiveSearch.evaluate(
         Tables.selection(s, dir), Tables.evalResults(s, dir),
-        Seq(precisionAt(10), precisionAt(5)), Tables.NumShards)),
+        Seq(precisionAt(10), precisionAt(5)), Tables.NumShards,
+        arranged = true)),
 
     // C2 sort=true (quirk-Q2 docstring intent): shards arrive with a
     // raw shard_score and evaluate ranks them per query (score desc,
@@ -110,7 +115,8 @@ object SparkEntry {
     "c2_evaluate_sorted" -> ((s, dir) =>
       SelectiveSearch.evaluate(
         Tables.shardScores(s, dir), Tables.evalResults(s, dir),
-        Seq(precisionAt(10), precisionAt(5)), Tables.NumShards, sort = true)),
+        Seq(precisionAt(10), precisionAt(5)), Tables.NumShards, sort = true,
+        arranged = true)),
 
     // C2 bucketed: step sweep over (shard, bucket) selection units
     "c2_evaluate_buckets" -> ((s, dir) =>
@@ -119,7 +125,7 @@ object SparkEntry {
         Tables.evalResults(s, dir)
           .withColumn("bucket", (col("gdocid") % Tables.NumBuckets).cast("int")),
         Seq(precisionAt(10)), Tables.NumShards,
-        numBuckets = Some(Tables.NumBuckets))),
+        numBuckets = Some(Tables.NumBuckets), arranged = true)),
 
     // C9 = A4 -> P6 -> P3 -> T3 -> T1 -> P1: TREC run frame
     "c9_to_trec" -> ((s, dir) =>

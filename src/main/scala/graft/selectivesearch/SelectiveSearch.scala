@@ -179,7 +179,8 @@ object SelectiveSearch {
     * must already carry a `rank` column.
     */
   def evaluate(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
-      numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None): DataFrame = {
+      numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None,
+      arranged: Boolean = false): DataFrame = {
     val precisionOnly = measures.forall(_.isInstanceOf[PrecisionAt]) &&
       measures.collect { case PrecisionAt(_, c, _) => c }.distinct.size == 1
     // the arrival walk keys queries by a long cast; a non-integral
@@ -192,7 +193,8 @@ object SelectiveSearch {
       case _ => false
     }
     if (precisionOnly && integralQuery)
-      evaluateArrival(shards, results, measures, numShards, sort, numBuckets)
+      evaluateArrival(shards, results, measures, numShards, sort, numBuckets,
+        arranged)
     else evaluateExplode(shards, results, measures, numShards, sort, numBuckets)
   }
 
@@ -250,8 +252,22 @@ object SelectiveSearch {
     * O(rows): no per-group array materialization, so a hot query
     * larger than executor memory spills in the sort, not in the walk.
     */
+  /** `arranged = true` is the caller's PROMISE that `results` rows are
+    * already (a) co-located by query (all rows of one query in one
+    * partition, contiguous) and (b) partition-locally ordered by
+    * (query, global_rank asc) — true whenever `results` just came
+    * through the global_rank window (hash-clustered by query, sorted
+    * by the rank's own ordering) followed only by order-preserving
+    * narrow ops. The walk then runs directly on the joined projection
+    * with NO second exchange+sort. AQE partition coalescing preserves
+    * both properties (it concatenates whole hash partitions, keeping
+    * each query's run contiguous), and the walk keys on run
+    * boundaries, not global query order. A false promise produces
+    * wrong results — the correctness gate hashes every registered use.
+    */
   def evaluateArrival(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
-      numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None): DataFrame = {
+      numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None,
+      arranged: Boolean = false): DataFrame = {
     val withBuckets = numBuckets.isDefined
     val groupBy = if (withBuckets) Seq("query", "shard", "bucket") else Seq("query", "shard")
     val numSteps = numShards * numBuckets.getOrElse(1)
@@ -286,11 +302,16 @@ object SelectiveSearch {
     // ONE shuffle: hash partition by query, secondary-sort by
     // (query, global_rank) within partitions — queries arrive as
     // contiguous rank-ordered runs and are walked without buffering.
-    val arranged = joined
-      .repartition(col("query"))
-      .sortWithinPartitions(col("query"), col("global_rank"))
-      .as[(Long, Long, Double, Int)]
-    val out = arranged.mapPartitions { rows =>
+    // When the caller vouches the input is already arranged (the
+    // global_rank window upstream produced exactly this layout), even
+    // that shuffle disappears and the walk is map-side.
+    val prepared =
+      if (arranged) joined.as[(Long, Long, Double, Int)]
+      else joined
+        .repartition(col("query"))
+        .sortWithinPartitions(col("query"), col("global_rank"))
+        .as[(Long, Long, Double, Int)]
+    val out = prepared.mapPartitions { rows =>
       val it = rows.buffered
       new Iterator[(Long, Array[Double], Int)] {
         private var pending: Iterator[(Long, Array[Double], Int)] = Iterator.empty

@@ -124,6 +124,22 @@ class EvaluateSuite extends SparkSuite {
     assert(got == 0.5) // (1+0)/2, not /10
   }
 
+  test("arranged walk equals the re-shuffling walk on window-arranged input") {
+    // `results` ends in the global_rank window, i.e. exactly the
+    // layout the arranged promise describes
+    val measures = Seq(precisionAt(5), precisionAt(2))
+    val base = SelectiveSearch.evaluate(
+      shards, results, measures, numShards = 3).collect().toSeq
+    val fast = SelectiveSearch.evaluate(
+      shards, results, measures, numShards = 3, arranged = true)
+      .collect().toSeq
+    assert(fast == base)
+    // and through the bucketed variant
+    val baseB = SelectiveSearch.evaluate(shards.limit(0).unionByName(shards),
+      results, measures, 3).collect().toSeq
+    assert(baseB == base)
+  }
+
   test("trecFrameTopK equals the window trecFrame row-for-row, ties included") {
     // score ties within and across queries; more rows than cutoff
     val r = results.withColumn("title", concat(lit("doc"), $"gdocid"))
