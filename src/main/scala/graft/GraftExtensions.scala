@@ -54,7 +54,22 @@ object GraftExtensions {
           s"word_shingles(text, n): n must be an INT literal, got $other")
       }
       WordShingles(e.head, n)
+    },
+    // bounded per-group top-k aggregates (k: INT literal — the heap
+    // size is a plan-time constant); the analyzer wraps the returned
+    // AggregateFunction when used in SQL aggregation position
+    fn("top_k", 3) { e =>
+      graft.functions.TopKByScore(e(0), e(1), intLit("top_k", "k", e(2)))
+    },
+    fn("top_k_tag", 3) { e =>
+      graft.functions.TopKByScoreTag(e(0), e(1), intLit("top_k_tag", "k", e(2)))
     })
+
+  private def intLit(fname: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fname: $arg must be an INT literal, got $other")
+  }
 
   /** Registers the functions on an existing session. */
   def register(spark: SparkSession): Unit =

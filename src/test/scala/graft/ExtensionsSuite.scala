@@ -38,4 +38,23 @@ class ExtensionsSuite extends SparkSuite {
       "SELECT count(DISTINCT simhash64(text)) FROM docs").first().getLong(0)
     assert(n > 400) // 500 distinct texts hash to (nearly) distinct signatures
   }
+
+  test("bounded top-k aggregates register for SQL use") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1, 5.0, 10L, "a"), (1, 9.0, 11L, "b"), (1, 7.0, 12L, "c"),
+      (2, 1.0, 13L, "d"))
+      .toDF("g", "score", "id", "tag").createOrReplaceTempView("t")
+    val rows = spark.sql(
+      """SELECT g, top_k(score, id, 2) AS tk, top_k_tag(score, tag, 2) AS tt
+        |FROM t GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getSeq[org.apache.spark.sql.Row](1).map(r =>
+      (r.getDouble(0), r.getLong(1))) == Seq((9.0, 11L), (7.0, 12L)))
+    assert(rows(0).getSeq[org.apache.spark.sql.Row](2).map(r =>
+      (r.getDouble(0), r.getString(1))) == Seq((9.0, "b"), (7.0, "c")))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
+    val err = intercept[Exception](
+      spark.sql("SELECT top_k(score, id, g) FROM t GROUP BY g").first())
+    assert(err.getMessage.contains("INT literal"), err.getMessage)
+  }
 }
