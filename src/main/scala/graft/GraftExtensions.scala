@@ -47,22 +47,30 @@ object GraftExtensions {
     fn("quality_score", 1)(e => QualityScore(e.head)),
     // n must be an integer literal: the shingle width is a plan-time
     // constant baked into the generated code
-    fn("word_shingles", 2) { e =>
-      val n = e(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"word_shingles(text, n): n must be an INT literal, got $other")
-      }
-      WordShingles(e.head, n)
-    },
+    fn("word_shingles", 2)(e =>
+      WordShingles(e.head, intLit("word_shingles", "n", e(1)))),
     // bounded per-group top-k aggregates (k: INT literal — the heap
     // size is a plan-time constant); the analyzer wraps the returned
-    // AggregateFunction when used in SQL aggregation position
+    // AggregateFunction when used in SQL aggregation position. The
+    // input casts mirror the Scala wrappers — the aggregates' eval
+    // assumes DOUBLE/LONG/STRING, and an uncast INT score would be a
+    // mid-job executor ClassCastException instead of an analysis-time
+    // cast
     fn("top_k", 3) { e =>
-      graft.functions.TopKByScore(e(0), e(1), intLit("top_k", "k", e(2)))
+      graft.functions.TopKByScore(
+        org.apache.spark.sql.catalyst.expressions.Cast(e(0),
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(e(1),
+          org.apache.spark.sql.types.LongType),
+        intLit("top_k", "k", e(2)))
     },
     fn("top_k_tag", 3) { e =>
-      graft.functions.TopKByScoreTag(e(0), e(1), intLit("top_k_tag", "k", e(2)))
+      graft.functions.TopKByScoreTag(
+        org.apache.spark.sql.catalyst.expressions.Cast(e(0),
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(e(1),
+          org.apache.spark.sql.types.StringType),
+        intLit("top_k_tag", "k", e(2)))
     })
 
   private def intLit(fname: String, arg: String, e: Expression): Int = e match {

@@ -25,16 +25,24 @@ object Tables {
     * file index and re-reads footers for schema on EVERY call, which
     * at 60+ sub-second queries x 3 bench reps is pure floor. A
     * catalog-registered table resolves this once — this cache is the
-    * same behavior for path-based reads. Only the PLAN is reused
-    * (each action still scans the files); sessions come and go in
-    * tests, so entries key on the session object itself.
+    * same behavior for path-based reads, INCLUDING the same staleness
+    * contract: the plan snapshots the file listing, so regenerating a
+    * parquet dir mid-session requires a new session (the driver
+    * regenerates testdata only between JVMs). The outer map is
+    * size-bounded: past 512 entries it clears wholesale, so a JVM
+    * that churns many sessions (test suites) cannot pin every stopped
+    * session's plans and file indexes forever. (A weak-keyed map
+    * would not work here — the cached DataFrame strongly references
+    * its own session, resurrecting the key through the value.)
     */
   private val readCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (readCache.size > 512) readCache.clear()
     readCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       key => key._1.read.parquet(key._2))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

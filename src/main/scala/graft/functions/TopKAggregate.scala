@@ -294,13 +294,13 @@ object TopKFunctions {
 
   /** Aggregate column: per-group top-k (score desc, id asc) pairs. */
   def top_k(score: Column, id: Column, k: Int): Column =
-    column(TopKByScore(expression(score), expression(id.cast("long")), k)
-      .toAggregateExpression())
+    column(TopKByScore(expression(score.cast("double")),
+      expression(id.cast("long")), k).toAggregateExpression())
 
   /** Aggregate column: per-group top-k (score desc, tag asc) pairs,
     * tag a string.
     */
   def top_k_tag(score: Column, tag: Column, k: Int): Column =
-    column(TopKByScoreTag(expression(score), expression(tag.cast("string")), k)
-      .toAggregateExpression())
+    column(TopKByScoreTag(expression(score.cast("double")),
+      expression(tag.cast("string")), k).toAggregateExpression())
 }

@@ -99,9 +99,13 @@ object KMeans {
     // --- must reproduce xxhash64-of-long exactly) ---
     if (driverMaxVectors > 0 &&
         cp.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      // clamp before toInt: a Long gate past Int.MaxValue must mean
+      // "collect what a driver can hold", not overflow into a
+      // negative limit()
+      val gate = math.min(driverMaxVectors, Int.MaxValue - 1L).toInt
       val probe = cp.select(col(idCol), col("v"), col("n2"))
-        .limit(driverMaxVectors.toInt + 1).collect()
-      if (probe.length <= driverMaxVectors) {
+        .limit(gate + 1).collect()
+      if (probe.length <= gate) {
         val rows = probe
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
           .sortBy(_._1)

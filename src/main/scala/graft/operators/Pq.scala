@@ -348,9 +348,9 @@ object Pq {
       val cb = codebookFromPrep(cp, m, ksub, idCol)
       val qprep = Similarity.prepared(queries, embCol, idCol)
       val codes = encode(cp, cb, idCol)
-        .join(Similarity.nearestCentroids(cp, cent, 1, idCol)
+        .join(Similarity.nearestCentroidsJoined(cp, cent, 1, idCol)
           .select(col(idCol), col("cent_id")), Seq(idCol))
-      val probes = Similarity.nearestCentroids(qprep, cent, nprobe, idCol)
+      val probes = Similarity.nearestCentroidsJoined(qprep, cent, nprobe, idCol)
         .select(col(idCol).as("__pq"), col("cent_id"))
       adcScan(codes, probes, collectDistTables(qprep, cb, idCol), k, idCol)
     }

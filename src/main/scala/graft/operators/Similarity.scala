@@ -48,6 +48,16 @@ object Similarity {
   def cosineQ(dot: Column, na2: Column, nb2: Column): Column =
     dot.cast("double") / sqrt((na2 * nb2).cast("double"))
 
+  /** [[cosineQ]] for centroid ASSIGNMENT scoring: a zero-norm vector's
+    * 0/0 = NaN cosine becomes -Infinity, so every assignment path
+    * (literal argmin, bounded heap, driver mirror) ranks degenerate
+    * vectors identically — worst against every centroid, ties to the
+    * lowest cent_id — instead of NaN ordering differing between
+    * struct-compare and primitive-compare code paths.
+    */
+  private[operators] def assignCos(dot: Column, na2: Column, nb2: Column): Column =
+    nanvl(cosineQ(dot, na2, nb2), lit(Double.NegativeInfinity))
+
   /** Sign-LSH cell id from the first `bits` quantized components. */
   def signCell(v: Column, bits: Int): Column =
     aggregate(
@@ -196,11 +206,15 @@ object Similarity {
     * struct comparison on (-cosine, cent_id) equals (score desc,
     * id asc) for the non-NaN cosines quantized integer dots produce
     * (a zero dot yields -0.0 on every branch, so zero-cosine ties
-    * still fall through to the id tiebreak).
+    * still fall through to the id tiebreak). The one NaN source — a
+    * ZERO-NORM vector, whose cosine is 0/0 against every centroid —
+    * is normalized to -Infinity ([[assignCos]]) so degenerate vectors
+    * land deterministically in the lowest-id probed cell on BOTH the
+    * literal and the heap path, at any partitioning.
     */
   private[operators] def litNearestCells(cents: Array[CentRow], take: Int): Column = {
     val entries = cents.map { c =>
-      struct((-cosineQ(dotQ(col("v"), lit(c.cv)), col("n2"), lit(c.cn2))).as("nc"),
+      struct((-assignCos(dotQ(col("v"), lit(c.cv)), col("n2"), lit(c.cn2))).as("nc"),
         lit(c.id).as("cid"))
     }.toSeq
     if (take == 1) array(least(entries: _*).getField("cid"))
@@ -243,7 +257,9 @@ object Similarity {
       s
     }
     cents.map { c =>
-      val cos = dot(vr.v, c.cv).toDouble / math.sqrt((vr.n2 * c.cn2).toDouble)
+      val raw = dot(vr.v, c.cv).toDouble / math.sqrt((vr.n2 * c.cn2).toDouble)
+      // mirror assignCos: zero-norm 0/0 -> -Infinity, not NaN
+      val cos = if (raw.isNaN) Double.NegativeInfinity else raw
       (-cos, c.id)
     }.sortWith { case ((n1, i1), (n2_, i2)) =>
       val c = java.lang.Double.compare(n1, n2_)
@@ -273,14 +289,22 @@ object Similarity {
   private[operators] def nearestCentroids(p: DataFrame, cent: DataFrame, take: Int,
       idCol: String): DataFrame = collectCentroidRows(cent) match {
     case Some(cents) => nearestCentroidsFromRows(p, cents, take, idCol)
-    case None => p.join(broadcast(cent))
+    case None => nearestCentroidsJoined(p, cent, take, idCol)
+  }
+
+  /** The broadcast-join + bounded-heap assignment shape — called
+    * directly by callers that already know the centroid table is
+    * over the literal limit (saves re-probing it per call).
+    */
+  private[operators] def nearestCentroidsJoined(p: DataFrame, cent: DataFrame,
+      take: Int, idCol: String): DataFrame =
+    p.join(broadcast(cent))
       .select(col(idCol), col("v"), col("n2"), col("cent_id"),
-        cosineQ(dotQ(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
+        assignCos(dotQ(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
       .groupBy(col(idCol), col("v"), col("n2"))
       .agg(graft.functions.TopKFunctions.top_k(col("ccos"), col("cent_id"), take).as("top"))
       .select(col(idCol), col("v"), col("n2"),
         explode(col("top").getField("id")).as("cent_id"))
-  }
 
   /** Two-level (coarse-then-fine) nearest-centroid assignment: the
     * `numSuper` lowest-id centroids act as super-centroids; each
@@ -308,7 +332,7 @@ object Similarity {
     val centInSup = cent.join(broadcast(sup))
       .select(col("cent_id"), col("cv"), col("cn2"),
         col("sup_id"),
-        cosineQ(dotQ(col("cv"), col("sv")), col("cn2"), col("sn2")).as("scos"))
+        assignCos(dotQ(col("cv"), col("sv")), col("cn2"), col("sn2")).as("scos"))
       .groupBy(col("cent_id"), col("cv"), col("cn2"))
       .agg(graft.functions.TopKFunctions.top_k(col("scos"), col("sup_id"), 1).as("top"))
       .select(col("cent_id"), col("cv"), col("cn2"),
@@ -316,7 +340,7 @@ object Similarity {
     // vector -> its superProbes nearest super-cells (n x S dots)
     val vecSup = p.join(broadcast(sup))
       .select(col(idCol), col("v"), col("n2"), col("sup_id"),
-        cosineQ(dotQ(col("v"), col("sv")), col("n2"), col("sn2")).as("scos"))
+        assignCos(dotQ(col("v"), col("sv")), col("n2"), col("sn2")).as("scos"))
       .groupBy(col(idCol), col("v"), col("n2"))
       .agg(graft.functions.TopKFunctions.top_k(col("scos"), col("sup_id"), superProbes).as("top"))
       .select(col(idCol), col("v"), col("n2"),
@@ -325,7 +349,7 @@ object Similarity {
     // lives in exactly one super-cell, so candidates are distinct
     vecSup.join(broadcast(centInSup), Seq("sup_id"))
       .select(col(idCol), col("v"), col("n2"), col("cent_id"),
-        cosineQ(dotQ(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
+        assignCos(dotQ(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
       .groupBy(col(idCol), col("v"), col("n2"))
       .agg(graft.functions.TopKFunctions.top_k(col("ccos"), col("cent_id"), take).as("top"))
       .select(col(idCol), col("v"), col("n2"),
@@ -362,11 +386,13 @@ object Similarity {
       centroidSample(cp, c, idCol)
     }
     // superCells > 0: coarse-then-fine assignment (~2 sqrt(C) dots per
-    // vector instead of C) — the very-large-C path
+    // vector instead of C) — the very-large-C path. The fallback uses
+    // the joined shape DIRECTLY (the literal probe already decided
+    // the table is over-limit — no per-call re-probe).
     def assignTo(df: DataFrame, take: Int): DataFrame =
       if (superCells > 0)
         nearestCentroidsTwoLevel(df, cent, take, idCol, superCells, superProbes)
-      else nearestCentroids(df, cent, take, idCol)
+      else nearestCentroidsJoined(df, cent, take, idCol)
     // literal-centroid regime: the query side is broadcast-small BY
     // CONTRACT, so collect it once and compute the probe list in
     // driver scala ([[driverNearestCells]] — bit-identical ordering);

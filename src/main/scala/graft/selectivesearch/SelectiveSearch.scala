@@ -453,8 +453,16 @@ object SelectiveSearch {
     */
   def toTrec(results: DataFrame, path: String, cutoff: Int = 1000,
       tiebreak: Seq[String] = Seq("title")): Unit = {
+    // bounded form only on its happy path: the standard title
+    // tiebreak, a positive cutoff (the heap needs k > 0 where the
+    // window form just writes an empty file), and a double score
+    // column (the aggregate exports double; a decimal/int score
+    // would change the to_csv byte rendering the window form keeps)
     val frame =
-      if (tiebreak == Seq("title")) trecFrameTopK(results, cutoff)
+      if (tiebreak == Seq("title") && cutoff > 0 &&
+          results.schema("score").dataType ==
+            org.apache.spark.sql.types.DoubleType)
+        trecFrameTopK(results, cutoff)
       else trecFrame(results, cutoff, tiebreak)
     frame
       .coalesce(1)
@@ -490,10 +498,17 @@ object SelectiveSearch {
     * discards all but `cutoff` of them — at retrieval scale (queries x
     * full shard runs) that is the difference between shuffling the
     * run files and shuffling the export. Equal to
-    * `trecFrame(results, cutoff)` row-for-row (EvaluateSuite pins it);
-    * score is exported as double (the window form preserves the input
-    * column's type — callers feeding non-double scores who care about
-    * the exported type should cast upstream).
+    * `trecFrame(results, cutoff)` row-for-row (EvaluateSuite pins it)
+    * on clean inputs; score is exported as double (the window form
+    * preserves the input column's type — callers feeding non-double
+    * scores who care about the exported type should cast upstream).
+    *
+    * Degenerate-input divergences from the window form, by design:
+    * rows with a NULL score or title are DROPPED here (the window's
+    * nulls-first ordering would rank them), and NaN scores are never
+    * admitted once the heap is full (the window's descending sort
+    * puts NaN first). TREC run frames carry real scores and titles —
+    * use [[trecFrame]] if yours somehow do not.
     */
   def trecFrameTopK(results: DataFrame, cutoff: Int = 1000): DataFrame = {
     ensureHasColumns(results, Seq("query", "score", "title"))

@@ -134,10 +134,20 @@ class EvaluateSuite extends SparkSuite {
       shards, results, measures, numShards = 3, arranged = true)
       .collect().toSeq
     assert(fast == base)
-    // and through the bucketed variant
-    val baseB = SelectiveSearch.evaluate(shards.limit(0).unionByName(shards),
-      results, measures, 3).collect().toSeq
-    assert(baseB == base)
+    // and through the bucketed variant (the withColumn projection
+    // between the window and the walk must preserve the arrangement)
+    val bsel = Seq(
+      (0, 0, 0, 0), (0, 0, 1, 2), (0, 1, 0, 1), (0, 1, 1, 3),
+      (0, 2, 0, 4), (0, 2, 1, 5),
+      (1, 0, 0, 5), (1, 0, 1, 4), (1, 1, 0, 3), (1, 1, 1, 1),
+      (1, 2, 0, 0), (1, 2, 1, 2)
+    ).toDF("query", "shard", "bucket", "rank")
+    val baseB = SelectiveSearch.evaluate(bsel, results, Seq(precisionAt(5)),
+      3, numBuckets = Some(2)).collect().toSeq
+    val fastB = SelectiveSearch.evaluate(bsel, results, Seq(precisionAt(5)),
+      3, numBuckets = Some(2), arranged = true).collect().toSeq
+    assert(fastB == baseB)
+    assert(baseB.nonEmpty)
   }
 
   test("trecFrameTopK equals the window trecFrame row-for-row, ties included") {
