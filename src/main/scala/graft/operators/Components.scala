@@ -267,7 +267,7 @@ object Components {
       cachedEdges.filter(col("src") === col("dst"))
         .select(col("src").as("id"), col("src").as("label"))))
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0))
+      Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0))
     var prevSum = labelSum(labels)
     var rounds = 0
     var changed = prevSum.isDefined // empty graph: already converged

@@ -119,7 +119,7 @@ object EventsStream {
               // next trigger)
               if (streaming)
                 state.setTimeoutTimestamp(
-                  math.max(st.last + gapMs, state.getCurrentWatermarkMs + 1))
+                  math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
             } else state.remove()
             closed.result().iterator
           }
