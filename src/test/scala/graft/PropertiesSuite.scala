@@ -247,4 +247,45 @@ class PropertiesSuite extends SparkSuite {
         s"weight $w: got $got, expected ~$expect")
     }
   }
+
+  test("TopKTagBuffer: insert/merge/serde equal sort-truncate on adversarial grids") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{TopKByScoreTag, TopKTagBuffer}
+    // deterministic pseudo-random stream with heavy score/tag ties
+    def rows(seed: Long, n: Int): Seq[(Double, String)] =
+      (0 until n).map { i =>
+        val h = (seed * 6364136223846793005L + i * 1442695040888963407L)
+        ((h % 7).toDouble, s"t${(h >>> 32) % 11}")
+      }
+    def reference(xs: Seq[(Double, String)], k: Int): Seq[(Double, String)] =
+      xs.sortWith { case ((s1, t1), (s2, t2)) =>
+        s1 > s2 || (s1 == s2 && t1 < t2)
+      }.take(k)
+    val agg = TopKByScoreTag(null, null, 1) // instance only for serde methods
+    for {
+      n <- Seq(0, 1, 3, 17, 200)
+      k <- Seq(1, 2, 5, 64)
+      seed <- Seq(1L, 99L)
+    } {
+      val xs = rows(seed, n)
+      // single-buffer insert stream
+      val b = new TopKTagBuffer(k)
+      xs.foreach { case (s, t) => b.insert(s, UTF8String.fromString(t)) }
+      def got(buf: TopKTagBuffer) =
+        buf.sortedPairs.map { case (s, t) => (s, t.toString) }.toSeq
+      assert(got(b) == reference(xs, k), s"insert n=$n k=$k seed=$seed")
+      // arbitrary split + merge (partial aggregation across tasks)
+      for (cut <- Seq(0, n / 3, n / 2, n)) {
+        val (l, r) = xs.splitAt(cut)
+        val bl = new TopKTagBuffer(k); val br = new TopKTagBuffer(k)
+        l.foreach { case (s, t) => bl.insert(s, UTF8String.fromString(t)) }
+        r.foreach { case (s, t) => br.insert(s, UTF8String.fromString(t)) }
+        // serde round-trip each side first (shuffle-exchange shape)
+        val blr = agg.deserialize(agg.serialize(bl))
+        val brr = agg.deserialize(agg.serialize(br))
+        assert(got(agg.merge(blr, brr)) == reference(xs, k),
+          s"merge n=$n k=$k seed=$seed cut=$cut")
+      }
+    }
+  }
 }
