@@ -84,4 +84,20 @@ class IoSuite extends SparkSuite {
     assert(Files.exists(Paths.get(s"$work/run.trec")))
     assert(!Files.exists(Paths.get(s"$work/run.trec.tmpdir")))
   }
+
+  test("toTrec off-happy-path inputs route to the window form") {
+    // cutoff = 0: the bounded heap needs k > 0; the window form just
+    // writes an empty file
+    val results = Seq((0, 9.5, "docA"), (1, 5.0, "docD"))
+      .toDF("query", "score", "title")
+    SelectiveSearch.toTrec(results, s"$work/empty.trec", cutoff = 0)
+    assert(scala.io.Source.fromFile(s"$work/empty.trec").getLines().isEmpty)
+    // integer score column: the window form preserves the input type's
+    // to_csv rendering ("9" not "9.0")
+    val intScores = Seq((0, 9, "docA"), (0, 8, "docB"))
+      .toDF("query", "score", "title")
+    SelectiveSearch.toTrec(intScores, s"$work/int.trec", cutoff = 10)
+    val lines = scala.io.Source.fromFile(s"$work/int.trec").getLines().toSeq
+    assert(lines == Seq("0\tQ0\tdocA\t0\t9\tnull", "0\tQ0\tdocB\t1\t8\tnull"))
+  }
 }
