@@ -317,31 +317,9 @@ object Pq {
     val cp = Similarity.prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
     if (numCentroids <= Similarity.MaxLiteralCentroids) {
-      // literal regime — exactly TWO driver jobs before the scan:
-      // (1) one corpus TakeOrdered collect whose lowest-id rows serve
-      //     BOTH the centroid table and the codebook sample,
-      // (2) one collect of the (contract-small) query set, from which
-      //     ADC tables and the probe list compute in driver scala
-      //     (exact integer / bit-identical double ordering).
-      // The scan itself is ONE map-side corpus pass: codes and cell
-      // id fuse into the encode projection, probes broadcast as a
-      // LocalRelation — no assignment join, no agg shuffle.
-      val low = Similarity.collectVecRows(
-        cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
-      val cents = low.take(numCentroids)
-        .map(r => Similarity.CentRow(r.id, r.v, r.n2))
-      val cb = codebookFromVecs(low.take(ksub).map(_.v).toSeq, m)
       val qrows = Similarity.collectVecRows(
         Similarity.prepared(queries, embCol, idCol), idCol)
-      val dt = driverDistTables(qrows, cb)
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      val probes = qrows.toSeq.flatMap(q =>
-        Similarity.driverNearestCells(q, cents, nprobe).map(c => (q.id, c)))
-        .toDF("__pq", "cent_id")
-      val codes = encode(cp, cb, idCol, cellCol =
-        Some(element_at(Similarity.litNearestCells(cents, 1), 1)))
-      adcScan(codes, probes, dt, k, idCol)
+      ivfPqLiteral(cp, qrows, k, numCentroids, nprobe, m, ksub, idCol)
     } else {
       // over-limit centroid table: the joined index-build shape
       val cent = Similarity.centroidSample(cp, numCentroids, idCol)
@@ -354,6 +332,38 @@ object Pq {
         .select(col(idCol).as("__pq"), col("cent_id"))
       adcScan(codes, probes, collectDistTables(qprep, cb, idCol), k, idCol)
     }
+  }
+
+  /** The literal-regime IVF+PQ scan against an already-collected
+    * query set — exactly TWO driver jobs before the scan:
+    * (1) one corpus TakeOrdered collect whose lowest-id rows serve
+    *     BOTH the centroid table and the codebook sample,
+    * (2) the caller's `qrows` collect, from which ADC tables and the
+    *     probe list compute in driver scala (exact integer /
+    *     bit-identical double ordering).
+    * The scan itself is ONE map-side corpus pass: codes and cell id
+    * fuse into the encode projection, probes broadcast as a
+    * LocalRelation — no assignment join, no agg shuffle. Shared by
+    * [[ivfPqTopK]] and [[ivfPqRerankTopK]] (the latter reuses its
+    * `qrows` for the refine side too).
+    */
+  private def ivfPqLiteral(cp: DataFrame, qrows: Array[Similarity.VecRow],
+      k: Int, numCentroids: Int, nprobe: Int, m: Int, ksub: Int,
+      idCol: String): DataFrame = {
+    val low = Similarity.collectVecRows(
+      cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
+    val cents = low.take(numCentroids)
+      .map(r => Similarity.CentRow(r.id, r.v, r.n2))
+    val cb = codebookFromVecs(low.take(ksub).map(_.v).toSeq, m)
+    val dt = driverDistTables(qrows, cb)
+    val spark = cp.sparkSession
+    import spark.implicits._
+    val probes = qrows.toSeq.flatMap(q =>
+      Similarity.driverNearestCells(q, cents, nprobe).map(c => (q.id, c)))
+      .toDF("__pq", "cent_id")
+    val codes = encode(cp, cb, idCol, cellCol =
+      Some(element_at(Similarity.litNearestCells(cents, 1), 1)))
+    adcScan(codes, probes, dt, k, idCol)
   }
 
   /** Shared ADC tail: probed candidates score map-side off the literal
@@ -388,12 +398,30 @@ object Pq {
       rerank: Int = 100,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
-    val cand = ivfPqTopK(corpus, queries, rerank, numCentroids, nprobe,
-      m, ksub, embCol, idCol)
-      .select(col("query_id"), col(idCol))
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cp = Similarity.prepared(corpus, embCol, idCol)
-    val qp = Similarity.prepared(queries, embCol, idCol)
-      .select(col(idCol).as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+      .transform(graft.core.OpCaches.persistTracked)
+    // literal regime: ONE query collect serves nomination (ADC tables
+    // + probes) AND the refine side (qp as a LocalRelation — no
+    // second query scan); over-limit centroids fall back to the
+    // joined nomination with a scanned qp
+    val (cand, qp) =
+      if (numCentroids <= Similarity.MaxLiteralCentroids) {
+        val qrows = Similarity.collectVecRows(
+          Similarity.prepared(queries, embCol, idCol), idCol)
+        (ivfPqLiteral(cp, qrows, rerank, numCentroids, nprobe, m, ksub, idCol)
+            .select(col("query_id"), col(idCol)),
+          qrows.toSeq.map(q => (q.id, q.v.toSeq, q.n2))
+            .toDF("query_id", "qv", "qn2"))
+      } else {
+        (ivfPqTopK(corpus, queries, rerank, numCentroids, nprobe,
+            m, ksub, embCol, idCol)
+            .select(col("query_id"), col(idCol)),
+          Similarity.prepared(queries, embCol, idCol)
+            .select(col(idCol).as("query_id"), col("v").as("qv"),
+              col("n2").as("qn2")))
+      }
     // the nomination list is |Q| x rerank rows (query-set-bounded, and
     // the ADC dispatch already caps |Q|): BROADCAST it so the refine
     // is a map-side semi-join over the cached corpus projection — no
