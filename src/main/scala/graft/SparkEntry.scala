@@ -719,6 +719,17 @@ object SparkEntry {
     // Sequence packing: concat-then-chunk attribution of each doc to
     // the 512-token training sequences it lands in, per language —
     // exact integer offsets, a doc may straddle bin boundaries
+    // CCNet-style LM quality screen: Laplace-smoothed bigram LM
+    // trained on a reference slice (top-M bigrams, broadcast), every
+    // document scored by average negative log-probability — exact
+    // integer-quantized log terms so the per-doc sum is order-free
+    "lm_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (lm, vocab) = graft.operators.Lm.bigramLm(
+        docs.filter(col("doc_id") % 7 === 3))
+      graft.operators.Lm.lmScore(docs, lm, vocab).orderBy("doc_id")
+    }),
+
     "pack_sequences" -> ((s, dir) =>
       graft.operators.Packing.packSequences(
         Tables.documents(s, dir), TextFunctions.tokenCount(col("text")),
@@ -1670,6 +1681,36 @@ object SparkEntry {
          |GROUP BY token
          |ORDER BY n DESC, token
          |LIMIT 50""".stripMargin,
+
+    // mirrors Lm.bigramLm + Lm.lmScore token-for-token: same
+    // reference slice, same top-M tiebreak, same Laplace terms, same
+    // floor(1e9 ln p) quantization before the order-free sum
+    "lm_perplexity" ->
+      s"""WITH w AS (SELECT doc_id, text, $TokensExpr AS ws FROM documents),
+         |ref AS (SELECT * FROM w WHERE doc_id % 7 = 3),
+         |runi AS (SELECT unnest(ws) AS t FROM ref WHERE length(trim(text)) > 0),
+         |uni AS (SELECT t, count(*) AS c_a FROM runi GROUP BY t),
+         |v AS (SELECT count(*) AS vocab FROM uni),
+         |rbig AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         |                  i -> ws[i] || ' ' || ws[i+1])) AS s FROM ref),
+         |bcount AS (SELECT s, count(*) AS c_ab FROM rbig GROUP BY s),
+         |lmtop AS (SELECT s, c_ab FROM (
+         |    SELECT s, c_ab, row_number() OVER (ORDER BY c_ab DESC, s) AS rn
+         |    FROM bcount) WHERE rn <= 50000),
+         |lm AS (SELECT l.s, l.c_ab, u.c_a
+         |       FROM lmtop l JOIN uni u ON split_part(l.s, ' ', 1) = u.t),
+         |dbig AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |                  i -> ws[i] || ' ' || ws[i+1])) AS s FROM w),
+         |q AS (SELECT d.doc_id,
+         |        CASE WHEN lm.c_ab IS NOT NULL
+         |          THEN CAST(floor(1e9 * ln(CAST(lm.c_ab + 1 AS DOUBLE) /
+         |                 CAST(lm.c_a + (SELECT vocab FROM v) AS DOUBLE))) AS BIGINT)
+         |          ELSE CAST(floor(1e9 * ln(1.0 / (SELECT vocab FROM v))) AS BIGINT)
+         |        END AS q
+         |      FROM dbig d LEFT JOIN lm ON d.s = lm.s),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS qsum FROM q GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, -(CAST(qsum AS DOUBLE) / 1e9) / n_bigrams AS nll
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "pivot_agg" ->
       """SELECT user_id,

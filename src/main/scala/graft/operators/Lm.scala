@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** N-gram language-model quality filtering — the CCNet/Gopher-style
+  * perplexity screen a pretraining pipeline runs between dedup and
+  * mixing (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data", LREC 2020): score every document by
+  * its average negative log-probability under a small LM trained on a
+  * trusted reference corpus; keep the well-modeled (or, CCNet-style,
+  * the middle) band.
+  *
+  * The model here is a Laplace-smoothed bigram LM over whitespace
+  * tokens, deliberately relational end-to-end:
+  *
+  *  - TRAIN is two counting aggregations over the reference (bigram
+  *    and unigram counts, both map-side combined) plus a bounded
+  *    top-M TakeOrdered — the kept model is the M most frequent
+  *    bigrams with their context counts, everything else backs off
+  *    to a flat 1/V unknown probability. M bounds the model size AT
+  *    ANY reference scale, which is what makes the score side a
+  *    broadcast join (CCNet ships a fixed pretrained model the same
+  *    way).
+  *  - SCORE is one tokenize pass over the corpus, a broadcast left
+  *    join against the model, and a per-document aggregation. Each
+  *    bigram's log-probability quantizes to an exact integer
+  *    (floor(1e9 x ln p) — the BM25 discipline), so the per-document
+  *    sum is reduction-order-free and the result hash-matches a
+  *    relational oracle; the one double division happens at the
+  *    output edge.
+  *
+  * Scale shape: nothing unbounded ever broadcasts or shuffles wide —
+  * the model is ≤ M rows, corpus rows shuffle only for the final
+  * per-document aggregation (map-side partial), and each side
+  * tokenizes once (the bigram transform runs over the materialized
+  * token array, never re-splitting per element).
+  *
+  * NOTE: bigrams carry MULTIPLICITY (an LM counts events), so they
+  * build from the token array directly — the `wordShingles` kernel
+  * deliberately dedups shingles per document (the near-dup/Jaccard
+  * convention) and would undercount repeated bigrams.
+  */
+object Lm {
+
+  /** All consecutive token pairs of a token-array column, "a b"
+    * strings WITH multiplicity, 1-based like the SQL mirror.
+    */
+  private def bigramsOf(ws: org.apache.spark.sql.Column) =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array())
+
+  /** The trained model: (s = "a b" bigram, c_ab, c_a) for the `topM`
+    * most frequent reference bigrams (ties: bigram string ascending),
+    * plus the reference vocabulary size V — the Laplace denominator
+    * and unknown-bigram mass. c_a is the reference unigram count of
+    * the bigram's first token.
+    */
+  def bigramLm(reference: DataFrame, textCol: String = "text",
+      topM: Int = 50000): (DataFrame, Long) = {
+    val nonBlank = reference.filter(length(btrim(col(textCol))) > 0)
+    val uni = nonBlank
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_a"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val vocab = uni.count()
+    val lm = reference
+      .select(TextFunctions.tokens(col(textCol)).as("ws"))
+      .select(explode(bigramsOf(col("ws"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("c_ab"))
+      .orderBy(col("c_ab").desc, col("s").asc).limit(topM)
+      // a token cannot contain whitespace, so the shingle's first
+      // space splits off the context token exactly
+      .withColumn("a", split(col("s"), " ").getItem(0))
+      .join(uni.withColumnRenamed("t", "a"), Seq("a"))
+      .select(col("s"), col("c_ab"), col("c_a"))
+    (lm, vocab)
+  }
+
+  /** Per-document average negative log-probability under the model:
+    * (idCol, n_bigrams, nll), one row per document with at least one
+    * bigram (single-token and blank documents have no bigram events
+    * and drop out). Lower nll = better modeled by the reference.
+    *
+    * Known bigram: P = (c_ab + 1) / (c_a + V); unknown: P = 1 / V.
+    * Each ln P quantizes to floor(1e9 x ln P) before the sum, so the
+    * aggregation is exact-integer and order-free.
+    */
+  def lmScore(docs: DataFrame, lm: DataFrame, vocab: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocab > 0, "empty reference vocabulary")
+    val qKnown = floor(lit(1e9) * log(
+      (col("c_ab") + lit(1L)).cast("double") /
+        (col("c_a") + lit(vocab)).cast("double"))).cast("long")
+    val qUnk = floor(lit(1e9) * log(
+      lit(1.0) / lit(vocab.toDouble))).cast("long")
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
+      .select(col(idCol), explode(bigramsOf(col("ws"))).as("s"))
+      .join(broadcast(lm), Seq("s"), "left")
+      .select(col(idCol),
+        when(col("c_ab").isNotNull, qKnown).otherwise(qUnk).as("q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
+      .select(col(idCol), col("n_bigrams"),
+        (-(col("qsum").cast("double") / lit(1e9)) / col("n_bigrams"))
+          .as("nll"))
+  }
+}

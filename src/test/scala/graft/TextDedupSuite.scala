@@ -249,4 +249,30 @@ class TextDedupSuite extends SparkSuite {
     // the invariant the ingest pipeline relies on: no corpus-corpus pair
     assert(inc.forall(p => isNew(p._1) || isNew(p._2)))
   }
+
+  test("lm perplexity: in-domain text scores lower nll than out-of-domain") {
+    import graft.operators.Lm
+    val ref = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val (lm, vocab) = Lm.bigramLm(ref)
+    assert(vocab == 10) // the, quick, brown, fox, jumps, over, lazy, dog, again, and
+    val docs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // in-domain
+      (101L, "dog lazy the over jumps fox brown quick the"), // same tokens, wrong order
+      (102L, "zx qy wv ut"), // fully unknown
+      (103L, "one"), (104L, " ")) // no bigrams -> no row
+      .toDF("doc_id", "text")
+    val got = Lm.lmScore(docs, lm, vocab).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(100L, 101L, 102L))
+    assert(got(100L)._2 < got(101L)._2, s"order must matter: $got")
+    // every reversed bigram is out-of-model, so it rates exactly the
+    // flat unknown backoff — the same as full gibberish
+    assert(got(101L)._2 == got(102L)._2, s"unknown backoff is flat: $got")
+    assert(got(102L)._2 == -math.floor(1e9 * math.log(1.0 / vocab)) / 1e9,
+      s"gibberish = quantized ln V: $got")
+    // multiplicity counts: a doubled in-domain bigram is no penalty
+    assert(got(100L)._1 == 8)
+  }
 }
