@@ -155,10 +155,20 @@ object Dedup {
     * gram versus ~50+ for the gram strings — a 100x smaller
     * task-shipped structure, and the join itself then touches only
     * the pruned survivors.
+    *
+    * `expectedGrams <= 0` (the default) sizes the filter from the
+    * benchmark's ACTUAL distinct-gram count — one `count()` on the
+    * already-persisted gram set, which the bloom build and the exact
+    * join then read from cache. A fixed guess wastes both ways: too
+    * big ships a megabyte-scale literal with every task for a
+    * few-thousand-gram eval set; too small blows the false-positive
+    * rate and the pre-pass stops pruning. Pass a positive value only
+    * when the caller already knows the count (e.g. a stored gram
+    * index with metadata) and wants to skip the counting job.
     */
   def contaminatedDocsBloom(docs: DataFrame, benchmark: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      n: Int = 8, expectedGrams: Long = 1L << 20): DataFrame = {
+      n: Int = 8, expectedGrams: Long = -1L): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -166,9 +176,12 @@ object Dedup {
       .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
       .distinct()
       .transform(graft.core.OpCaches.persistTracked)
+    val sizedGrams =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(bench.count(), 1L)
     val bloomBytes = bench
       .select(column(new BloomFilterAggregate(
-        expression(xxhash64(col("s"))), expectedGrams).toAggregateExpression()))
+        expression(xxhash64(col("s"))), sizedGrams).toAggregateExpression()))
       .head().getAs[Array[Byte]](0)
     // empty benchmark -> null sketch; nothing can match
     val grams = docs
