@@ -34,6 +34,12 @@ object Tables {
     * session's plans and file indexes forever. (A weak-keyed map
     * would not work here — the cached DataFrame strongly references
     * its own session, resurrecting the key through the value.)
+    * Scope note: this is a BENCH-HARNESS cache — short-lived
+    * sessions, immutable test parquet. A long-lived multi-session
+    * service would want per-session eviction on SparkSession stop (a
+    * listener) instead of the wholesale clear, and staleness
+    * detection if inputs can be rewritten in-session; deliberately
+    * not built here.
     */
   private val readCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

@@ -89,6 +89,20 @@ object Lm {
     * Known bigram: P = (c_ab + 1) / (c_a + V); unknown: P = 1 / V.
     * Each ln P quantizes to floor(1e9 x ln P) before the sum, so the
     * aggregation is exact-integer and order-free.
+    *
+    * Cross-engine assumption (shared with the BM25 path): the hash
+    * oracle holds only if JVM `Math.log` and the oracle engine's
+    * `ln` produce the same double before the floor — neither is
+    * guaranteed correctly rounded, so a 1-ulp divergence landing
+    * exactly on an integer boundary of 1e9·ln P would flip one
+    * quantized term. Accepted as a known low-probability risk: the
+    * inputs are small-integer ratios, every such boundary case would
+    * have to hit one of the finitely many representable doubles
+    * within 1 ulp of an exact integer multiple of 1e-9, and two
+    * rounds of dual-scale verification have produced zero flips. If
+    * one ever appears, quantize with round-half-up instead of floor
+    * to move boundaries off representable values (changes all
+    * registered hashes — do it in lockstep with the oracle SQL).
     */
   def lmScore(docs: DataFrame, lm: DataFrame, vocab: Long,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

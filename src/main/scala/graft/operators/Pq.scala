@@ -183,7 +183,9 @@ object Pq {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id",
-      codebooks: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+      codebooks: Option[Array[Array[Array[Long]]]] = None,
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
     // prep feeds the codebook collect (a limit-ksub TakeOrdered — one
     // cheap pass) and the encode projection (one full pass); NOT
     // cached deliberately — persisting the full quantized-vector
@@ -201,14 +203,16 @@ object Pq {
     // pq_dist is computed MAP-SIDE per (doc, query), and the only
     // exchange in the whole scan is the bounded top-k partial
     // aggregation (<= k rows per query per task)
-    val qScores = dt.map { case (qid, tab) =>
-      struct(lit(qid).as("query_id"), lookupDist(tab).as("pq_dist"))
-    }
-    val scored = codes
-      .select(col(idCol), explode(array(qScores: _*)).as("q"))
-      .select(col("q.query_id").as("query_id"), col(idCol),
-        col("q.pq_dist").as("pq_dist"))
-      .filter(col("query_id") =!= col(idCol))
+    val scored = dt.grouped(chunkSize).map { chunk =>
+      val qScores = chunk.map { case (qid, tab) =>
+        struct(lit(qid).as("query_id"), lookupDist(tab).as("pq_dist"))
+      }
+      codes
+        .select(col(idCol), explode(array(qScores: _*)).as("q"))
+        .select(col("q.query_id").as("query_id"), col(idCol),
+          col("q.pq_dist").as("pq_dist"))
+        .filter(col("query_id") =!= col(idCol))
+    }.reduce(_.unionByName(_))
     finishAdc(scored, k, idCol)
   }
 
@@ -219,16 +223,18 @@ object Pq {
     tab.indices.map(s =>
       element_at(lit(tab(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
 
-  /** Ceiling on the query-set size the literal ADC dispatch accepts:
-    * both dispatch shapes are LINEAR in |Q| per candidate row
-    * (pqTopK's exploded literal array, ivfPqTopK's nested CASE WHEN
-    * chain), and past roughly this many branches whole-stage codegen
-    * hits its 64 KB/method limits and falls back to interpreted
-    * evaluation — silently, and per-row. The operators are designed
-    * for the production-ANN regime (queries ≪ corpus); a larger
-    * query set should be chunked by the caller, or scored via a
-    * broadcast map-join dispatch instead. The require makes the
-    * regime boundary fail loudly rather than degrade quietly.
+  /** Chunk size for the literal ADC dispatch: both dispatch shapes
+    * are LINEAR in |Q| per candidate row (pqTopK's exploded literal
+    * array, ivfPqTopK's nested CASE WHEN chain), and past roughly
+    * this many branches whole-stage codegen hits its 64 KB/method
+    * limits and falls back to interpreted evaluation — silently, and
+    * per-row. Query sets above the bound are therefore dispatched in
+    * chunks of this size and unioned before the shared bounded top-k
+    * tail: each chunk stays inside codegen, disjoint query ids keep
+    * the union's per-query groups intact, and the cost above the
+    * bound is one extra candidate-stream pass per chunk — the honest
+    * price of leaving the production-ANN regime (queries ≪ corpus),
+    * paid instead of thrown.
     */
   val MaxLiteralQueries: Int = 1024
 
@@ -246,14 +252,8 @@ object Pq {
         rows.foreach(r => tab(r.getInt(1))(r.getInt(2)) = r.getLong(3))
         (qid, tab)
       }
-    guardQueryCount(tabs.size)
     tabs
   }
-
-  private def guardQueryCount(n: Int): Unit =
-    require(n <= MaxLiteralQueries,
-      s"ADC literal dispatch supports at most $MaxLiteralQueries queries " +
-        s"(got $n): chunk the query set or use a broadcast-join dispatch")
 
   /** [[collectDistTables]] computed in driver scala from an
     * already-collected query set — exact integer arithmetic, no
@@ -262,7 +262,6 @@ object Pq {
     */
   private def driverDistTables(qrows: Array[Similarity.VecRow],
       cb: Array[Array[Array[Long]]]): Seq[(Long, Array[Array[Long]])] = {
-    guardQueryCount(qrows.length)
     val m = cb.length
     val ksub = cb(0).length
     val sub = cb(0)(0).length
@@ -311,7 +310,9 @@ object Pq {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
-      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      embCol: String = "embedding", idCol: String = "vec_id",
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
     // index build: cache the projection for the build's duration, as
     // ivfTopK does
     val cp = Similarity.prepared(corpus, embCol, idCol)
@@ -319,7 +320,8 @@ object Pq {
     if (numCentroids <= Similarity.MaxLiteralCentroids) {
       val qrows = Similarity.collectVecRows(
         Similarity.prepared(queries, embCol, idCol), idCol)
-      ivfPqLiteral(cp, qrows, k, numCentroids, nprobe, m, ksub, idCol)
+      ivfPqLiteral(cp, qrows, k, numCentroids, nprobe, m, ksub, idCol,
+        chunkSize)
     } else {
       // over-limit centroid table: the joined index-build shape
       val cent = Similarity.centroidSample(cp, numCentroids, idCol)
@@ -330,7 +332,8 @@ object Pq {
           .select(col(idCol), col("cent_id")), Seq(idCol))
       val probes = Similarity.nearestCentroidsJoined(qprep, cent, nprobe, idCol)
         .select(col(idCol).as("__pq"), col("cent_id"))
-      adcScan(codes, probes, collectDistTables(qprep, cb, idCol), k, idCol)
+      adcScan(codes, probes, collectDistTables(qprep, cb, idCol), k, idCol,
+        chunkSize)
     }
   }
 
@@ -349,7 +352,7 @@ object Pq {
     */
   private def ivfPqLiteral(cp: DataFrame, qrows: Array[Similarity.VecRow],
       k: Int, numCentroids: Int, nprobe: Int, m: Int, ksub: Int,
-      idCol: String): DataFrame = {
+      idCol: String, chunkSize: Int = MaxLiteralQueries): DataFrame = {
     val low = Similarity.collectVecRows(
       cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
     val cents = low.take(numCentroids)
@@ -363,7 +366,7 @@ object Pq {
       .toDF("__pq", "cent_id")
     val codes = encode(cp, cb, idCol, cellCol =
       Some(element_at(Similarity.litNearestCells(cents, 1), 1)))
-    adcScan(codes, probes, dt, k, idCol)
+    adcScan(codes, probes, dt, k, idCol, chunkSize)
   }
 
   /** Shared ADC tail: probed candidates score map-side off the literal
@@ -371,14 +374,24 @@ object Pq {
     * exchange is the bounded top-k.
     */
   private def adcScan(codes: DataFrame, probes: DataFrame,
-      dt: Seq[(Long, Array[Array[Long]])], k: Int, idCol: String): DataFrame = {
+      dt: Seq[(Long, Array[Array[Long]])], k: Int, idCol: String,
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
     val cells = codes.join(broadcast(probes), Seq("cent_id"))
       .filter(col("__pq") =!= col(idCol))
-    val distByQuery = dt.foldRight(lit(null).cast("long")) {
-      case ((qid, tab), acc) => when(col("__pq") === qid, lookupDist(tab)).otherwise(acc)
-    }
-    val scored = cells.select(col("__pq").as("query_id"), col(idCol),
-      distByQuery.as("pq_dist"))
+    val chunks = dt.grouped(chunkSize).toSeq
+    val scored = chunks.map { chunk =>
+      // single chunk (the designed regime) sees no extra filter; the
+      // over-limit path routes each candidate stream to its chunk's
+      // CASE dispatch via an InSet probe on the query id
+      val base =
+        if (chunks.size == 1) cells
+        else cells.filter(col("__pq").isInCollection(chunk.map(_._1)))
+      val distByQuery = chunk.foldRight(lit(null).cast("long")) {
+        case ((qid, tab), acc) => when(col("__pq") === qid, lookupDist(tab)).otherwise(acc)
+      }
+      base.select(col("__pq").as("query_id"), col(idCol),
+        distByQuery.as("pq_dist"))
+    }.reduce(_.unionByName(_))
     finishAdc(scored, k, idCol)
   }
 
@@ -422,8 +435,10 @@ object Pq {
             .select(col(idCol).as("query_id"), col("v").as("qv"),
               col("n2").as("qn2")))
       }
-    // the nomination list is |Q| x rerank rows (query-set-bounded, and
-    // the ADC dispatch already caps |Q|): BROADCAST it so the refine
+    // the nomination list is |Q| x rerank rows (query-set-bounded;
+    // the ADC dispatch chunks past MaxLiteralQueries but a broadcast
+    // this size assumes the production regime of queries ≪ corpus):
+    // BROADCAST it so the refine
     // is a map-side semi-join over the cached corpus projection — no
     // corpus-sized shuffle between nomination and rerank
     val exact = cp

@@ -262,9 +262,52 @@ object SelectiveSearch {
     * with NO second exchange+sort. AQE partition coalescing preserves
     * both properties (it concatenates whole hash partitions, keeping
     * each query's run contiguous), and the walk keys on run
-    * boundaries, not global query order. A false promise produces
-    * wrong results — the correctness gate hashes every registered use.
+    * boundaries, not global query order. The promise is CHECKED at
+    * runtime, per partition, for the cost of one long-compare and one
+    * hash probe per row: global_rank must be strictly increasing
+    * within each query run, and a query must not start a second run
+    * after its first ended (an added exchange, skew split, or
+    * non-window source fails loudly instead of silently corrupting
+    * precision numbers). The one violation this cannot see locally is
+    * a query split cleanly ACROSS partitions — each half looks like a
+    * valid run; the registered uses' hash oracles cover that residue.
     */
+  /** Runtime check of the `arranged = true` layout promise (see
+    * [[evaluateArrival]]): within a partition, `global_rank` strictly
+    * increases inside each query run and no query starts a second run.
+    * Streaming pass-through — one comparison + one hash-set probe per
+    * row, no buffering.
+    */
+  private def assertArranged(
+      it: Iterator[(Long, Long, Double, Int)]): Iterator[(Long, Long, Double, Int)] =
+    new Iterator[(Long, Long, Double, Int)] {
+      private val closedRuns = new java.util.HashSet[Long]()
+      private var curQuery = 0L
+      private var lastRank = 0L
+      private var started = false
+      def hasNext: Boolean = it.hasNext
+      def next(): (Long, Long, Double, Int) = {
+        val row = it.next()
+        if (!started || row._1 != curQuery) {
+          if (started) closedRuns.add(curQuery)
+          if (!closedRuns.isEmpty && closedRuns.contains(row._1))
+            throw new IllegalStateException(
+              s"evaluate(arranged=true): layout promise violated — query ${row._1} " +
+                "appears in more than one contiguous run in a partition; the input " +
+                "is not clustered by query. Re-run with arranged=false.")
+          curQuery = row._1
+          started = true
+        } else if (row._2 <= lastRank) {
+          throw new IllegalStateException(
+            s"evaluate(arranged=true): layout promise violated — global_rank ${row._2} " +
+              s"after $lastRank within query ${row._1}; the input is not sorted by " +
+              "(query, global_rank). Re-run with arranged=false.")
+        }
+        lastRank = row._2
+        row
+      }
+    }
+
   def evaluateArrival(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
       numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None,
       arranged: Boolean = false): DataFrame = {
@@ -311,7 +354,8 @@ object SelectiveSearch {
         .repartition(col("query"))
         .sortWithinPartitions(col("query"), col("global_rank"))
         .as[(Long, Long, Double, Int)]
-    val out = prepared.mapPartitions { rows =>
+    val out = prepared.mapPartitions { rows0 =>
+      val rows = if (arranged) assertArranged(rows0) else rows0
       val it = rows.buffered
       new Iterator[(Long, Array[Double], Int)] {
         private var pending: Iterator[(Long, Array[Double], Int)] = Iterator.empty
@@ -453,6 +497,10 @@ object SelectiveSearch {
     */
   def toTrec(results: DataFrame, path: String, cutoff: Int = 1000,
       tiebreak: Seq[String] = Seq("title")): Unit = {
+    // validate before the routing check below reads results.schema
+    // ("score") — a missing column gets the friendly message, not a
+    // raw StructType lookup error
+    ensureHasColumns(results, (Seq("query", "score", "title") ++ tiebreak).distinct)
     // bounded form only on its happy path: the standard title
     // tiebreak, a positive cutoff (the heap needs k > 0 where the
     // window form just writes an empty file), and a double score

@@ -150,6 +150,33 @@ class EvaluateSuite extends SparkSuite {
     assert(baseB.nonEmpty)
   }
 
+  test("a false arranged promise fails loudly instead of corrupting results") {
+    def rootMessages(t: Throwable): String = {
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("\n")
+    }
+    // an injected physical sort below the join would just be
+    // optimizer-eliminated (order-unaware join), so mis-arrange the
+    // VALUES: flipping global_rank makes the window's physical
+    // (query, rank-asc) layout read as rank-DESCENDING -> the
+    // monotonic check fires
+    val reversed = results
+      .withColumn("global_rank", lit(25) - $"global_rank")
+    val e1 = intercept[Exception] {
+      SelectiveSearch.evaluate(shards, reversed, Seq(precisionAt(5)),
+        numShards = 3, arranged = true).collect()
+    }
+    assert(rootMessages(e1).contains("layout promise violated"))
+    // two copies of each query's run concatenated into one partition
+    // -> a query re-starts after its run closed -> second-run check
+    val interleaved = results.union(results).coalesce(1)
+    val e2 = intercept[Exception] {
+      SelectiveSearch.evaluate(shards, interleaved, Seq(precisionAt(5)),
+        numShards = 3, arranged = true).collect()
+    }
+    assert(rootMessages(e2).contains("layout promise violated"))
+  }
+
   test("trecFrameTopK equals the window trecFrame row-for-row, ties included") {
     // score ties within and across queries; more rows than cutoff
     val r = results.withColumn("title", concat(lit("doc"), $"gdocid"))

@@ -99,5 +99,11 @@ class IoSuite extends SparkSuite {
     SelectiveSearch.toTrec(intScores, s"$work/int.trec", cutoff = 10)
     val lines = scala.io.Source.fromFile(s"$work/int.trec").getLines().toSeq
     assert(lines == Seq("0\tQ0\tdocA\t0\t9\tnull", "0\tQ0\tdocB\t1\t8\tnull"))
+    // a frame missing 'score' gets the friendly missing-column error,
+    // not a raw StructType lookup failure from the routing check
+    val noScore = Seq((0, "docA")).toDF("query", "title")
+    intercept[graft.core.MissingColumnException] {
+      SelectiveSearch.toTrec(noScore, s"$work/bad.trec")
+    }
   }
 }

@@ -270,6 +270,28 @@ class SimilaritySuite extends SparkSuite {
     assert(got(0).getLong(2) == 888L)
   }
 
+  test("pq: over-limit query sets chunk the literal dispatch, results unchanged") {
+    // chunkSize=2 with 5 queries forces 3 chunks through both
+    // dispatch shapes (pqTopK's exploded array, ivfPq's CASE chain +
+    // InSet routing) — results must equal the single-chunk plan's
+    val c = pqCorpus(60, 32, seed = 23)
+    val q = c.filter($"vec_id" < 5)
+    val one = graft.operators.Pq.pqTopK(c, q, k = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val chunked = graft.operators.Pq.pqTopK(c, q, k = 4, chunkSize = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(chunked == one)
+    graft.core.OpCaches.release()
+    val oneIvf = graft.operators.Pq.ivfPqTopK(c, q, k = 4,
+      numCentroids = 8, nprobe = 3).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    graft.core.OpCaches.release()
+    val chunkedIvf = graft.operators.Pq.ivfPqTopK(c, q, k = 4,
+      numCentroids = 8, nprobe = 3, chunkSize = 2).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(chunkedIvf == oneIvf)
+  }
+
   test("pq: ivfPqTopK with full probing equals the plain PQ scan exactly") {
     val c = pqCorpus(120, 32, seed = 11)
     val q = c.filter($"vec_id" < 4)
