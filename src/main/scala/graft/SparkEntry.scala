@@ -248,6 +248,43 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Driver-auditable error bounds for the sketches above: per-group
+    // booleans "approx within its DOCUMENTED error of exact" — HLL++
+    // within 3*rsd (0.15) of exact countDistinct, each G-K percentile
+    // within rank fraction 1e-4 (= 1/accuracy) of its target, checked
+    // by COUNTING ranks around the returned value (no interpolation
+    // convention in the bound, so it is exact at any group size; ±1
+    // row absorbs the open/closed rank edge). Sketches are
+    // deterministic, so the booleans are hash-stable and the oracle
+    // is the trivially-true per-group row — this converts the
+    // rows-only trust in approx_agg_sketches into a hash-checked
+    // board row.
+    "approx_agg_bounds" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ap = graft.operators.ApproxAgg
+        .approxDistinct(ev, Seq("event_type"), Seq("user_id"))
+        .join(graft.operators.ApproxAgg.approxPercentiles(
+          ev, Seq("event_type"), "value", Seq(0.5, 0.9)), Seq("event_type"))
+      ev.join(broadcast(ap), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("nd"),
+          count(col("value")).as("n"),
+          sum(when(col("value") < col("p_approx")(0), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= col("p_approx")(0), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < col("p_approx")(1), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("value") <= col("p_approx")(1), 1L).otherwise(0L)).as("le90"),
+          first(col("user_id_approx")).as("ad"))
+        .select(col("event_type"),
+          (abs(col("ad") - col("nd")).cast("double") <=
+            lit(0.15) * col("nd")).as("distinct_ok"),
+          (col("lt50").cast("double") <= lit(0.5001) * col("n") + lit(1.0) &&
+            col("le50").cast("double") >= lit(0.4999) * col("n") - lit(1.0)).as("p50_ok"),
+          (col("lt90").cast("double") <= lit(0.9001) * col("n") + lit(1.0) &&
+            col("le90").cast("double") >= lit(0.8999) * col("n") - lit(1.0)).as("p90_ok"))
+        .orderBy("event_type")
+    }),
+
     // Sliding-window aggregation (1 h window, 15 min slide): each
     // event attributes to 4 overlapping windows via an exact integer
     // explode — the relational twin of window(ts, '1 hour', '15 min')
@@ -619,6 +656,26 @@ object SparkEntry {
       graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5,
         codebooks = Some(cb))
         .orderBy("query_id", "rank")
+    }),
+
+    // Driver-auditable quality bound for the fitted codebook: ONE
+    // boolean row "fitted codebook's total quantization distortion
+    // <= sample codebook's" — distortion is the objective k-means
+    // MINIMIZES, so it is the claim a fit must defend (top-5 recall
+    // on 8 near-uniform queries is noise by comparison: measured
+    // sample 14/40 vs fitted 6/40 hits at sf0.01, both inside the
+    // documented worst case). Both codebooks and the integer
+    // distortion sum are deterministic, so the boolean is
+    // hash-stable against the trivially-true oracle — the audit row
+    // for the rows-only ann_pq_fitted_topk.
+    "ann_pq_fitted_bounds" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val sampleCb = graft.operators.Pq.codebook(e, m = 4, ksub = 16)
+      val fittedCb = graft.operators.Pq.kmeansCodebook(e, m = 4, ksub = 16)
+      val Seq(dSample, dFitted) = graft.operators.Pq.codebookDistortions(
+        e, Seq(sampleCb, fittedCb))
+      import s.implicits._
+      Seq(dFitted <= dSample).toDF("fitted_ok")
     }),
 
     // IVF+PQ: ADC scan restricted to each query's probed IVF cells —
@@ -1668,6 +1725,15 @@ object SparkEntry {
         |       quantile_cont(l_quantity, 0.9) AS p90_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the bounds rows assert "approx within documented error" on the
+    // Spark side; the sketches are deterministic, so the oracle is
+    // the trivially-true per-group shape (see the queries' Scaladoc)
+    "approx_agg_bounds" ->
+      """SELECT event_type, TRUE AS distinct_ok, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ann_pq_fitted_bounds" -> "SELECT TRUE AS fitted_ok",
 
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n

@@ -153,6 +153,45 @@ object Pq {
         cell.map(_ => col("cent_id")): _*)
   }
 
+  /** Total exact-integer quantization distortion of a codebook over
+    * the corpus: Σ_rows Σ_s min_j ||v_s − cb(s)(j)||² on the
+    * quantized (×1000) vectors — the objective the k-means fit
+    * minimizes, and therefore the right axis to COMPARE codebooks on
+    * (top-k recall on a handful of queries is noise by comparison).
+    * One map-side corpus pass, one scalar aggregate; deterministic at
+    * any parallelism (integer sum).
+    */
+  def codebookDistortion(corpus: DataFrame, cb: Array[Array[Array[Long]]],
+      embCol: String = "embedding", idCol: String = "vec_id"): Long =
+    codebookDistortions(corpus, Seq(cb), embCol, idCol).head
+
+  /** [[codebookDistortion]] for several codebooks in ONE corpus pass
+    * (one projection, one scalar aggregate) — the comparison shape:
+    * scans don't repeat per codebook.
+    */
+  def codebookDistortions(corpus: DataFrame, cbs: Seq[Array[Array[Array[Long]]]],
+      embCol: String = "embedding", idCol: String = "vec_id"): Seq[Long] = {
+    val prep = Similarity.prepared(corpus, embCol, idCol)
+    val dCols = cbs.zipWithIndex.map { case (cb, i) =>
+      val m = cb.length
+      val sub = cb(0)(0).length
+      (0 until m).map { s =>
+        val vs = slice(col("v"), s * sub + 1, sub)
+        val vn2 = Similarity.dotQ(vs, vs)
+        val cands = cb(s).indices.map { j =>
+          val e = cb(s)(j)
+          val en2 = e.map(x => x * x).sum
+          vn2 + lit(en2) - lit(2L) * Similarity.dotQ(vs, lit(e))
+        }
+        if (cands.size == 1) cands.head else least(cands: _*)
+      }.reduce(_ + _).as(s"__d$i")
+    }
+    val r = prep.select(dCols: _*)
+      .agg(sum(col("__d0")), cbs.indices.tail.map(i => sum(col(s"__d$i"))): _*)
+      .head()
+    cbs.indices.map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+  }
+
   /** ADC distance table for every query row: (query_id, s, j, d) with
     * d = exact integer L2 between the query's subspace-s slice and
     * codebook entry j.
