@@ -45,6 +45,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "2m"))
+      // every query ends in an explicit orderBy, whose range exchange
+      // samples the child first — at toy scale that sampling pass is
+      // pure floor (FloorProbe: j4 0.086 -> 0.074 s, sub-second rows
+      // -0.01..-0.05 s each, heavies unchanged). 20 x 32 = 640
+      // samples still bound the output ranges fine here; a 100 TB
+      // deployment keeps the 100/partition default for balance.
+      .config("spark.sql.execution.rangeExchange.sampleSizePerPartition",
+        sys.env.getOrElse("SPARK_GRAFT_RANGESAMPLE", "20"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -38,7 +38,24 @@ object FloorProbe {
       "coalesce" -> Map(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
-        "spark.sql.shuffle.partitions" -> "32"))
+        "spark.sql.shuffle.partitions" -> "32"),
+      // the Bench harness settings (round 9+)
+      "bench" -> Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m",
+        "spark.sql.shuffle.partitions" -> "32"),
+      // candidate floor cuts on top of "bench":
+      // fewer map-side shuffle/sample tasks for tiny inputs
+      "bench_sp8" -> Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m",
+        "spark.sql.shuffle.partitions" -> "8"),
+      // smaller range-exchange sample per partition (orderBy tails)
+      "bench_rs20" -> Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m",
+        "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition" -> "20"))
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     for ((name, conf) <- variants) {
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
