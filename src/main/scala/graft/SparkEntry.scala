@@ -261,10 +261,14 @@ object SparkEntry {
     // board row.
     "approx_agg_bounds" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val ap = graft.operators.ApproxAgg
-        .approxDistinct(ev, Seq("event_type"), Seq("user_id"))
-        .join(graft.operators.ApproxAgg.approxPercentiles(
-          ev, Seq("event_type"), "value", Seq(0.5, 0.9)), Seq("event_type"))
+      // same sketch values as approx_agg_sketches' two joined
+      // operator calls, fused into one aggregate pass (the bounds row
+      // audits the sketches, it doesn't need the operator-demo shape)
+      val ap = ev.groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id"),
+          graft.operators.ApproxAgg.DefaultRsd).as("user_id_approx"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+          lit(graft.operators.ApproxAgg.DefaultAccuracy)).as("p_approx"))
       ev.join(broadcast(ap), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
@@ -277,11 +281,15 @@ object SparkEntry {
           first(col("user_id_approx")).as("ad"))
         .select(col("event_type"),
           (abs(col("ad") - col("nd")).cast("double") <=
-            lit(0.15) * col("nd")).as("distinct_ok"),
-          (col("lt50").cast("double") <= lit(0.5001) * col("n") + lit(1.0) &&
-            col("le50").cast("double") >= lit(0.4999) * col("n") - lit(1.0)).as("p50_ok"),
-          (col("lt90").cast("double") <= lit(0.9001) * col("n") + lit(1.0) &&
-            col("le90").cast("double") >= lit(0.8999) * col("n") - lit(1.0)).as("p90_ok"))
+            lit(3 * graft.operators.ApproxAgg.DefaultRsd) * col("nd")).as("distinct_ok"),
+          (col("lt50").cast("double") <=
+            lit(0.5 + 1.0 / graft.operators.ApproxAgg.DefaultAccuracy) * col("n") + lit(1.0) &&
+            col("le50").cast("double") >=
+              lit(0.5 - 1.0 / graft.operators.ApproxAgg.DefaultAccuracy) * col("n") - lit(1.0)).as("p50_ok"),
+          (col("lt90").cast("double") <=
+            lit(0.9 + 1.0 / graft.operators.ApproxAgg.DefaultAccuracy) * col("n") + lit(1.0) &&
+            col("le90").cast("double") >=
+              lit(0.9 - 1.0 / graft.operators.ApproxAgg.DefaultAccuracy) * col("n") - lit(1.0)).as("p90_ok"))
         .orderBy("event_type")
     }),
 

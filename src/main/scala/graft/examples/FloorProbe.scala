@@ -57,8 +57,16 @@ object FloorProbe {
         "spark.sql.shuffle.partitions" -> "32",
         "spark.sql.execution.rangeExchange.sampleSizePerPartition" -> "20"))
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    // reset every probed key to its Spark default before applying a
+    // variant's overrides, so measurements don't depend on variant
+    // order (a key set by an earlier variant would otherwise leak)
+    val probedDefaults = Map(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m",
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.execution.rangeExchange.sampleSizePerPartition" -> "100")
     for ((name, conf) <- variants) {
-      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      (probedDefaults ++ conf).foreach { case (k, v) => spark.conf.set(k, v) }
       val times = queries.map { q =>
         val fn = SparkEntry.queries(q)
         val ts = (1 to 4).map { i =>

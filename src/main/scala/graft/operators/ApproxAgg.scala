@@ -27,13 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object ApproxAgg {
 
+  /** Default sketch parameters — referenced by the registered
+    * `approx_agg_bounds` audit row, so its error-bound literals and
+    * the sketches it audits cannot drift apart.
+    */
+  val DefaultAccuracy: Int = 10000
+  val DefaultRsd: Double = 0.05
+
   /** Per-group approximate percentiles of `valueCol`: one array column
     * `p_approx` aligned with `percentiles`. Rank error <= n/accuracy
     * per group.
     */
   def approxPercentiles(df: DataFrame, groupCols: Seq[String],
       valueCol: String, percentiles: Seq[Double],
-      accuracy: Int = 10000): DataFrame =
+      accuracy: Int = DefaultAccuracy): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(percentile_approx(col(valueCol),
         array(percentiles.map(lit): _*), lit(accuracy)).as("p_approx"))
@@ -42,7 +49,7 @@ object ApproxAgg {
     * `countCols` (as `<name>_approx`), relative error ~rsd.
     */
   def approxDistinct(df: DataFrame, groupCols: Seq[String],
-      countCols: Seq[String], rsd: Double = 0.05): DataFrame = {
+      countCols: Seq[String], rsd: Double = DefaultRsd): DataFrame = {
     val aggs: Seq[Column] = countCols.map(c =>
       approx_count_distinct(col(c), rsd).as(s"${c}_approx"))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)

@@ -171,6 +171,7 @@ object Pq {
     */
   def codebookDistortions(corpus: DataFrame, cbs: Seq[Array[Array[Array[Long]]]],
       embCol: String = "embedding", idCol: String = "vec_id"): Seq[Long] = {
+    require(cbs.nonEmpty, "no codebooks to score")
     val prep = Similarity.prepared(corpus, embCol, idCol)
     val dCols = cbs.zipWithIndex.map { case (cb, i) =>
       val m = cb.length
@@ -242,16 +243,22 @@ object Pq {
     // pq_dist is computed MAP-SIDE per (doc, query), and the only
     // exchange in the whole scan is the bounded top-k partial
     // aggregation (<= k rows per query per task)
-    val scored = dt.grouped(chunkSize).map { chunk =>
-      val qScores = chunk.map { case (qid, tab) =>
-        struct(lit(qid).as("query_id"), lookupDist(tab).as("pq_dist"))
-      }
-      codes
-        .select(col(idCol), explode(array(qScores: _*)).as("q"))
-        .select(col("q.query_id").as("query_id"), col(idCol),
-          col("q.pq_dist").as("pq_dist"))
-        .filter(col("query_id") =!= col(idCol))
-    }.reduce(_.unionByName(_))
+    // empty query set -> empty result of the right schema (grouped()
+    // yields no chunks to reduce)
+    val scored =
+      if (dt.isEmpty)
+        codes.select(lit(0L).as("query_id"), col(idCol),
+          lit(0L).as("pq_dist")).filter(lit(false))
+      else dt.grouped(chunkSize).map { chunk =>
+        val qScores = chunk.map { case (qid, tab) =>
+          struct(lit(qid).as("query_id"), lookupDist(tab).as("pq_dist"))
+        }
+        codes
+          .select(col(idCol), explode(array(qScores: _*)).as("q"))
+          .select(col("q.query_id").as("query_id"), col(idCol),
+            col("q.pq_dist").as("pq_dist"))
+          .filter(col("query_id") =!= col(idCol))
+      }.reduce(_.unionByName(_))
     finishAdc(scored, k, idCol)
   }
 
@@ -418,19 +425,25 @@ object Pq {
     val cells = codes.join(broadcast(probes), Seq("cent_id"))
       .filter(col("__pq") =!= col(idCol))
     val chunks = dt.grouped(chunkSize).toSeq
-    val scored = chunks.map { chunk =>
-      // single chunk (the designed regime) sees no extra filter; the
-      // over-limit path routes each candidate stream to its chunk's
-      // CASE dispatch via an InSet probe on the query id
-      val base =
-        if (chunks.size == 1) cells
-        else cells.filter(col("__pq").isInCollection(chunk.map(_._1)))
-      val distByQuery = chunk.foldRight(lit(null).cast("long")) {
-        case ((qid, tab), acc) => when(col("__pq") === qid, lookupDist(tab)).otherwise(acc)
-      }
-      base.select(col("__pq").as("query_id"), col(idCol),
-        distByQuery.as("pq_dist"))
-    }.reduce(_.unionByName(_))
+    // empty query set -> empty result of the right schema (no chunks
+    // to reduce)
+    val scored =
+      if (chunks.isEmpty)
+        cells.select(col("__pq").as("query_id"), col(idCol),
+          lit(0L).as("pq_dist")).filter(lit(false))
+      else chunks.map { chunk =>
+        // single chunk (the designed regime) sees no extra filter; the
+        // over-limit path routes each candidate stream to its chunk's
+        // CASE dispatch via an InSet probe on the query id
+        val base =
+          if (chunks.size == 1) cells
+          else cells.filter(col("__pq").isInCollection(chunk.map(_._1)))
+        val distByQuery = chunk.foldRight(lit(null).cast("long")) {
+          case ((qid, tab), acc) => when(col("__pq") === qid, lookupDist(tab)).otherwise(acc)
+        }
+        base.select(col("__pq").as("query_id"), col(idCol),
+          distByQuery.as("pq_dist"))
+      }.reduce(_.unionByName(_))
     finishAdc(scored, k, idCol)
   }
 
@@ -444,12 +457,23 @@ object Pq {
     * `rerank` >= corpus size this EQUALS brute-force
     * [[Similarity.cosineTopK]] exactly (unit-pinned).
     * Returns (query_id, rank, vec_id, cosine).
+    *
+    * Regime contract: the refine side BROADCASTS the |Q| x rerank
+    * nomination list and the |Q| raw query vectors — the production
+    * shape where queries ≪ corpus. The ADC nomination itself chunks
+    * past `chunkSize` queries (see [[MaxLiteralQueries]]), but a
+    * query set large enough to strain an executor broadcast (~10⁶+
+    * queries x rerank rows) should batch CALLS to this method
+    * instead; the broadcasts below would otherwise fail on Spark's
+    * broadcast size limit rather than degrade.
     */
   def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
       rerank: Int = 100,
-      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      embCol: String = "embedding", idCol: String = "vec_id",
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(chunkSize > 0, "chunkSize must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cp = Similarity.prepared(corpus, embCol, idCol)
@@ -462,13 +486,14 @@ object Pq {
       if (numCentroids <= Similarity.MaxLiteralCentroids) {
         val qrows = Similarity.collectVecRows(
           Similarity.prepared(queries, embCol, idCol), idCol)
-        (ivfPqLiteral(cp, qrows, rerank, numCentroids, nprobe, m, ksub, idCol)
+        (ivfPqLiteral(cp, qrows, rerank, numCentroids, nprobe, m, ksub, idCol,
+            chunkSize)
             .select(col("query_id"), col(idCol)),
           qrows.toSeq.map(q => (q.id, q.v.toSeq, q.n2))
             .toDF("query_id", "qv", "qn2"))
       } else {
         (ivfPqTopK(corpus, queries, rerank, numCentroids, nprobe,
-            m, ksub, embCol, idCol)
+            m, ksub, embCol, idCol, chunkSize)
             .select(col("query_id"), col(idCol)),
           Similarity.prepared(queries, embCol, idCol)
             .select(col(idCol).as("query_id"), col("v").as("qv"),

@@ -270,6 +270,19 @@ class SimilaritySuite extends SparkSuite {
     assert(got(0).getLong(2) == 888L)
   }
 
+  test("pq: empty query set returns an empty frame on every dispatch path") {
+    val c = pqCorpus(30, 32, seed = 5)
+    val none = c.filter($"vec_id" < 0)
+    assert(graft.operators.Pq.pqTopK(c, none, 3).count() == 0)
+    graft.core.OpCaches.release()
+    assert(graft.operators.Pq.ivfPqTopK(c, none, 3,
+      numCentroids = 8, nprobe = 2).count() == 0)
+    graft.core.OpCaches.release()
+    assert(graft.operators.Pq.ivfPqRerankTopK(c, none, 3,
+      numCentroids = 8, nprobe = 2, rerank = 10).count() == 0)
+    graft.core.OpCaches.release()
+  }
+
   test("pq: over-limit query sets chunk the literal dispatch, results unchanged") {
     // chunkSize=2 with 5 queries forces 3 chunks through both
     // dispatch shapes (pqTopK's exploded array, ivfPq's CASE chain +
