@@ -270,6 +270,40 @@ class SimilaritySuite extends SparkSuite {
     assert(got(0).getLong(2) == 888L)
   }
 
+  test("pq: chunked CASE dispatch on the joined (over-limit-centroid) path") {
+    // numCentroids above MaxLiteralCentroids forces the joined index
+    // build whose adcScan routes chunks via InSet probes — pin the
+    // multi-chunk result against the single-chunk one
+    val c = pqCorpus(60, 32, seed = 29)
+    val q = c.filter($"vec_id" < 5)
+    val cents = 260 // > Similarity.MaxLiteralCentroids (256)
+    val one = graft.operators.Pq.ivfPqTopK(c, q, k = 4,
+      numCentroids = cents, nprobe = cents).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    graft.core.OpCaches.release()
+    val chunked = graft.operators.Pq.ivfPqTopK(c, q, k = 4,
+      numCentroids = cents, nprobe = cents, chunkSize = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(chunked == one)
+    assert(one.nonEmpty)
+    graft.core.OpCaches.release()
+  }
+
+  test("pq: fused multi-codebook distortion equals the per-codebook runs") {
+    val c = pqCorpus(50, 32, seed = 31)
+    val sCb = graft.operators.Pq.codebook(c, m = 4, ksub = 8)
+    val fCb = graft.operators.Pq.kmeansCodebook(c, m = 4, ksub = 8)
+    graft.core.OpCaches.release()
+    val fused = graft.operators.Pq.codebookDistortions(c, Seq(sCb, fCb))
+    val singles = Seq(graft.operators.Pq.codebookDistortion(c, sCb),
+      graft.operators.Pq.codebookDistortion(c, fCb))
+    assert(fused == singles)
+    assert(fused.forall(_ > 0))
+    intercept[IllegalArgumentException] {
+      graft.operators.Pq.codebookDistortions(c, Seq.empty)
+    }
+  }
+
   test("pq: empty query set returns an empty frame on every dispatch path") {
     val c = pqCorpus(30, 32, seed = 5)
     val none = c.filter($"vec_id" < 0)
