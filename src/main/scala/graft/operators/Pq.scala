@@ -232,12 +232,18 @@ object Pq {
     // projection is exactly what doesn't fit at corpus scale, and the
     // two passes never co-execute
     val prep = Similarity.prepared(corpus, embCol, idCol)
+    // the two index-build collects (query rows, codebook sample) are
+    // independent driver jobs over different frames — submit the
+    // query collect concurrently so the build pays ONE round of job
+    // latency, not two (results are collects, so overlap cannot
+    // affect determinism)
+    val qrowsF = concurrently(Similarity.collectVecRows(
+      Similarity.prepared(queries, embCol, idCol), idCol))
     val cb = codebooks.getOrElse(codebookFromPrep(prep, m, ksub, idCol))
     val codes = encode(prep, cb, idCol)
     // ADC tables from one tiny query-set collect + driver arithmetic
     // (exact integers — identical to the relational distTable form)
-    val dt = driverDistTables(Similarity.collectVecRows(
-      Similarity.prepared(queries, embCol, idCol), idCol), cb)
+    val dt = driverDistTables(awaitBuild(qrowsF), cb)
     // the faiss shape, relationally: ADC tables live as task-local
     // literal arrays (|Q| x m x ksub longs — driver/closure-tiny),
     // pq_dist is computed MAP-SIDE per (doc, query), and the only
@@ -268,6 +274,18 @@ object Pq {
   private def lookupDist(tab: Array[Array[Long]]): Column =
     tab.indices.map(s =>
       element_at(lit(tab(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+
+  /** Submit an index-build collect as a concurrent Spark job (the
+    * driver supports concurrent actions); pair with [[awaitBuild]].
+    * Used to overlap the independent query-set and codebook/centroid
+    * collects during plan construction — each is a tiny result but a
+    * full round of job latency.
+    */
+  private def concurrently[A](f: => A): scala.concurrent.Future[A] =
+    scala.concurrent.Future(f)(scala.concurrent.ExecutionContext.global)
+
+  private def awaitBuild[A](f: scala.concurrent.Future[A]): A =
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
 
   /** Chunk size for the literal ADC dispatch: both dispatch shapes
     * are LINEAR in |Q| per candidate row (pqTopK's exploded literal
@@ -364,9 +382,9 @@ object Pq {
     val cp = Similarity.prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
     if (numCentroids <= Similarity.MaxLiteralCentroids) {
-      val qrows = Similarity.collectVecRows(
-        Similarity.prepared(queries, embCol, idCol), idCol)
-      ivfPqLiteral(cp, qrows, k, numCentroids, nprobe, m, ksub, idCol,
+      val qrowsF = concurrently(Similarity.collectVecRows(
+        Similarity.prepared(queries, embCol, idCol), idCol))
+      ivfPqLiteral(cp, qrowsF, k, numCentroids, nprobe, m, ksub, idCol,
         chunkSize)
     } else {
       // over-limit centroid table: the joined index-build shape
@@ -394,9 +412,12 @@ object Pq {
     * fuse into the encode projection, probes broadcast as a
     * LocalRelation — no assignment join, no agg shuffle. Shared by
     * [[ivfPqTopK]] and [[ivfPqRerankTopK]] (the latter reuses its
-    * `qrows` for the refine side too).
+    * `qrows` for the refine side too). The two collects are
+    * independent jobs, so the caller passes the query collect as a
+    * Future and both run concurrently — one round of job latency.
     */
-  private def ivfPqLiteral(cp: DataFrame, qrows: Array[Similarity.VecRow],
+  private def ivfPqLiteral(cp: DataFrame,
+      qrowsF: scala.concurrent.Future[Array[Similarity.VecRow]],
       k: Int, numCentroids: Int, nprobe: Int, m: Int, ksub: Int,
       idCol: String, chunkSize: Int = MaxLiteralQueries): DataFrame = {
     val low = Similarity.collectVecRows(
@@ -404,6 +425,7 @@ object Pq {
     val cents = low.take(numCentroids)
       .map(r => Similarity.CentRow(r.id, r.v, r.n2))
     val cb = codebookFromVecs(low.take(ksub).map(_.v).toSeq, m)
+    val qrows = awaitBuild(qrowsF)
     val dt = driverDistTables(qrows, cb)
     val spark = cp.sparkSession
     import spark.implicits._
@@ -484,11 +506,12 @@ object Pq {
     // joined nomination with a scanned qp
     val (cand, qp) =
       if (numCentroids <= Similarity.MaxLiteralCentroids) {
-        val qrows = Similarity.collectVecRows(
-          Similarity.prepared(queries, embCol, idCol), idCol)
-        (ivfPqLiteral(cp, qrows, rerank, numCentroids, nprobe, m, ksub, idCol,
-            chunkSize)
-            .select(col("query_id"), col(idCol)),
+        val qrowsF = concurrently(Similarity.collectVecRows(
+          Similarity.prepared(queries, embCol, idCol), idCol))
+        val nominate = ivfPqLiteral(cp, qrowsF, rerank, numCentroids, nprobe,
+          m, ksub, idCol, chunkSize)
+        val qrows = awaitBuild(qrowsF)
+        (nominate.select(col("query_id"), col(idCol)),
           qrows.toSeq.map(q => (q.id, q.v.toSeq, q.n2))
             .toDF("query_id", "qv", "qn2"))
       } else {
