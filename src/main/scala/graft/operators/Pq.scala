@@ -237,13 +237,14 @@ object Pq {
     // query collect concurrently so the build pays ONE round of job
     // latency, not two (results are collects, so overlap cannot
     // affect determinism)
-    val qrowsF = concurrently(Similarity.collectVecRows(
+    val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
       Similarity.prepared(queries, embCol, idCol), idCol))
-    val cb = codebooks.getOrElse(codebookFromPrep(prep, m, ksub, idCol))
+    val cb = withBuild(qrowsB)(
+      codebooks.getOrElse(codebookFromPrep(prep, m, ksub, idCol)))
     val codes = encode(prep, cb, idCol)
     // ADC tables from one tiny query-set collect + driver arithmetic
     // (exact integers — identical to the relational distTable form)
-    val dt = driverDistTables(awaitBuild(qrowsF), cb)
+    val dt = driverDistTables(qrowsB.await(), cb)
     // the faiss shape, relationally: ADC tables live as task-local
     // literal arrays (|Q| x m x ksub longs — driver/closure-tiny),
     // pq_dist is computed MAP-SIDE per (doc, query), and the only
@@ -275,17 +276,70 @@ object Pq {
     tab.indices.map(s =>
       element_at(lit(tab(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
 
-  /** Submit an index-build collect as a concurrent Spark job (the
-    * driver supports concurrent actions); pair with [[awaitBuild]].
-    * Used to overlap the independent query-set and codebook/centroid
-    * collects during plan construction — each is a tiny result but a
-    * full round of job latency.
+  /** Dedicated daemon pool for overlapped index-build collects: the
+    * bodies BLOCK on Spark jobs, which would starve
+    * `ExecutionContext.global`'s shared fork-join workers under
+    * concurrent builds; a cached pool of named daemon threads grows
+    * with in-flight builds and idles away after.
     */
-  private def concurrently[A](f: => A): scala.concurrent.Future[A] =
-    scala.concurrent.Future(f)(scala.concurrent.ExecutionContext.global)
+  private lazy val buildEc = scala.concurrent.ExecutionContext
+    .fromExecutorService(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-pq-build")
+        t.setDaemon(true)
+        t
+      }))
 
-  private def awaitBuild[A](f: scala.concurrent.Future[A]): A =
-    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+  /** An index-build collect submitted as a concurrent Spark job (the
+    * driver supports concurrent actions) — used to overlap the
+    * independent query-set and codebook/centroid collects during plan
+    * construction: each is a tiny result but a full round of job
+    * latency. The body runs with the SUBMITTING thread's scheduling
+    * properties (job group, description, pool — pooled threads would
+    * otherwise carry whatever the thread-creation context had, so a
+    * caller's `cancelJobGroup` would miss this job or kill an
+    * unrelated one) plus a unique job tag so [[cancel]] can reach it;
+    * wrap the main-thread build in [[withBuild]] so a failure there
+    * cancels rather than orphans the background job. [[await]]
+    * memoizes, and rethrows the body's failure if it was the side
+    * that broke.
+    */
+  private final class BuildCollect[A](sc: org.apache.spark.SparkContext,
+      body: => A) {
+    private val tag = "graft-pq-build-" + java.util.UUID.randomUUID()
+    private val inherited = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+      .map(k => k -> sc.getLocalProperty(k))
+    private val fut = scala.concurrent.Future {
+      scala.concurrent.blocking {
+        inherited.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+        sc.addJobTag(tag)
+        try body
+        finally {
+          sc.removeJobTag(tag)
+          inherited.foreach { case (k, _) => sc.setLocalProperty(k, null) }
+        }
+      }
+    }(buildEc)
+    def await(): A =
+      scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration.Inf)
+    /** Best-effort: kills the tagged job if it is running; a body
+      * queued behind the cancel simply runs to an unobserved result.
+      */
+    def cancel(): Unit = sc.cancelJobsWithTag(tag)
+  }
+
+  private def buildCollect[A](df: DataFrame)(body: => A): BuildCollect[A] =
+    new BuildCollect[A](df.sparkSession.sparkContext, body)
+
+  /** Run the main-thread side of an overlapped build; if it throws
+    * before the background collect is awaited, cancel that job instead
+    * of leaving it running unobserved.
+    */
+  private def withBuild[A, B](b: BuildCollect[A])(main: => B): B =
+    try main
+    catch { case t: Throwable => b.cancel(); throw t }
 
   /** Chunk size for the literal ADC dispatch: both dispatch shapes
     * are LINEAR in |Q| per candidate row (pqTopK's exploded literal
@@ -382,9 +436,9 @@ object Pq {
     val cp = Similarity.prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
     if (numCentroids <= Similarity.MaxLiteralCentroids) {
-      val qrowsF = concurrently(Similarity.collectVecRows(
+      val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
         Similarity.prepared(queries, embCol, idCol), idCol))
-      ivfPqLiteral(cp, qrowsF, k, numCentroids, nprobe, m, ksub, idCol,
+      ivfPqLiteral(cp, qrowsB, k, numCentroids, nprobe, m, ksub, idCol,
         chunkSize)
     } else {
       // over-limit centroid table: the joined index-build shape
@@ -413,19 +467,21 @@ object Pq {
     * LocalRelation — no assignment join, no agg shuffle. Shared by
     * [[ivfPqTopK]] and [[ivfPqRerankTopK]] (the latter reuses its
     * `qrows` for the refine side too). The two collects are
-    * independent jobs, so the caller passes the query collect as a
-    * Future and both run concurrently — one round of job latency.
+    * independent jobs, so the caller passes the query collect as an
+    * in-flight [[BuildCollect]] and both run concurrently — one round
+    * of job latency.
     */
   private def ivfPqLiteral(cp: DataFrame,
-      qrowsF: scala.concurrent.Future[Array[Similarity.VecRow]],
+      qrowsB: BuildCollect[Array[Similarity.VecRow]],
       k: Int, numCentroids: Int, nprobe: Int, m: Int, ksub: Int,
       idCol: String, chunkSize: Int = MaxLiteralQueries): DataFrame = {
-    val low = Similarity.collectVecRows(
-      cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
-    val cents = low.take(numCentroids)
-      .map(r => Similarity.CentRow(r.id, r.v, r.n2))
-    val cb = codebookFromVecs(low.take(ksub).map(_.v).toSeq, m)
-    val qrows = awaitBuild(qrowsF)
+    val (cents, cb) = withBuild(qrowsB) {
+      val low = Similarity.collectVecRows(
+        cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
+      (low.take(numCentroids).map(r => Similarity.CentRow(r.id, r.v, r.n2)),
+        codebookFromVecs(low.take(ksub).map(_.v).toSeq, m))
+    }
+    val qrows = qrowsB.await()
     val dt = driverDistTables(qrows, cb)
     val spark = cp.sparkSession
     import spark.implicits._
@@ -506,11 +562,11 @@ object Pq {
     // joined nomination with a scanned qp
     val (cand, qp) =
       if (numCentroids <= Similarity.MaxLiteralCentroids) {
-        val qrowsF = concurrently(Similarity.collectVecRows(
+        val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
           Similarity.prepared(queries, embCol, idCol), idCol))
-        val nominate = ivfPqLiteral(cp, qrowsF, rerank, numCentroids, nprobe,
+        val nominate = ivfPqLiteral(cp, qrowsB, rerank, numCentroids, nprobe,
           m, ksub, idCol, chunkSize)
-        val qrows = awaitBuild(qrowsF)
+        val qrows = qrowsB.await()
         (nominate.select(col("query_id"), col(idCol)),
           qrows.toSeq.map(q => (q.id, q.v.toSeq, q.n2))
             .toDF("query_id", "qv", "qn2"))
