@@ -359,6 +359,43 @@ class SimilaritySuite extends SparkSuite {
     }
   }
 
+  test("pq: concurrent builds from separate threads match serial results") {
+    // the index-build collects overlap on a shared daemon pool; two
+    // whole builds driven concurrently must neither interfere nor
+    // deadlock (multi-threaded drivers are the documented regime)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val c1 = pqCorpus(100, 32, seed = 23)
+    val c2 = pqCorpus(80, 32, seed = 29)
+    val serial1 = graft.operators.Pq.pqTopK(c1, c1.filter($"vec_id" < 3), k = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val serial2 = graft.operators.Pq.ivfPqTopK(c2, c2.filter($"vec_id" < 3),
+      k = 4, numCentroids = 8, nprobe = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCaches.release()
+    val f1 = Future(graft.operators.Pq.pqTopK(c1, c1.filter($"vec_id" < 3), k = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    val f2 = Future(graft.operators.Pq.ivfPqTopK(c2, c2.filter($"vec_id" < 3),
+      k = 4, numCentroids = 8, nprobe = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    assert(Await.result(f1, 120.seconds) == serial1)
+    assert(Await.result(f2, 120.seconds) == serial2)
+  }
+
+  test("pq: a failing main-thread build surfaces its own error promptly") {
+    // empty corpus -> the codebook build throws on the main thread
+    // while the query-set collect is in flight; the call must rethrow
+    // the codebook error (cancelling the background job), not hang or
+    // swallow it
+    val q = pqCorpus(10, 32, seed = 31)
+    val empty = q.filter($"vec_id" < 0)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Pq.pqTopK(empty, q, k = 3)
+    }
+    assert(err.getMessage.contains("empty corpus"))
+  }
+
   test("pq: full-probe rerank with corpus-wide candidates equals brute force exactly") {
     val c = pqCorpus(90, 32, seed = 17)
     val q = c.filter($"vec_id" < 3)
