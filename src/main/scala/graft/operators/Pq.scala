@@ -187,10 +187,19 @@ object Pq {
         if (cands.size == 1) cands.head else least(cands: _*)
       }.reduce(_ + _).as(s"__d$i")
     }
+    // decimal aggregate: a plain sum(long) wraps SILENTLY past ~2^63
+    // total distortion (reachable around 10^8-10^9 rows of
+    // wide-component embeddings — inside this module's target scale)
+    // and would invert the codebook comparison with no error; the
+    // decimal sum is exact and order-free, and longValueExact turns a
+    // genuinely out-of-range total into a loud failure instead
     val r = prep.select(dCols: _*)
-      .agg(sum(col("__d0")), cbs.indices.tail.map(i => sum(col(s"__d$i"))): _*)
+      .agg(sum(col("__d0").cast("decimal(38,0)")),
+        cbs.indices.tail.map(i => sum(col(s"__d$i").cast("decimal(38,0)"))): _*)
       .head()
-    cbs.indices.map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+    cbs.indices.map(i =>
+      if (r.isNullAt(i)) 0L
+      else r.getDecimal(i).toBigInteger.longValueExact())
   }
 
   /** ADC distance table for every query row: (query_id, s, j, d) with
@@ -308,7 +317,8 @@ object Pq {
       body: => A) {
     private val tag = "graft-pq-build-" + java.util.UUID.randomUUID()
     private val inherited = Seq("spark.jobGroup.id", "spark.job.description",
-      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+      "spark.job.interruptOnCancel", "spark.scheduler.pool",
+      "spark.job.tags")
       .map(k => k -> sc.getLocalProperty(k))
     private val fut = scala.concurrent.Future {
       scala.concurrent.blocking {

@@ -20,7 +20,7 @@ import graft.operators.{Pq, Similarity}
   */
 class AnnRecallFloorSuite extends SparkSuite {
 
-  private val dir = "/root/testdata/sf0.01"
+  private val dir = sf("sf0.01")
   private lazy val e = spark.read.parquet(s"$dir/embeddings.parquet")
   private lazy val queries = e.filter(col("vec_id") < 32)
 
