@@ -285,71 +285,11 @@ object Pq {
     tab.indices.map(s =>
       element_at(lit(tab(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
 
-  /** Dedicated daemon pool for overlapped index-build collects: the
-    * bodies BLOCK on Spark jobs, which would starve
-    * `ExecutionContext.global`'s shared fork-join workers under
-    * concurrent builds; a cached pool of named daemon threads grows
-    * with in-flight builds and idles away after.
-    */
-  private lazy val buildEc = scala.concurrent.ExecutionContext
-    .fromExecutorService(java.util.concurrent.Executors.newCachedThreadPool(
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-pq-build")
-        t.setDaemon(true)
-        t
-      }))
-
-  /** An index-build collect submitted as a concurrent Spark job (the
-    * driver supports concurrent actions) — used to overlap the
-    * independent query-set and codebook/centroid collects during plan
-    * construction: each is a tiny result but a full round of job
-    * latency. The body runs with the SUBMITTING thread's scheduling
-    * properties (job group, description, pool — pooled threads would
-    * otherwise carry whatever the thread-creation context had, so a
-    * caller's `cancelJobGroup` would miss this job or kill an
-    * unrelated one) plus a unique job tag so [[cancel]] can reach it;
-    * wrap the main-thread build in [[withBuild]] so a failure there
-    * cancels rather than orphans the background job. [[await]]
-    * memoizes, and rethrows the body's failure if it was the side
-    * that broke.
-    */
-  private final class BuildCollect[A](sc: org.apache.spark.SparkContext,
-      body: => A) {
-    private val tag = "graft-pq-build-" + java.util.UUID.randomUUID()
-    private val inherited = Seq("spark.jobGroup.id", "spark.job.description",
-      "spark.job.interruptOnCancel", "spark.scheduler.pool",
-      "spark.job.tags")
-      .map(k => k -> sc.getLocalProperty(k))
-    private val fut = scala.concurrent.Future {
-      scala.concurrent.blocking {
-        inherited.foreach { case (k, v) => sc.setLocalProperty(k, v) }
-        sc.addJobTag(tag)
-        try body
-        finally {
-          sc.removeJobTag(tag)
-          inherited.foreach { case (k, _) => sc.setLocalProperty(k, null) }
-        }
-      }
-    }(buildEc)
-    def await(): A =
-      scala.concurrent.Await.result(fut,
-        scala.concurrent.duration.Duration.Inf)
-    /** Best-effort: kills the tagged job if it is running; a body
-      * queued behind the cancel simply runs to an unobserved result.
-      */
-    def cancel(): Unit = sc.cancelJobsWithTag(tag)
-  }
-
-  private def buildCollect[A](df: DataFrame)(body: => A): BuildCollect[A] =
-    new BuildCollect[A](df.sparkSession.sparkContext, body)
-
-  /** Run the main-thread side of an overlapped build; if it throws
-    * before the background collect is awaited, cancel that job instead
-    * of leaving it running unobserved.
-    */
+  private type BuildCollect[A] = graft.core.Builds.BuildCollect[A]
+  private def buildCollect[A](df: DataFrame)(body: => A) =
+    graft.core.Builds.buildCollect(df)(body)
   private def withBuild[A, B](b: BuildCollect[A])(main: => B): B =
-    try main
-    catch { case t: Throwable => b.cancel(); throw t }
+    graft.core.Builds.withBuild(b)(main)
 
   /** Chunk size for the literal ADC dispatch: both dispatch shapes
     * are LINEAR in |Q| per candidate row (pqTopK's exploded literal

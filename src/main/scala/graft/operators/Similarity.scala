@@ -396,20 +396,31 @@ object Similarity {
     // literal-centroid regime: the query side is broadcast-small BY
     // CONTRACT, so collect it once and compute the probe list in
     // driver scala ([[driverNearestCells]] — bit-identical ordering);
-    // the probes then broadcast as a LocalRelation, no extra job
+    // the probes then broadcast as a LocalRelation, no extra job.
+    // The query collect and the centroid collect are independent
+    // driver jobs — overlap them (graft.core.Builds) so the build
+    // pays one round of job latency; over-limit centroid tables
+    // cancel the in-flight query collect and fall back to the
+    // distributed query-side plan.
+    val qrowsB =
+      if (superCells > 0) None
+      else Some(graft.core.Builds.buildCollect(queries)(
+        collectVecRows(prepared(queries, embCol, idCol), idCol)))
     val centsOpt =
-      if (superCells > 0) None else collectCentroidRows(cent)
+      if (superCells > 0) None
+      else graft.core.Builds.withBuild(qrowsB.get)(collectCentroidRows(cent))
     val (assign, probes) = centsOpt match {
       case Some(cents) =>
         val spark = corpus.sparkSession
         import spark.implicits._
-        val qrows = collectVecRows(prepared(queries, embCol, idCol), idCol)
+        val qrows = qrowsB.get.await()
         val probeRows = qrows.toSeq.flatMap(q =>
           driverNearestCells(q, cents, nprobe)
             .map(c => (q.id, q.v.toSeq, q.n2, c)))
         (nearestCentroidsFromRows(cp, cents, 1, idCol),
           probeRows.toDF("query_id", "qv", "qn2", "cent_id"))
       case None =>
+        qrowsB.foreach(_.cancel())
         (assignTo(cp, 1),
           assignTo(prepared(queries, embCol, idCol), nprobe)
             .select(col(idCol).as("query_id"), col("v").as("qv"),
