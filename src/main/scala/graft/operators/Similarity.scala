@@ -167,7 +167,7 @@ object Similarity {
     * the sample stays on oracle-checked paths, the fit is the quality
     * path for clustered corpora (comparison in SCALING.md).
     */
-  private[operators] def centroidSample(cp: DataFrame, numCentroids: Int,
+  private[graft] def centroidSample(cp: DataFrame, numCentroids: Int,
       idCol: String): DataFrame =
     cp.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
@@ -184,7 +184,7 @@ object Similarity {
   private[operators] val MaxLiteralCentroids = 256
 
   /** A collected centroid row: (cent_id, quantized vector, norm2). */
-  private[operators] final case class CentRow(id: Long, cv: Array[Long], cn2: Long)
+  private[graft] final case class CentRow(id: Long, cv: Array[Long], cn2: Long)
 
   /** The centroid table collected for literal compilation, or None if
     * it exceeds `max` rows (the collect probes max + 1 rows, so an
@@ -212,9 +212,10 @@ object Similarity {
     * land deterministically in the lowest-id probed cell on BOTH the
     * literal and the heap path, at any partitioning.
     */
-  private[operators] def litNearestCells(cents: Array[CentRow], take: Int): Column = {
+  private[operators] def litNearestCells(cents: Array[CentRow], take: Int,
+      v: Column = col("v"), n2: Column = col("n2")): Column = {
     val entries = cents.map { c =>
-      struct((-assignCos(dotQ(col("v"), lit(c.cv)), col("n2"), lit(c.cn2))).as("nc"),
+      struct((-assignCos(dotQ(v, lit(c.cv)), n2, lit(c.cn2))).as("nc"),
         lit(c.id).as("cid"))
     }.toSeq
     if (take == 1) array(least(entries: _*).getField("cid"))
@@ -322,29 +323,67 @@ object Similarity {
     * measured in SCALING.md via [[graft.examples.AnnRecall]]).
     * Same (idCol, v, n2, cent_id) output contract as
     * [[nearestCentroids]], so it swaps into both IVF operators.
+    *
+    * The coarse level compiles to literals whenever the super table
+    * fits [[MaxLiteralCentroids]] (it does by design — S ~ 2 sqrt(C)
+    * stays under 256 up to C ~ 16k): both the per-vector super
+    * ranking and the per-centroid super assignment become map-side
+    * codegen'd projections, so the only exchanges left are the fine
+    * assignment's — the joined coarse step would otherwise shuffle
+    * every vector WITH ITS PAYLOAD through a bounded-top-k
+    * aggregation, the exact n-row vector-bytes exchange this path
+    * exists to avoid. The heap and literal forms rank identically
+    * (pinned by the suite), so the fallback above the literal limit
+    * changes cost only.
     */
   def nearestCentroidsTwoLevel(p: DataFrame, cent: DataFrame, take: Int,
-      idCol: String, numSuper: Int, superProbes: Int = 2): DataFrame = {
+      idCol: String, numSuper: Int, superProbes: Int = 2): DataFrame =
+    nearestCentroidsTwoLevelShared(p, cent, take, idCol, numSuper,
+      superProbes, collectSuperRows(cent, numSuper))
+
+  /** The super-centroid table collected for literal coarse
+    * compilation (or None past the literal limit) — exposed so
+    * [[ivfTopK]] can collect ONCE and share it between the corpus and
+    * query assignments.
+    */
+  private[graft] def collectSuperRows(cent: DataFrame,
+      numSuper: Int): Option[Array[CentRow]] =
+    collectCentroidRows(cent.orderBy(col("cent_id")).limit(numSuper))
+
+  private[graft] def nearestCentroidsTwoLevelShared(p: DataFrame,
+      cent: DataFrame, take: Int, idCol: String, numSuper: Int,
+      superProbes: Int, supRowsOpt: Option[Array[CentRow]]): DataFrame = {
     val sup = cent.orderBy(col("cent_id")).limit(numSuper)
       .select(col("cent_id").as("sup_id"), col("cv").as("sv"),
         col("cn2").as("sn2"))
-    // centroid -> its one super-cell (C x S dots, index-build only)
-    val centInSup = cent.join(broadcast(sup))
-      .select(col("cent_id"), col("cv"), col("cn2"),
-        col("sup_id"),
-        assignCos(dotQ(col("cv"), col("sv")), col("cn2"), col("sn2")).as("scos"))
-      .groupBy(col("cent_id"), col("cv"), col("cn2"))
-      .agg(graft.functions.TopKFunctions.top_k(col("scos"), col("sup_id"), 1).as("top"))
-      .select(col("cent_id"), col("cv"), col("cn2"),
-        explode(col("top").getField("id")).as("sup_id"))
-    // vector -> its superProbes nearest super-cells (n x S dots)
-    val vecSup = p.join(broadcast(sup))
-      .select(col(idCol), col("v"), col("n2"), col("sup_id"),
-        assignCos(dotQ(col("v"), col("sv")), col("n2"), col("sn2")).as("scos"))
-      .groupBy(col(idCol), col("v"), col("n2"))
-      .agg(graft.functions.TopKFunctions.top_k(col("scos"), col("sup_id"), superProbes).as("top"))
-      .select(col(idCol), col("v"), col("n2"),
-        explode(col("top").getField("id")).as("sup_id"))
+    val (centInSup, vecSup) = supRowsOpt match {
+      case Some(supRows) =>
+        // literal coarse level: one map-side projection each — no
+        // broadcast build, no vector-payload shuffle
+        (cent.select(col("cent_id"), col("cv"), col("cn2"),
+          element_at(litNearestCells(supRows, 1, col("cv"), col("cn2")), 1)
+            .as("sup_id")),
+          p.select(col(idCol), col("v"), col("n2"),
+            explode(litNearestCells(supRows, superProbes)).as("sup_id")))
+      case None =>
+        // centroid -> its one super-cell (C x S dots, index-build only)
+        (cent.join(broadcast(sup))
+          .select(col("cent_id"), col("cv"), col("cn2"),
+            col("sup_id"),
+            assignCos(dotQ(col("cv"), col("sv")), col("cn2"), col("sn2")).as("scos"))
+          .groupBy(col("cent_id"), col("cv"), col("cn2"))
+          .agg(graft.functions.TopKFunctions.top_k(col("scos"), col("sup_id"), 1).as("top"))
+          .select(col("cent_id"), col("cv"), col("cn2"),
+            explode(col("top").getField("id")).as("sup_id")),
+          // vector -> its superProbes nearest super-cells (n x S dots)
+          p.join(broadcast(sup))
+            .select(col(idCol), col("v"), col("n2"), col("sup_id"),
+              assignCos(dotQ(col("v"), col("sv")), col("n2"), col("sn2")).as("scos"))
+            .groupBy(col(idCol), col("v"), col("n2"))
+            .agg(graft.functions.TopKFunctions.top_k(col("scos"), col("sup_id"), superProbes).as("top"))
+            .select(col(idCol), col("v"), col("n2"),
+              explode(col("top").getField("id")).as("sup_id")))
+    }
     // vector scores only its probed super-cells' centroids; a centroid
     // lives in exactly one super-cell, so candidates are distinct
     vecSup.join(broadcast(centInSup), Seq("sup_id"))
@@ -386,12 +425,17 @@ object Similarity {
       centroidSample(cp, c, idCol)
     }
     // superCells > 0: coarse-then-fine assignment (~2 sqrt(C) dots per
-    // vector instead of C) — the very-large-C path. The fallback uses
-    // the joined shape DIRECTLY (the literal probe already decided
-    // the table is over-limit — no per-call re-probe).
+    // vector instead of C) — the very-large-C path; the super table
+    // collects ONCE and is shared by the corpus and query
+    // assignments. The fallback uses the joined shape DIRECTLY (the
+    // literal probe already decided the table is over-limit — no
+    // per-call re-probe).
+    lazy val supRowsOpt =
+      if (superCells > 0) collectSuperRows(cent, superCells) else None
     def assignTo(df: DataFrame, take: Int): DataFrame =
       if (superCells > 0)
-        nearestCentroidsTwoLevel(df, cent, take, idCol, superCells, superProbes)
+        nearestCentroidsTwoLevelShared(df, cent, take, idCol, superCells,
+          superProbes, supRowsOpt)
       else nearestCentroidsJoined(df, cent, take, idCol)
     // literal-centroid regime: the query side is broadcast-small BY
     // CONTRACT, so collect it once and compute the probe list in

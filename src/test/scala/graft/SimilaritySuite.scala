@@ -359,6 +359,28 @@ class SimilaritySuite extends SparkSuite {
     }
   }
 
+  test("two-level assignment: literal coarse level equals the joined form exactly") {
+    // the coarse level compiles to literals when the super table fits
+    // the literal limit; forcing the joined fallback (supRowsOpt =
+    // None) must produce identical (id, cent_id) assignments — the
+    // heap and literal rankings are the same ordering contract
+    val c = pqCorpus(120, 32, seed = 37)
+    val prep = Similarity.prepared(c, "embedding", "vec_id")
+    val cent = Similarity.centroidSample(prep, 16, "vec_id")
+    val sup = Similarity.collectSuperRows(cent, 4)
+    assert(sup.isDefined)
+    def pairs(rows: Option[Array[Similarity.CentRow]]) =
+      Similarity.nearestCentroidsTwoLevelShared(prep, cent, 2, "vec_id",
+        numSuper = 4, superProbes = 2, rows)
+        .select("vec_id", "cent_id").orderBy("vec_id", "cent_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lit = pairs(sup)
+    graft.core.OpCaches.release()
+    val joined = pairs(None)
+    assert(lit == joined)
+    assert(lit.nonEmpty)
+  }
+
   test("pq: concurrent builds from separate threads match serial results") {
     // the index-build collects overlap on a shared daemon pool; two
     // whole builds driven concurrently must neither interfere nor
