@@ -328,13 +328,15 @@ object Similarity {
     * fits [[MaxLiteralCentroids]] (it does by design — S ~ 2 sqrt(C)
     * stays under 256 up to C ~ 16k): both the per-vector super
     * ranking and the per-centroid super assignment become map-side
-    * codegen'd projections, so the only exchanges left are the fine
-    * assignment's — the joined coarse step would otherwise shuffle
-    * every vector WITH ITS PAYLOAD through a bounded-top-k
-    * aggregation, the exact n-row vector-bytes exchange this path
-    * exists to avoid. The heap and literal forms rank identically
-    * (pinned by the suite), so the fallback above the literal limit
-    * changes cost only.
+    * codegen'd projections. Payload-exchange count is UNCHANGED at
+    * one either way (in the joined form the fine aggregation reuses
+    * the coarse aggregation's (id, v, n2) partitioning — PlanSuite
+    * pins this); what the literal form removes is the n x S
+    * intermediate row expansion of the coarse
+    * BroadcastNestedLoopJoin and the two heap-aggregation passes
+    * over it, per assigned frame. The heap and literal forms rank
+    * identically (pinned by the suite), so the fallback above the
+    * literal limit changes cost only.
     */
   def nearestCentroidsTwoLevel(p: DataFrame, cent: DataFrame, take: Int,
       idCol: String, numSuper: Int, superProbes: Int = 2): DataFrame =

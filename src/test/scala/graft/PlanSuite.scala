@@ -186,6 +186,37 @@ class PlanSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("two-level assignment: one vector-payload exchange in both coarse forms") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val prep = graft.operators.Similarity.prepared(e, "embedding", "vec_id")
+    val cent = graft.operators.Similarity.centroidSample(prep, 16, "vec_id")
+    val sup = graft.operators.Similarity.collectSuperRows(cent, 4)
+    val lit = graft.operators.Similarity.nearestCentroidsTwoLevelShared(
+      prep, cent, 1, "vec_id", numSuper = 4, superProbes = 2, sup)
+    val pLit = lit.queryExecution.executedPlan.toString
+    // literal coarse level: a map-side projection; the one exchange
+    // is the fine assignment's bounded top-k aggregation, and the
+    // coarse n x S BroadcastNestedLoopJoin expansion is gone
+    val litShuffles = "Exchange hashpartitioning".r.findAllIn(pLit).size
+    assert(litShuffles == 1,
+      s"expected 1 shuffle in literal form, got $litShuffles:\n${pLit.take(4000)}")
+    assert(!pLit.contains("BroadcastNestedLoopJoin"), pLit.take(4000))
+    // joined fallback: ALSO one payload exchange — the fine
+    // aggregation reuses the coarse aggregation's (id, v, n2)
+    // partitioning; the literal form's saving is the coarse heap-agg
+    // passes and row expansion, not a shuffle. Pin both counts so a
+    // future change that breaks the partitioning reuse fails loudly.
+    val joined = graft.operators.Similarity.nearestCentroidsTwoLevelShared(
+      prep, cent, 1, "vec_id", numSuper = 4, superProbes = 2, None)
+    val pJoined = joined.queryExecution.executedPlan.toString
+    val joinedShuffles = "Exchange hashpartitioning".r.findAllIn(pJoined).size
+    assert(joinedShuffles == 1,
+      s"joined fallback lost its partitioning reuse: $joinedShuffles shuffles:\n${pJoined.take(4000)}")
+    assert(pJoined.contains("BroadcastNestedLoopJoin"), pJoined.take(4000))
+    spark.catalog.clearCache()
+  }
+
   test("bm25 document frequencies come from an aggregate, not a per-term window") {
     // the per-term window routed every (doc, term) row of one term to
     // a single task — a corpus-scale partition for a stopword-like
