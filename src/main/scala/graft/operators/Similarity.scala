@@ -218,7 +218,13 @@ object Similarity {
       struct((-assignCos(dotQ(v, lit(c.cv)), n2, lit(c.cn2))).as("nc"),
         lit(c.id).as("cid"))
     }.toSeq
-    if (take == 1) array(least(entries: _*).getField("cid"))
+    // degenerate tables the joined shape handles naturally: an empty
+    // centroid table assigns nothing (empty probe array -> explode
+    // yields no rows), and a 1-row table needs no comparator at all
+    // (catalyst's least() rejects fewer than 2 children)
+    if (entries.isEmpty) array().cast("array<bigint>")
+    else if (entries.size == 1) array(lit(cents.head.id))
+    else if (take == 1) array(least(entries: _*).getField("cid"))
     else transform(slice(array_sort(array(entries: _*)), 1, take),
       e => e.getField("cid"))
   }
@@ -287,7 +293,7 @@ object Similarity {
     * ~n^1.5 x sqrt(targetCell) total — already scale-safe. For very
     * large C, [[nearestCentroidsTwoLevel]] cuts it to ~n x sqrt(C).
     */
-  private[operators] def nearestCentroids(p: DataFrame, cent: DataFrame, take: Int,
+  private[graft] def nearestCentroids(p: DataFrame, cent: DataFrame, take: Int,
       idCol: String): DataFrame = collectCentroidRows(cent) match {
     case Some(cents) => nearestCentroidsFromRows(p, cents, take, idCol)
     case None => nearestCentroidsJoined(p, cent, take, idCol)
@@ -355,7 +361,7 @@ object Similarity {
   private[graft] def nearestCentroidsTwoLevelShared(p: DataFrame,
       cent: DataFrame, take: Int, idCol: String, numSuper: Int,
       superProbes: Int, supRowsOpt: Option[Array[CentRow]]): DataFrame = {
-    val sup = cent.orderBy(col("cent_id")).limit(numSuper)
+    def sup = cent.orderBy(col("cent_id")).limit(numSuper)
       .select(col("cent_id").as("sup_id"), col("cv").as("sv"),
         col("cn2").as("sn2"))
     val (centInSup, vecSup) = supRowsOpt match {

@@ -381,6 +381,36 @@ class SimilaritySuite extends SparkSuite {
     assert(lit.nonEmpty)
   }
 
+  test("assignment handles degenerate centroid tables (1 row, 0 rows)") {
+    // catalyst's least() rejects single-child calls, so the literal
+    // argmin needs explicit 1-row and empty-table branches — the
+    // joined shape handles both naturally and the forms must agree
+    val c = pqCorpus(10, 32, seed = 41)
+    val prep = Similarity.prepared(c, "embedding", "vec_id")
+    val one = Similarity.centroidSample(prep, 1, "vec_id")
+    val litOne = Similarity.nearestCentroids(prep, one, 1, "vec_id")
+      .select("vec_id", "cent_id").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(litOne.size == 10 && litOne.forall(_._2 == litOne.head._2))
+    graft.core.OpCaches.release()
+    // two-level with a single super-cell routes everything through it
+    val cent = Similarity.centroidSample(prep, 8, "vec_id")
+    val tl = Similarity.nearestCentroidsTwoLevel(prep, cent, 1, "vec_id",
+      numSuper = 1, superProbes = 1)
+      .select("vec_id", "cent_id").orderBy("vec_id", "cent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val flat = Similarity.nearestCentroids(prep, cent, 1, "vec_id")
+      .select("vec_id", "cent_id").orderBy("vec_id", "cent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // one super probed by everything = full centroid visibility
+    assert(tl == flat)
+    graft.core.OpCaches.release()
+    // empty centroid table: no assignments, not an analysis error
+    val none = Similarity.centroidSample(prep.filter($"vec_id" < 0), 4,
+      "vec_id")
+    assert(Similarity.nearestCentroids(prep, none, 1, "vec_id").count() == 0)
+  }
+
   test("pq: concurrent builds from separate threads match serial results") {
     // the index-build collects overlap on a shared daemon pool; two
     // whole builds driven concurrently must neither interfere nor
