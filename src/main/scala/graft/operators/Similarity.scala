@@ -178,10 +178,31 @@ object Similarity {
     * projection — no broadcast build, no bounded-agg shuffle, no
     * per-vector heap. Past it (the sqrt-law count outgrows codegen's
     * per-method budget) assignment falls back to the broadcast-join +
-    * bounded-top-k shape. 256 keeps the generated comparator well
-    * under the 64 KB method limit at dim 64.
+    * bounded-top-k shape. This row cap bounds what the driver
+    * collects; whether a collected table actually compiles well is
+    * the DOT budget below ([[literalEligible]]) — expression size
+    * grows as C x dim, not C.
     */
   private[operators] val MaxLiteralCentroids = 256
+
+  /** Literal-compilation budget in total literal dot terms (C x dim).
+    * Measured at dim 64 (examples/TwoLevelProbe, sf0.1, 5-rep
+    * medians): the literal argmin beats the joined heap through
+    * C = 96 (0.33 vs 0.40 s), breaks even around C = 128 (0.47 vs
+    * 0.41) and LOSES past it — at C = 179 the take=1 least() chain
+    * costs 1.26 s vs 0.78 s joined, with 3x run-to-run variance from
+    * the generated-code size. 8192 = 128 x 64 puts the switch at the
+    * measured breakeven and scales it to other dimensions.
+    */
+  private[operators] val LiteralDotBudget = 8192
+
+  /** A collected table compiles to literals only when its total dot
+    * terms fit [[LiteralDotBudget]] — otherwise the joined shape is
+    * both faster and far lower-variance (outputs are pinned
+    * identical either way, so the gate changes cost only).
+    */
+  private[operators] def literalEligible(cents: Array[CentRow]): Boolean =
+    cents.isEmpty || cents.length.toLong * cents.head.cv.length <= LiteralDotBudget
 
   /** A collected centroid row: (cent_id, quantized vector, norm2). */
   private[graft] final case class CentRow(id: Long, cv: Array[Long], cn2: Long)
@@ -232,7 +253,7 @@ object Similarity {
   /** [[nearestCentroids]] against pre-collected literal centroids:
     * one map-side projection, no join, no shuffle.
     */
-  private[operators] def nearestCentroidsFromRows(p: DataFrame,
+  private[graft] def nearestCentroidsFromRows(p: DataFrame,
       cents: Array[CentRow], take: Int, idCol: String): DataFrame =
     p.select(col(idCol), col("v"), col("n2"),
       explode(litNearestCells(cents, take)).as("cent_id"))
@@ -295,15 +316,16 @@ object Similarity {
     */
   private[graft] def nearestCentroids(p: DataFrame, cent: DataFrame, take: Int,
       idCol: String): DataFrame = collectCentroidRows(cent) match {
-    case Some(cents) => nearestCentroidsFromRows(p, cents, take, idCol)
-    case None => nearestCentroidsJoined(p, cent, take, idCol)
+    case Some(cents) if literalEligible(cents) =>
+      nearestCentroidsFromRows(p, cents, take, idCol)
+    case _ => nearestCentroidsJoined(p, cent, take, idCol)
   }
 
   /** The broadcast-join + bounded-heap assignment shape — called
     * directly by callers that already know the centroid table is
     * over the literal limit (saves re-probing it per call).
     */
-  private[operators] def nearestCentroidsJoined(p: DataFrame, cent: DataFrame,
+  private[graft] def nearestCentroidsJoined(p: DataFrame, cent: DataFrame,
       take: Int, idCol: String): DataFrame =
     p.join(broadcast(cent))
       .select(col(idCol), col("v"), col("n2"), col("cent_id"),
@@ -357,6 +379,7 @@ object Similarity {
   private[graft] def collectSuperRows(cent: DataFrame,
       numSuper: Int): Option[Array[CentRow]] =
     collectCentroidRows(cent.orderBy(col("cent_id")).limit(numSuper))
+      .filter(literalEligible)
 
   private[graft] def nearestCentroidsTwoLevelShared(p: DataFrame,
       cent: DataFrame, take: Int, idCol: String, numSuper: Int,
@@ -460,7 +483,8 @@ object Similarity {
         collectVecRows(prepared(queries, embCol, idCol), idCol)))
     val centsOpt =
       if (superCells > 0) None
-      else graft.core.Builds.withBuild(qrowsB.get)(collectCentroidRows(cent))
+      else graft.core.Builds.withBuild(qrowsB.get)(
+        collectCentroidRows(cent).filter(literalEligible))
     val (assign, probes) = centsOpt match {
       case Some(cents) =>
         val spark = corpus.sparkSession
