@@ -375,6 +375,14 @@ object Pq {
     * probe cells are distinct, so a (query, doc) candidate appears at
     * most once and ADC sums stay exact. With nprobe = numCentroids the
     * result equals [[pqTopK]] exactly (unit-pinned).
+    *
+    * Knob note: the literal branch fuses a numCentroids-entry literal
+    * argmin into the encode projection, whose generated-code cost
+    * grows as numCentroids x dim — keep that product at or under
+    * ~8192 (Similarity's measured LiteralDotBudget; e.g. C <= 128 at
+    * dim 64). The branch cannot pre-check it because dim is unknown
+    * until the codebook collect; past the 256-row cap the joined
+    * index-build shape runs instead.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
