@@ -53,7 +53,9 @@ object TwoLevelProbe {
 
     for (cc <- Seq(32, 64, 96, 128, c); take <- Seq(1, 4)) {
       val ct = Similarity.centroidSample(prep, cc, "vec_id")
-      val rows = Similarity.collectSuperRows(ct, cc)
+      // ungated collect: the probe MEASURES the over-budget literal
+      // form (the gated paths would refuse to build it)
+      val rows = Similarity.collectCentroidRows(ct, cc)
       time(s"C=$cc take=$take literal")(
         Similarity.nearestCentroidsFromRows(prep, rows.get, take, "vec_id"))
       time(s"C=$cc take=$take joined")(

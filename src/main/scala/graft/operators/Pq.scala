@@ -378,11 +378,10 @@ object Pq {
     *
     * Knob note: the literal branch fuses a numCentroids-entry literal
     * argmin into the encode projection, whose generated-code cost
-    * grows as numCentroids x dim — keep that product at or under
-    * ~8192 (Similarity's measured LiteralDotBudget; e.g. C <= 128 at
-    * dim 64). The branch cannot pre-check it because dim is unknown
-    * until the codebook collect; past the 256-row cap the joined
-    * index-build shape runs instead.
+    * grows as numCentroids x dim. The index build checks Similarity's
+    * measured LiteralDotBudget once dim is known (post-collect) and
+    * assigns cells with the joined heap past it; past the 256-row cap
+    * the fully joined index-build shape runs instead.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
@@ -446,8 +445,24 @@ object Pq {
     val probes = qrows.toSeq.flatMap(q =>
       Similarity.driverNearestCells(q, cents, nprobe).map(c => (q.id, c)))
       .toDF("__pq", "cent_id")
-    val codes = encode(cp, cb, idCol, cellCol =
-      Some(element_at(Similarity.litNearestCells(cents, 1), 1)))
+    // the fused literal cell argmin obeys the same C x dim dot budget
+    // as Similarity's assignments (dim is only known post-collect, so
+    // the gate lives here, not at the numCentroids branch): past it
+    // the joined heap assigns cells — one extra cp pass and join, but
+    // no over-budget generated code. Probes stay driver-computed
+    // either way (driver arithmetic has no codegen cliff), and both
+    // assignment forms are pinned to rank identically.
+    val codes =
+      if (Similarity.literalEligible(cents))
+        encode(cp, cb, idCol, cellCol =
+          Some(element_at(Similarity.litNearestCells(cents, 1), 1)))
+      else {
+        val centDf = cents.toSeq.map(c => (c.id, c.cv.toSeq, c.cn2))
+          .toDF("cent_id", "cv", "cn2")
+        encode(cp, cb, idCol).join(
+          Similarity.nearestCentroidsJoined(cp, centDf, 1, idCol)
+            .select(col(idCol), col("cent_id")), Seq(idCol))
+      }
     adcScan(codes, probes, dt, k, idCol, chunkSize)
   }
 

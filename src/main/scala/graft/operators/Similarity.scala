@@ -201,7 +201,7 @@ object Similarity {
     * both faster and far lower-variance (outputs are pinned
     * identical either way, so the gate changes cost only).
     */
-  private[operators] def literalEligible(cents: Array[CentRow]): Boolean =
+  private[graft] def literalEligible(cents: Array[CentRow]): Boolean =
     cents.isEmpty || cents.length.toLong * cents.head.cv.length <= LiteralDotBudget
 
   /** A collected centroid row: (cent_id, quantized vector, norm2). */
@@ -211,7 +211,7 @@ object Similarity {
     * it exceeds `max` rows (the collect probes max + 1 rows, so an
     * over-limit table never materializes on the driver).
     */
-  private[operators] def collectCentroidRows(cent: DataFrame,
+  private[graft] def collectCentroidRows(cent: DataFrame,
       max: Int = MaxLiteralCentroids): Option[Array[CentRow]] = {
     val rows = cent
       .select(col("cent_id").cast("long"), col("cv"), col("cn2").cast("long"))
@@ -353,8 +353,8 @@ object Similarity {
     * [[nearestCentroids]], so it swaps into both IVF operators.
     *
     * The coarse level compiles to literals whenever the super table
-    * fits [[MaxLiteralCentroids]] (it does by design — S ~ 2 sqrt(C)
-    * stays under 256 up to C ~ 16k): both the per-vector super
+    * fits the [[LiteralDotBudget]] (S ~ 2 sqrt(C) stays under the
+    * dim-64 budget of 128 rows up to C ~ 4k): both the per-vector super
     * ranking and the per-centroid super assignment become map-side
     * codegen'd projections. Payload-exchange count is UNCHANGED at
     * one either way (in the joined form the fine aggregation reuses
@@ -372,9 +372,11 @@ object Similarity {
       superProbes, collectSuperRows(cent, numSuper))
 
   /** The super-centroid table collected for literal coarse
-    * compilation (or None past the literal limit) — exposed so
-    * [[ivfTopK]] can collect ONCE and share it between the corpus and
-    * query assignments.
+    * compilation — exposed so [[ivfTopK]] can collect ONCE and share
+    * it between the corpus and query assignments. None means EITHER
+    * over the row cap or over the [[LiteralDotBudget]] — callers must
+    * treat it as "use the joined coarse shape", never as a size
+    * statement.
     */
   private[graft] def collectSuperRows(cent: DataFrame,
       numSuper: Int): Option[Array[CentRow]] =

@@ -217,6 +217,28 @@ class PlanSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("literal assignment routes on the C x dim dot budget") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val prep = graft.operators.Similarity.prepared(e, "embedding", "vec_id")
+    // dim 64: C=64 (4096 terms) fits the 8192 budget -> literal
+    // projection, no join in the assignment subtree
+    val under = graft.operators.Similarity.nearestCentroids(prep,
+      graft.operators.Similarity.centroidSample(prep, 64, "vec_id"),
+      1, "vec_id")
+    val pUnder = under.queryExecution.executedPlan.toString
+    assert(!pUnder.contains("Join"), pUnder.take(4000))
+    // C=160 (10240 terms) exceeds it -> joined heap, never the
+    // over-budget generated argmin (the pin that keeps the measured
+    // win from silently reverting)
+    val over = graft.operators.Similarity.nearestCentroids(prep,
+      graft.operators.Similarity.centroidSample(prep, 160, "vec_id"),
+      1, "vec_id")
+    val pOver = over.queryExecution.executedPlan.toString
+    assert(pOver.contains("Join"), pOver.take(4000))
+    spark.catalog.clearCache()
+  }
+
   test("bm25 document frequencies come from an aggregate, not a per-term window") {
     // the per-term window routed every (doc, term) row of one term to
     // a single task — a corpus-scale partition for a stopword-like

@@ -393,6 +393,12 @@ class SimilaritySuite extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(litOne.size == 10 && litOne.forall(_._2 == litOne.head._2))
     graft.core.OpCaches.release()
+    // joined form on the same 1-row table must agree exactly
+    val joinedOne = Similarity.nearestCentroidsJoined(prep, one, 1, "vec_id")
+      .select("vec_id", "cent_id").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(joinedOne == litOne)
+    graft.core.OpCaches.release()
     // two-level with a single super-cell routes everything through it
     val cent = Similarity.centroidSample(prep, 8, "vec_id")
     val tl = Similarity.nearestCentroidsTwoLevel(prep, cent, 1, "vec_id",
@@ -405,10 +411,13 @@ class SimilaritySuite extends SparkSuite {
     // one super probed by everything = full centroid visibility
     assert(tl == flat)
     graft.core.OpCaches.release()
-    // empty centroid table: no assignments, not an analysis error
+    // empty centroid table: no assignments, not an analysis error —
+    // on both forms
     val none = Similarity.centroidSample(prep.filter($"vec_id" < 0), 4,
       "vec_id")
     assert(Similarity.nearestCentroids(prep, none, 1, "vec_id").count() == 0)
+    assert(Similarity.nearestCentroidsJoined(prep, none, 1, "vec_id")
+      .count() == 0)
   }
 
   test("pq: concurrent builds from separate threads match serial results") {
@@ -446,6 +455,22 @@ class SimilaritySuite extends SparkSuite {
       graft.operators.Pq.pqTopK(empty, q, k = 3)
     }
     assert(err.getMessage.contains("empty corpus"))
+  }
+
+  test("pq: over-budget cell assignment (joined heap) equals the plain scan") {
+    // dim 64 x C=160 = 10240 dot terms exceeds the literal budget, so
+    // the index build assigns cells via the joined heap — with full
+    // probing the result must still equal the cell-free PQ scan
+    val c = pqCorpus(200, 64, seed = 43)
+    val q = c.filter($"vec_id" < 3)
+    val full = graft.operators.Pq.pqTopK(c, q, k = 5, m = 4, ksub = 16)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCaches.release()
+    val ivfpq = graft.operators.Pq.ivfPqTopK(c, q, k = 5,
+      numCentroids = 160, nprobe = 160, m = 4, ksub = 16)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ivfpq == full)
+    graft.core.OpCaches.release()
   }
 
   test("pq: full-probe rerank with corpus-wide candidates equals brute force exactly") {
