@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through verbatim instead of re-logging
+// each line with an "[info] " prefix: the bench/verify harness parses
+// a machine-readable JSON line out of stdout, and "[info] {...}" is
+// not JSON (every recorded BENCH_r*.json shows parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,6 +21,16 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** 1-minute loadavg, so the recorded artifact carries a host-load
+    * fingerprint: rounds 8-10 recorded 25-35% uniform inflation on
+    * untouched code whenever ambient load rose, and a bare total
+    * cannot distinguish that from a regression.
+    */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,6 +80,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val loadPre = loadAvg()
     val results = selected.map { case (name, fn) =>
       var failed = false
       val times = (1 to reps).map { _ =>
@@ -141,12 +152,14 @@ object Bench {
         f""","ratios":$rs,"over_2x":${ratios.count(_._2 > 2.0)}""" +
           f""","floor":$floor%.3f,"over_2x_adj":${adjRatios.count(_._2 > 2.0)}"""
       }
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$detailQs$ratioJson,"sf":"$sfDir"}"""
+    val loadPost = loadAvg()
+    val loadJson = f""","reps":$reps,"load_pre":$loadPre%.2f,"load_post":$loadPost%.2f"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$detailQs$ratioJson$loadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
