@@ -324,6 +324,61 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** [[ngramJaccardPairs]] in POSTING-LIST form: one tokenize pass
+    * feeds a per-shingle posting list (`groupBy(s).agg(sort_array(
+    * collect_list(id)))`), pairs are emitted by expanding each list's
+    * i<j combinations in codegen, and the intersection count is one
+    * shuffle keyed by the bare pair. Output-identical to
+    * [[ngramJaccardPairs]] (suite-pinned).
+    *
+    * Trade vs the self-join form: each (shingle, id) row ships across
+    * the wire ONCE (the self-join form shuffles the exploded stream
+    * for the df window and probes it twice more from cache), and
+    * nothing is sorted wider than one posting list — the shape you
+    * want when the exploded stream dwarfs memory. The cost is
+    * `collect_list`'s ObjectHashAggregate, which falls back to
+    * sort-based aggregation past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128) distinct keys per task — at high distinct-shingle
+    * cardinality the two forms measure within noise of each other
+    * locally (see SCALING.md's interleaved A/B), so the self-join
+    * form with its cache-reused partitioning stays the registered
+    * default and this one is the documented scale alternative.
+    */
+  def ngramJaccardPairsPostings(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, minJaccard: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("s"))
+    // shingles are distinct per doc, so size(ids) == doc freq; the
+    // sort makes every emitted pair (id_a < id_b)-ordered for free
+    val posts0 = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val posts = maxDocFreq.fold(posts0)(cap =>
+        posts0.filter(size(col("ids")) <= cap))
+      .select(col("ids"))
+      // consumed twice (pair expansion + per-doc counts); one row per
+      // DISTINCT shingle — far smaller than the exploded stream
+      .transform(graft.core.OpCaches.persistTracked)
+    val counts = posts.select(explode(col("ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val pairCombos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val inter = posts.select(explode(pairCombos).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // counts is one row per doc — small here but corpus-sized at
+    // scale, so no broadcast hint: AQE picks broadcast when it fits
+    inter
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signatures, candidates
     * blocked on 16-bit sub-bands (signatures within Hamming distance
     * k < 4 must agree on at least one of 4 bands), verified by exact

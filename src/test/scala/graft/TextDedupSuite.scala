@@ -200,6 +200,31 @@ class TextDedupSuite extends SparkSuite {
     assert(got.head.getDouble(2) == 0.5)
   }
 
+  test("ngramJaccardPairsPostings is output-identical to ngramJaccardPairs") {
+    // seeded corpus with planted near-dups, exercised with and
+    // without the df cap — the posting-list form must emit exactly
+    // the same (id_a, id_b, jaccard) rows as the self-join form
+    val rnd = new scala.util.Random(29)
+    val vocab = Array.tabulate(80)(i => s"w$i")
+    def doc(): String =
+      Seq.fill(25)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = Seq.tabulate(120)(i => (i.toLong, doc()))
+    val planted = (0 until 20).map { j =>
+      val toks = bases(rnd.nextInt(bases.length))._2.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      (500L + j, toks.mkString(" "))
+    }
+    val docs = (bases ++ planted).toDF("doc_id", "text")
+    for (cap <- Seq(None, Some(4))) {
+      val a = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3, maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val b = Dedup.ngramJaccardPairsPostings(docs, minJaccard = 0.3, maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(a.nonEmpty, "fixture produced no pairs — test is vacuous")
+      assert(a.sameElements(b), s"cap=$cap: ${a.take(3).toSeq} vs ${b.take(3).toSeq}")
+    }
+  }
+
   test("simHashPairs: identical docs at hamming 0") {
     val docs = textDf(0L -> "alpha beta gamma delta", 1L -> "alpha beta gamma delta",
       2L -> "entirely unrelated content here now")
