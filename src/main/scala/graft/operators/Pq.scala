@@ -192,14 +192,33 @@ object Pq {
     // wide-component embeddings — inside this module's target scale)
     // and would invert the codebook comparison with no error; the
     // decimal sum is exact and order-free, and longValueExact turns a
-    // genuinely out-of-range total into a loud failure instead
-    val r = prep.select(dCols: _*)
+    // genuinely out-of-range total into a loud failure instead.
+    // count + dim ride the same aggregate row (no extra job): count
+    // distinguishes an empty corpus (NULL sum, legitimately 0) from a
+    // non-ANSI decimal-overflow NULL, and dim catches a codebook whose
+    // m x sub doesn't match the corpus (slicing past the end yields
+    // short arrays and a plausible-but-meaningless distortion).
+    val r = prep.select(dCols :+ size(col("v")).as("__dim"): _*)
       .agg(sum(col("__d0").cast("decimal(38,0)")),
-        cbs.indices.tail.map(i => sum(col(s"__d$i").cast("decimal(38,0)"))): _*)
+        cbs.indices.tail.map(i => sum(col(s"__d$i").cast("decimal(38,0)"))) ++
+          Seq(count(lit(1)).as("__n"), max(col("__dim")).as("__maxdim")): _*)
       .head()
-    cbs.indices.map(i =>
-      if (r.isNullAt(i)) 0L
-      else r.getDecimal(i).toBigInteger.longValueExact())
+    val n = r.getLong(cbs.size)
+    if (n > 0) {
+      val dim = r.getInt(cbs.size + 1)
+      cbs.zipWithIndex.foreach { case (cb, i) =>
+        val cbDim = cb.length * cb(0)(0).length
+        require(cbDim == dim,
+          s"codebook $i covers $cbDim dims (m=${cb.length} x sub=${cb(0)(0).length}) but the corpus has $dim")
+      }
+    }
+    cbs.indices.map { i =>
+      if (r.isNullAt(i)) {
+        require(n == 0,
+          s"distortion sum $i is NULL over $n rows — decimal overflow?")
+        0L
+      } else r.getDecimal(i).toBigInteger.longValueExact()
+    }
   }
 
   /** ADC distance table for every query row: (query_id, s, j, d) with

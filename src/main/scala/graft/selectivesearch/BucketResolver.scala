@@ -26,11 +26,6 @@ object BucketResolver {
     ensureHasColumns(selection, Seq("query", "shard", "bucket", "rank"))
     val spark = selection.sparkSession
     import spark.implicits._
-    // scalar max to driver (reference :161): shard-count defines the
-    // per-query state array; selection frames are (queries x shards x
-    // buckets)-sized, so this agg is cheap.
-    val numShards =
-      selection.agg(max(col("shard"))).first().getAs[Number](0).intValue() + 1
     val ds = selection.select(
       col("query").cast("long").as("query"),
       col("shard").cast("int").as("shard"),
@@ -41,6 +36,12 @@ object BucketResolver {
       // pandas sorts by rank with a stable sort (input order breaks
       // ties); (shard, bucket) is the deterministic stand-in.
       val sorted = rows.toArray.sortBy { case (_, shard, bucket, rank) => (rank, shard, bucket) }
+      // The reference sizes per-query state from a GLOBAL max(shard)
+      // (reference :161); a shard the group never mentions has
+      // taken == 0 and emits nothing, so the group's own max is
+      // output-identical — and saves a full extra scan plus a driver
+      // round-trip for the scalar agg (it was the frame's second pass).
+      val numShards = sorted.iterator.map(_._2).max + 1
       val taken = new Array[Int](numShards)
       var total = 0
       var i = 0
