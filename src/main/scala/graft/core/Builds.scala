@@ -29,32 +29,32 @@ private[graft] object Builds {
       }))
 
   /** An index-build collect submitted as a concurrent Spark job. The
-    * body runs with the SUBMITTING thread's scheduling properties
-    * (job group, description, pool, tags — pooled threads would
-    * otherwise carry whatever the thread-creation context had, so a
-    * caller's `cancelJobGroup`/`cancelJobsWithTag` would miss this
-    * job or kill an unrelated one) plus a unique job tag so
-    * [[cancel]] can reach it; wrap the main-thread build in
-    * [[withBuild]] so a failure there cancels rather than orphans the
-    * background job. [[await]] memoizes, and rethrows the body's
-    * failure if it was the side that broke.
+    * body runs with a clone of the SUBMITTING thread's ENTIRE
+    * local-property map (job group, pool, tags, execution id, any
+    * caller-set keys): cached-pool threads inherit the map of
+    * whatever thread happened to create them and keep later
+    * mutations across reuse, so anything short of a wholesale
+    * replace can mis-attribute or mis-schedule the background job —
+    * a caller's `cancelJobGroup`/`cancelJobsWithTag` would miss it
+    * or kill an unrelated one. A unique job tag is added on top so
+    * [[cancel]] can reach this job alone; the map is reset to empty
+    * after, leaving the pooled thread clean for the next build. Wrap
+    * the main-thread build in [[withBuild]] so a failure there
+    * cancels rather than orphans the background job. [[await]]
+    * memoizes, and rethrows the body's failure if it was the side
+    * that broke.
     */
   private[graft] final class BuildCollect[A](sc: org.apache.spark.SparkContext,
       body: => A) {
     private val tag = "graft-build-collect-" + java.util.UUID.randomUUID()
-    private val inherited = Seq("spark.jobGroup.id", "spark.job.description",
-      "spark.job.interruptOnCancel", "spark.scheduler.pool",
-      "spark.job.tags")
-      .map(k => k -> sc.getLocalProperty(k))
+    private val inherited = org.apache.spark.graft.ContextBridge
+      .cloneLocalProperties(sc)
     private val fut = scala.concurrent.Future {
       scala.concurrent.blocking {
-        inherited.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+        org.apache.spark.graft.ContextBridge.installLocalProperties(sc, inherited)
         sc.addJobTag(tag)
         try body
-        finally {
-          sc.removeJobTag(tag)
-          inherited.foreach { case (k, _) => sc.setLocalProperty(k, null) }
-        }
+        finally org.apache.spark.graft.ContextBridge.clearLocalProperties(sc)
       }
     }(buildEc)
     def await(): A =
