@@ -63,6 +63,18 @@ object Bench {
       // deployment keeps the 100/partition default for balance.
       .config("spark.sql.execution.rangeExchange.sampleSizePerPartition",
         sys.env.getOrElse("SPARK_GRAFT_RANGESAMPLE", "20"))
+      // collect_list posting builds (ngram_jaccard_pairs) fall back
+      // to sort-based aggregation past this many distinct keys per
+      // task; the default 128 forces the fallback on every shingle
+      // aggregation (interleaved A/B: 1.72 s default vs 1.30 s
+      // raised, vs 1.61 s for the self-join form — SCALING.md round
+      // 11). Safe to raise here: every posting group is df-capped at
+      // <= 5 ids, and the other ObjectHashAggregate users
+      // (percentiles, sketches, k-means centroid assembly) have few
+      // groups. Deployments with unbounded per-task group counts
+      // keep the conservative default.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJHASH", "1048576"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -428,9 +428,12 @@ object SparkEntry {
     // shingles contribute df^2 join rows, the precise 100 TB blowup,
     // so the registered query demonstrates the defense on (at sf0.01
     // the cap prunes ~178 hot-shingle instances; the oracle mirrors
-    // it with a df <= 5 semi-join).
+    // it with a df <= 5 semi-join). POSTING-LIST form (round 11):
+    // each (shingle, id) row ships once and pairs expand in codegen —
+    // suite-pinned output-identical to the self-join form, 1.30 vs
+    // 1.61 s in the interleaved A/B (SCALING.md round 11).
     "ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), minJaccard = 0.5,
+      Dedup.ngramJaccardPairsPostings(Tables.documents(s, dir), minJaccard = 0.5,
         maxDocFreq = Some(5))
         .orderBy("id_a", "id_b")),
 
@@ -672,10 +675,15 @@ object SparkEntry {
     // MINIMIZES, so it is the claim a fit must defend (top-5 recall
     // on 8 near-uniform queries is noise by comparison: measured
     // sample 14/40 vs fitted 6/40 hits at sf0.01, both inside the
-    // documented worst case). Both codebooks and the integer
-    // distortion sum are deterministic, so the boolean is
-    // hash-stable against the trivially-true oracle — the audit row
-    // for the rows-only ann_pq_fitted_topk.
+    // documented worst case). The bound is an INVARIANT of
+    // construction, not of this data/seed: kmeansCodebook returns
+    // best-of(fit, sample) per subspace by exact distortion (k-means||
+    // init is not seeded from the sample, so Lloyd alone would only
+    // beat its own init), so a testdata or seed refresh cannot flip
+    // this row. Both codebooks and the integer distortion sum are
+    // deterministic, so the boolean is hash-stable against the
+    // trivially-true oracle — the audit row for the rows-only
+    // ann_pq_fitted_topk.
     "ann_pq_fitted_bounds" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val sampleCb = graft.operators.Pq.codebook(e, m = 4, ksub = 16)
@@ -702,6 +710,46 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.ivfPqRerankTopK(e, e.filter(col("vec_id") < 8), 5,
         numCentroids = 64, nprobe = 8, rerank = 50)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The build half of the build-once/query-many pair: encode the
+    // corpus into the persistent IVF+PQ index (m codes + one cell id
+    // per vector), FORCE-written to the on-disk IndexStore each call
+    // so this row always records the honest build cost. The frame is
+    // the exploded (scalar-typed) index itself, so the oracle replays
+    // the encode+assign relationally.
+    "ann_ivfpq_build" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.storedIvfPqIndex(e, s"$dir/embeddings.parquet",
+        numCentroids = 64, m = 4, ksub = 16, force = true)
+        .select(col("vec_id"), col("cent_id"),
+          posexplode(col("codes")).as(Seq("subspace", "code")))
+        .select(col("vec_id"), col("subspace"), col("code"), col("cent_id"))
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // ...and the query halves: identical semantics (and oracle) to
+    // ann_ivfpq_topk / ann_ivfpq_rerank, but served from the stored
+    // index — the per-call work is the tiny builds plus the
+    // probed-cell scan over index bytes; the corpus-wide encode runs
+    // ZERO times per query. At 100 TB this is the only shape that
+    // exists: ann_ivfpq_topk/rerank document build+query cost in one
+    // number, these two record steady-state serving. (Their DuckDB
+    // oracle still re-derives the codes relationally — it has no
+    // store — so the bench ratio for these rows compares Spark
+    // serving against a DuckDB build+serve; SCALING.md states this.)
+    "ann_ivfpq_prebuilt_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.ivfPqTopKPrebuilt(e, s"$dir/embeddings.parquet",
+        e.filter(col("vec_id") < 8), 5, numCentroids = 64, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_ivfpq_prebuilt_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.ivfPqRerankTopKPrebuilt(e, s"$dir/embeddings.parquet",
+        e.filter(col("vec_id") < 8), 5, numCentroids = 64, nprobe = 8,
+        rerank = 50)
         .orderBy("query_id", "rank")
     }),
 
@@ -1234,6 +1282,49 @@ object SparkEntry {
     // 50 candidates per query, then ONLY those rows take the exact
     // quantized cosine, re-ranked (cos DESC, vec_id) to the final 5
     "ann_ivfpq_rerank" ->
+      s"""WITH $QuantCte,
+         |${centCte("64")},
+         |$PqCtes,
+         |$IvfPqAdcCtes,
+         |cand2 AS (SELECT query_id, vec_id FROM rk WHERE r <= 50),
+         |ex AS (SELECT c2.query_id, c2.vec_id,
+         |         ${cosSql("q.v", "d.v", "q.n2", "d.n2")} AS cosine
+         |       FROM cand2 c2
+         |       JOIN qn d ON d.vec_id = c2.vec_id
+         |       JOIN qn q ON q.vec_id = c2.query_id),
+         |rk2 AS (SELECT query_id, vec_id, cosine,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r2
+         |        FROM ex)
+         |SELECT query_id, CAST(r2 AS INT) AS rank, vec_id, cosine
+         |FROM rk2 WHERE r2 <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the index itself, relationally: per-vector subspace codes from
+    // the sample codebook + the single-cell IVF assignment (exactly
+    // the enc/assign CTEs the IVF+PQ oracle already replays)
+    "ann_ivfpq_build" ->
+      s"""WITH $QuantCte,
+         |${centCte("64")},
+         |$PqCtes,
+         |$IvfPqAdcCtes
+         |SELECT e.vec_id, CAST(e.s AS INT) AS subspace,
+         |       CAST(e.code AS INT) AS code, a.cent_id
+         |FROM enc e JOIN assign a USING (vec_id)
+         |ORDER BY vec_id, subspace""".stripMargin,
+
+    // the prebuilt query halves are output-identical to the inline
+    // forms (codes are a deterministic function of the corpus), so
+    // their oracles are the same SQL — DuckDB has no store, so it
+    // re-derives the codes; the bench ratio for these rows therefore
+    // compares Spark steady-state serving to DuckDB build+serve
+    "ann_ivfpq_prebuilt_topk" ->
+      s"""WITH $QuantCte,
+         |${centCte("64")},
+         |$PqCtes,
+         |$IvfPqAdcCtes
+         |SELECT query_id, CAST(r AS INT) AS rank, vec_id, pq_dist
+         |FROM rk WHERE r <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivfpq_prebuilt_rerank" ->
       s"""WITH $QuantCte,
          |${centCte("64")},
          |$PqCtes,

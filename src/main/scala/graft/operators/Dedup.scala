@@ -339,11 +339,16 @@ object Dedup {
     * `collect_list`'s ObjectHashAggregate, which falls back to
     * sort-based aggregation past
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
-    * (default 128) distinct keys per task — at high distinct-shingle
-    * cardinality the two forms measure within noise of each other
-    * locally (see SCALING.md's interleaved A/B), so the self-join
-    * form with its cache-reused partitioning stays the registered
-    * default and this one is the documented scale alternative.
+    * (default 128) distinct keys per task. The round-11 interleaved
+    * A/B (SCALING.md) splits that cleanly: at the default threshold
+    * the fallback sort makes this form LOSE to the self-join (1.72 vs
+    * 1.61 s median), with the threshold above the per-task
+    * distinct-shingle count it WINS (1.30 s) — so this is the
+    * registered form, the bench session raises the threshold
+    * (df-capped posting lists are <= cap ids each, so the hash map
+    * stays small per group), and the self-join form remains the
+    * documented alternative for deployments that cannot afford the
+    * per-task group map.
     */
   def ngramJaccardPairsPostings(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, minJaccard: Double = 0.5,

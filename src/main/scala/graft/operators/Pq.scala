@@ -58,6 +58,16 @@ object Pq {
     * SQL-oracle replay (registered queries keep the sample codebook
     * the oracle can rebuild). Entry order is cent_id-ascending:
     * deterministic at any parallelism.
+    *
+    * Each subspace returns the BETTER of the k-means fit and the
+    * sample codebook's entries by exact total distortion (ties
+    * prefer the fit). k-means|| init is not seeded from the sample,
+    * so Lloyd iterations only guarantee improvement over their own
+    * init — without this guard, "fitted beats sample" would be an
+    * empirical property of a particular data/seed pair; with it, the
+    * bound the `ann_pq_fitted_bounds` audit row pins is an invariant
+    * of construction. A fit should never ship worse than the trivial
+    * baseline anyway.
     */
   def kmeansCodebook(corpus: DataFrame, m: Int, ksub: Int,
       embCol: String = "embedding", idCol: String = "vec_id",
@@ -66,9 +76,10 @@ object Pq {
       .transform(graft.core.OpCaches.persistTracked)
     // size-gated driver fit (KMeans.driverKmeans, the bit-for-bit
     // mirror of the distributed loop): ONE collect serves all m
-    // subspace fits — sub-slices and sub-norms are driver arithmetic.
-    // Over the gate (or a non-bigint id), each subspace runs the
-    // distributed loop on its sliced projection as before.
+    // subspace fits — sub-slices, sub-norms, and the best-of
+    // distortion compare are driver arithmetic. Over the gate (or a
+    // non-bigint id), each subspace runs the distributed loop on its
+    // sliced projection and the compare is one extra corpus pass.
     val gate = KMeans.DefaultDriverMaxFitVectors
     val probe =
       if (prep.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
@@ -85,19 +96,52 @@ object Pq {
           val sv = v.slice(s * sub, s * sub + sub)
           (id, sv, sv.map(x => x * x).sum)
         }
-        KMeans.driverKmeans(subRows, ksub, seed + s,
+        val fitted = KMeans.driverKmeans(subRows, ksub, seed + s,
           rounds = 5, factor = 2, iters = 5).toArray
+        val sample = rows.take(ksub)
+          .map(_._2.slice(s * sub, s * sub + sub))
+        def distortion(entries: Array[Array[Long]]): Long =
+          subRows.foldLeft(0L) { case (acc, (_, sv, _)) =>
+            Math.addExact(acc, entries.iterator.map { e =>
+              var d = 0L; var i = 0
+              while (i < sv.length) {
+                val t = sv(i) - e(i); d += t * t; i += 1
+              }
+              d
+            }.min)
+          }
+        if (distortion(fitted) <= distortion(sample)) fitted else sample
       }.toArray
     } else {
       val dim = prep.select(size(col("v"))).head().getInt(0)
       require(dim % m == 0, s"m=$m must divide dim=$dim")
       val sub = dim / m
-      (0 until m).map { s =>
+      val sample = codebookFromPrep(prep, m, ksub, idCol)
+      val fitted = (0 until m).map { s =>
         val sp = prep.select(col(idCol), slice(col("v"), s * sub + 1, sub).as("v"))
           .withColumn("n2", Similarity.norm2Q(col("v")))
         KMeans.kmeansCentroids(sp, ksub, idCol, seed = seed + s)
           .orderBy(col("cent_id"))
           .select(col("cv")).collect().map(_.getSeq[Long](0).toArray)
+      }.toArray
+      // per-subspace distortions of BOTH codebooks in ONE corpus
+      // pass (the codebookDistortions shape, kept per-subspace so the
+      // best-of can mix)
+      val dCols = (0 until m).flatMap { s =>
+        Seq(nearestDistCol(fitted(s), s, sub).cast("decimal(38,0)").as(s"__f$s"),
+          nearestDistCol(sample(s), s, sub).cast("decimal(38,0)").as(s"__p$s"))
+      }
+      val r = prep.select(dCols: _*)
+        .agg(sum(col("__f0")), (0 until m).flatMap(s =>
+          (if (s == 0) Nil else Seq(sum(col(s"__f$s")))) :+
+            sum(col(s"__p$s"))): _*)
+        .head()
+      (0 until m).map { s =>
+        val dFit = r.getDecimal(2 * s)
+        val dSample = r.getDecimal(2 * s + 1)
+        require(dFit != null && dSample != null,
+          s"subspace $s distortion sum is NULL — decimal overflow?")
+        if (dFit.compareTo(dSample) <= 0) fitted(s) else sample(s)
       }.toArray
     }
   }
@@ -119,6 +163,21 @@ object Pq {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     Array.tabulate(m, rows.length)((s, j) => rows(j).slice(s * sub, s * sub + sub))
+  }
+
+  /** Exact integer L2 distance from this row's subspace-`s` slice of
+    * `v` to its nearest entry — the per-row distortion term, shared
+    * by [[codebookDistortions]] and [[kmeansCodebook]]'s best-of.
+    */
+  private def nearestDistCol(entries: Array[Array[Long]], s: Int,
+      sub: Int): Column = {
+    val vs = slice(col("v"), s * sub + 1, sub)
+    val vn2 = Similarity.dotQ(vs, vs)
+    val cands = entries.toSeq.map { e =>
+      val en2 = e.map(x => x * x).sum
+      vn2 + lit(en2) - lit(2L) * Similarity.dotQ(vs, lit(e))
+    }
+    if (cands.size == 1) cands.head else least(cands: _*)
   }
 
   /** (idCol, codes) — `codes(s)` = index of the nearest codebook entry
@@ -176,16 +235,8 @@ object Pq {
     val dCols = cbs.zipWithIndex.map { case (cb, i) =>
       val m = cb.length
       val sub = cb(0)(0).length
-      (0 until m).map { s =>
-        val vs = slice(col("v"), s * sub + 1, sub)
-        val vn2 = Similarity.dotQ(vs, vs)
-        val cands = cb(s).indices.map { j =>
-          val e = cb(s)(j)
-          val en2 = e.map(x => x * x).sum
-          vn2 + lit(en2) - lit(2L) * Similarity.dotQ(vs, lit(e))
-        }
-        if (cands.size == 1) cands.head else least(cands: _*)
-      }.reduce(_ + _).as(s"__d$i")
+      (0 until m).map(s => nearestDistCol(cb(s), s, sub))
+        .reduce(_ + _).as(s"__d$i")
     }
     // decimal aggregate: a plain sum(long) wraps SILENTLY past ~2^63
     // total distortion (reachable around 10^8-10^9 rows of
@@ -570,12 +621,19 @@ object Pq {
             .select(col(idCol).as("query_id"), col("v").as("qv"),
               col("n2").as("qn2")))
       }
-    // the nomination list is |Q| x rerank rows (query-set-bounded;
-    // the ADC dispatch chunks past MaxLiteralQueries but a broadcast
-    // this size assumes the production regime of queries ≪ corpus):
-    // BROADCAST it so the refine
-    // is a map-side semi-join over the cached corpus projection — no
-    // corpus-sized shuffle between nomination and rerank
+    rerankTail(cp, cand, qp, k, idCol)
+  }
+
+  /** The exact-refine tail shared by [[ivfPqRerankTopK]] and its
+    * prebuilt form: the nomination list is |Q| x rerank rows
+    * (query-set-bounded; the ADC dispatch chunks past
+    * MaxLiteralQueries but a broadcast this size assumes the
+    * production regime of queries ≪ corpus) — BROADCAST it so the
+    * refine is a map-side semi-join over the corpus projection, no
+    * corpus-sized shuffle between nomination and rerank.
+    */
+  private def rerankTail(cp: DataFrame, cand: DataFrame, qp: DataFrame,
+      k: Int, idCol: String): DataFrame = {
     val exact = cp
       .join(broadcast(cand), Seq(idCol))
       .join(broadcast(qp), Seq("query_id"))
@@ -590,5 +648,164 @@ object Pq {
         (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as(idCol),
         col("col.score").as("cosine"))
+  }
+
+  /** Build-once IVF+PQ index frame: one row per corpus vector —
+    * (idCol, codes, cent_id) — the artifact that persists at corpus
+    * scale (m bytes of code + one cell id per vector, ~100x smaller
+    * than the raw embeddings). Same centroid-sample/codebook
+    * conventions, dot-budget routing, and exact-integer argmin
+    * tiebreaks as [[ivfPqTopK]]'s inline build, so a scan over this
+    * frame is output-identical to the inline form (suite-pinned).
+    */
+  def ivfPqIndex(corpus: DataFrame, numCentroids: Int = 64, m: Int = 4,
+      ksub: Int = 16, embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val cp = Similarity.prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    if (numCentroids <= Similarity.MaxLiteralCentroids) {
+      val low = Similarity.collectVecRows(
+        cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
+      val cents = low.take(numCentroids)
+        .map(r => Similarity.CentRow(r.id, r.v, r.n2))
+      val cb = codebookFromVecs(low.take(ksub).map(_.v).toSeq, m)
+      if (Similarity.literalEligible(cents))
+        encode(cp, cb, idCol, cellCol =
+          Some(element_at(Similarity.litNearestCells(cents, 1), 1)))
+      else {
+        val spark = cp.sparkSession
+        import spark.implicits._
+        val centDf = cents.toSeq.map(c => (c.id, c.cv.toSeq, c.cn2))
+          .toDF("cent_id", "cv", "cn2")
+        encode(cp, cb, idCol).join(
+          Similarity.nearestCentroidsJoined(cp, centDf, 1, idCol)
+            .select(col(idCol), col("cent_id")), Seq(idCol))
+      }
+    } else {
+      val cent = Similarity.centroidSample(cp, numCentroids, idCol)
+      val cb = codebookFromPrep(cp, m, ksub, idCol)
+      encode(cp, cb, idCol).join(
+        Similarity.nearestCentroidsJoined(cp, cent, 1, idCol)
+          .select(col(idCol), col("cent_id")), Seq(idCol))
+    }
+  }
+
+  /** [[ivfPqIndex]] kept in the on-disk [[graft.core.IndexStore]],
+    * keyed by build parameters and the corpus parquet's metadata
+    * fingerprint: built and written on first use (or when the source
+    * changed, or when `force` — the honest-build-cost path), read
+    * back from the compact artifact otherwise.
+    */
+  def storedIvfPqIndex(corpus: DataFrame, corpusPath: String,
+      numCentroids: Int = 64, m: Int = 4, ksub: Int = 16,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      force: Boolean = false): DataFrame = {
+    val name = s"ivfpq-c$numCentroids-m$m-k$ksub-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      ivfPqIndex(corpus, numCentroids, m, ksub, embCol, idCol))
+  }
+
+  /** The ADC query phase against an already-built index frame
+    * ((idCol, codes, cent_id) — [[ivfPqIndex]] or a store read): the
+    * per-call work is the tiny builds only (query collect overlapped
+    * with the ksub/numCentroids corpus sample; ADC tables and probes
+    * in driver arithmetic) plus the probed-cell scan over index
+    * bytes. This is the build-once/query-many serving shape — the
+    * corpus-wide encode pass happens zero times per query.
+    */
+  def ivfPqTopKFromIndex(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val cp = Similarity.prepared(corpus, embCol, idCol)
+    if (numCentroids <= Similarity.MaxLiteralCentroids) {
+      val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
+        Similarity.prepared(queries, embCol, idCol), idCol))
+      fromIndexLiteral(index, cp, qrowsB, k, numCentroids, nprobe, m, ksub,
+        idCol, chunkSize)
+    } else {
+      val cent = Similarity.centroidSample(cp, numCentroids, idCol)
+      val cb = codebookFromPrep(cp, m, ksub, idCol)
+      val qprep = Similarity.prepared(queries, embCol, idCol)
+      val probes = Similarity.nearestCentroidsJoined(qprep, cent, nprobe, idCol)
+        .select(col(idCol).as("__pq"), col("cent_id"))
+      adcScan(index, probes, collectDistTables(qprep, cb, idCol), k, idCol,
+        chunkSize)
+    }
+  }
+
+  /** Literal-regime serving against a prebuilt index: mirrors
+    * [[ivfPqLiteral]] minus the encode — ONE cheap corpus TakeOrdered
+    * (centroids + codebook sample) overlapped with the caller's query
+    * collect, then driver-computed ADC tables/probes feed the probed
+    * scan over the index frame.
+    */
+  private def fromIndexLiteral(index: DataFrame, cp: DataFrame,
+      qrowsB: BuildCollect[Array[Similarity.VecRow]],
+      k: Int, numCentroids: Int, nprobe: Int, m: Int, ksub: Int,
+      idCol: String, chunkSize: Int): DataFrame = {
+    val (cents, cb) = withBuild(qrowsB) {
+      val low = Similarity.collectVecRows(
+        cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
+      (low.take(numCentroids).map(r => Similarity.CentRow(r.id, r.v, r.n2)),
+        codebookFromVecs(low.take(ksub).map(_.v).toSeq, m))
+    }
+    val qrows = qrowsB.await()
+    val dt = driverDistTables(qrows, cb)
+    val spark = cp.sparkSession
+    import spark.implicits._
+    val probes = qrows.toSeq.flatMap(q =>
+      Similarity.driverNearestCells(q, cents, nprobe).map(c => (q.id, c)))
+      .toDF("__pq", "cent_id")
+    adcScan(index, probes, dt, k, idCol, chunkSize)
+  }
+
+  /** [[ivfPqTopK]] served from the stored index — the registered
+    * build-once/query-many pair's query half. Output-identical to the
+    * inline form (codes are a deterministic function of the corpus).
+    */
+  def ivfPqTopKPrebuilt(corpus: DataFrame, corpusPath: String,
+      queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
+    val index = storedIvfPqIndex(corpus, corpusPath, numCentroids, m, ksub,
+      embCol, idCol)
+    ivfPqTopKFromIndex(index, corpus, queries, k, numCentroids, nprobe,
+      m, ksub, embCol, idCol, chunkSize)
+  }
+
+  /** [[ivfPqRerankTopK]] served from the stored index: nomination
+    * scans index bytes, the refine fetches raw vectors for the
+    * nominated |Q| x rerank rows only — at corpus scale the raw
+    * store is touched per-candidate, never per-vector.
+    */
+  def ivfPqRerankTopKPrebuilt(corpus: DataFrame, corpusPath: String,
+      queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
+      rerank: Int = 100,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(numCentroids <= Similarity.MaxLiteralCentroids,
+      s"prebuilt rerank serves the literal regime (numCentroids <= ${Similarity.MaxLiteralCentroids}); use ivfPqRerankTopK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val index = storedIvfPqIndex(corpus, corpusPath, numCentroids, m, ksub,
+      embCol, idCol)
+    val cp = Similarity.prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
+      Similarity.prepared(queries, embCol, idCol), idCol))
+    val nominate = fromIndexLiteral(index, cp, qrowsB, rerank, numCentroids,
+      nprobe, m, ksub, idCol, chunkSize)
+    val qp = qrowsB.await().toSeq.map(q => (q.id, q.v.toSeq, q.n2))
+      .toDF("query_id", "qv", "qn2")
+    rerankTail(cp, nominate.select(col("query_id"), col(idCol)), qp, k, idCol)
   }
 }

@@ -93,6 +93,24 @@ class AnnRecallFloorSuite extends SparkSuite {
     assert(r >= 0.9, f"clustered IVF+PQ rerank recall@5 regressed: $r%.3f < 0.9")
   }
 
+  test("registered two-level IVF config (C=64, s=8/2, nprobe=8) holds its measured floor") {
+    // the registered ann_ivf_twolevel knobs: coarse assignment ranks
+    // 8 super-centroids and scores only the 2 nearest super-cells'
+    // centroids, then an 8-of-64 probe. Until now the two-level path
+    // was only OUTPUT-pinned to the joined assignment — this is its
+    // quality floor (measured-margin, same convention as the IVF+PQ
+    // row above: 8/64 on near-uniform data is the documented steep
+    // part of the recall-vs-scan curve).
+    val r = recall(Similarity.ivfTopK(e, queries, 5,
+      numCentroids = 64, nprobe = 8, superCells = 8, superProbes = 2))
+    // 0.575 measured: between plain IVF nprobe=8 ADC-free scoring
+    // and the PQ-quantized 0.281 — the coarse restriction costs a
+    // little recall vs a flat 8-of-64 probe, the exact scoring wins
+    // most of it back
+    info(f"ivf_twolevel recall@5 = $r%.3f")
+    assert(r >= 0.45, f"two-level IVF recall@5 regressed: $r%.3f < 0.45")
+  }
+
   test("full-probe IVF and full-rerank IVF+PQ are exact (recall = 1.0)") {
     val rIvf = recall(Similarity.ivfTopK(e, queries, 5, numCentroids = 64, nprobe = 64))
     assert(rIvf == 1.0, f"full-probe IVF must be exact, got $rIvf%.3f")

@@ -304,6 +304,28 @@ class SimilaritySuite extends SparkSuite {
     }
   }
 
+  test("pq: fitted codebook distortion never exceeds the sample's (both fit paths)") {
+    // the ann_pq_fitted_bounds invariant: kmeansCodebook returns
+    // best-of(fit, sample) per subspace, so regardless of what the
+    // k-means|| init drew, total distortion is bounded by the sample
+    // codebook's — on the driver-gated path...
+    val c = pqCorpus(60, 32, seed = 47)
+    val sCb = graft.operators.Pq.codebook(c, m = 4, ksub = 8)
+    val fCb = graft.operators.Pq.kmeansCodebook(c, m = 4, ksub = 8)
+    graft.core.OpCaches.release()
+    val Seq(dS, dF) = graft.operators.Pq.codebookDistortions(c, Seq(sCb, fCb))
+    assert(dF <= dS)
+    // ...and on the distributed path (a non-bigint id skips the
+    // driver gate in both kmeansCodebook and kmeansCentroids)
+    val ci = c.withColumn("vec_id", $"vec_id".cast("int"))
+    val sCb2 = graft.operators.Pq.codebook(ci, m = 4, ksub = 8)
+    val fCb2 = graft.operators.Pq.kmeansCodebook(ci, m = 4, ksub = 8)
+    graft.core.OpCaches.release()
+    val Seq(dS2, dF2) = graft.operators.Pq.codebookDistortions(ci, Seq(sCb2, fCb2))
+    assert(dF2 <= dS2)
+    graft.core.OpCaches.release()
+  }
+
   test("pq: empty query set returns an empty frame on every dispatch path") {
     val c = pqCorpus(30, 32, seed = 5)
     val none = c.filter($"vec_id" < 0)
@@ -457,6 +479,79 @@ class SimilaritySuite extends SparkSuite {
     assert(err.getMessage.contains("empty corpus"))
   }
 
+  test("pq: prebuilt index serving equals the inline build, and a changed source rebuilds") {
+    import graft.operators.Pq
+    // a real parquet source so the store has a metadata fingerprint
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prebuilt").toFile
+    val src = new java.io.File(tmp, "corpus.parquet").getPath
+    pqCorpus(120, 32, seed = 53).write.mode("overwrite").parquet(src)
+    val corpus = spark.read.parquet(src)
+    val q = corpus.filter($"vec_id" < 4)
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val inline = rows(Pq.ivfPqTopK(corpus, q, 5, numCentroids = 16, nprobe = 4))
+    graft.core.OpCaches.release()
+    // first prebuilt call builds + stores; the second serves the store
+    val pre1 = rows(Pq.ivfPqTopKPrebuilt(corpus, src, q, 5,
+      numCentroids = 16, nprobe = 4))
+    graft.core.OpCaches.release()
+    val pre2 = rows(Pq.ivfPqTopKPrebuilt(corpus, src, q, 5,
+      numCentroids = 16, nprobe = 4))
+    assert(pre1 == inline && pre2 == inline)
+    graft.core.OpCaches.release()
+    // rerank parity through the same stored index
+    val inlineR = rows(Pq.ivfPqRerankTopK(corpus, q, 3,
+      numCentroids = 16, nprobe = 4, rerank = 20))
+    graft.core.OpCaches.release()
+    val preR = rows(Pq.ivfPqRerankTopKPrebuilt(corpus, src, q, 3,
+      numCentroids = 16, nprobe = 4, rerank = 20))
+    assert(preR == inlineR)
+    graft.core.OpCaches.release()
+    // a CHANGED source must invalidate the manifest and rebuild —
+    // stale codes served against the new corpus would differ
+    pqCorpus(120, 32, seed = 99).write.mode("overwrite").parquet(src)
+    val corpus2 = spark.read.parquet(src)
+    val q2 = corpus2.filter($"vec_id" < 4)
+    val inline2 = rows(Pq.ivfPqTopK(corpus2, q2, 5,
+      numCentroids = 16, nprobe = 4))
+    graft.core.OpCaches.release()
+    val pre3 = rows(Pq.ivfPqTopKPrebuilt(corpus2, src, q2, 5,
+      numCentroids = 16, nprobe = 4))
+    assert(pre3 == inline2)
+    graft.core.OpCaches.release()
+  }
+
+  test("pq: withBuild cancels the in-flight background collect when main fails") {
+    // the documented failure-cancels-background contract, forced
+    // deterministically: the background body is a job whose single
+    // task signals arrival and then parks on a latch, the main side
+    // throws while that job is provably in flight, and the tagged job
+    // must then die from the CANCEL — the latch is still closed, so a
+    // successful await would mean the cancel missed and the job ran
+    // to an unobserved completion
+    import java.util.concurrent.TimeUnit
+    BuildCancelFixture.reset()
+    val sc = spark.sparkContext
+    val bc = graft.core.Builds.buildCollect(spark.range(1).toDF("x")) {
+      sc.parallelize(0 until 1, 1).mapPartitions { it =>
+        BuildCancelFixture.started.countDown()
+        BuildCancelFixture.release.await(60, TimeUnit.SECONDS)
+        it
+      }.collect()
+    }
+    assert(BuildCancelFixture.started.await(30, TimeUnit.SECONDS),
+      "background job never started")
+    val boom = intercept[RuntimeException] {
+      graft.core.Builds.withBuild(bc)(throw new RuntimeException("main build failed"))
+    }
+    assert(boom.getMessage == "main build failed")
+    val res = scala.util.Try(bc.await())
+    BuildCancelFixture.release.countDown()
+    assert(res.isFailure, "background collect completed despite cancellation")
+    assert(res.failed.get.getMessage.toLowerCase.contains("cancel"),
+      s"expected a cancellation failure, got: ${res.failed.get}")
+  }
+
   test("pq: over-budget cell assignment (joined heap) equals the plain scan") {
     // dim 64 x C=160 = 10240 dot terms exceeds the literal budget, so
     // the index build assigns cells via the joined heap — with full
@@ -486,5 +581,18 @@ class SimilaritySuite extends SparkSuite {
     // same (query, doc, cosine, rank) tuples — the refine step fully
     // recovers the exact ranking when nothing is pruned
     assert(refined.map(t => (t._1, t._3, t._4, t._2)) == brute)
+  }
+}
+
+/** Latches for the withBuild-cancellation test: a top-level object so
+  * the task closure reaches the same instance the test thread holds
+  * (local mode, one JVM).
+  */
+object BuildCancelFixture {
+  @volatile var started = new java.util.concurrent.CountDownLatch(1)
+  @volatile var release = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    release = new java.util.concurrent.CountDownLatch(1)
   }
 }
