@@ -54,14 +54,26 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects; read it as raw nanos (long).
-    * Consumers derive epoch-second buckets with exact integer
-    * arithmetic (ns magnitudes exceed 2^53 — never divide in double).
+  /** The events table's `ts` contract for every consumer is LONG
+    * epoch-NANOS: epoch-bucket derivations are exact integer
+    * arithmetic (ns magnitudes exceed 2^53 — never divide in double)
+    * and the DuckDB oracle mirrors them with epoch_ns/us/ms(ts),
+    * which are storage-resolution-independent. The on-disk layout has
+    * shipped two ways — TIMESTAMP(NANOS) (readable only as raw long
+    * via nanosAsLong) and, since the 2026-08 testdata refresh,
+    * timestamp[us] (read as TIMESTAMP_NTZ) — so normalize by dtype.
+    * The NTZ wall-clock is UTC by convention (exactly what DuckDB's
+    * epoch_us assumes); the LTZ cast below matches it because every
+    * session here pins spark.sql.session.timeZone=UTC.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -16,14 +16,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventsStream {
 
   /** The events stream from a parquet directory (file-stream sources
-    * watch directories) with `ts` (nanos long — see Tables.events) as
-    * a proper timestamp column `event_time`.
+    * watch directories) with a proper timestamp column `event_time`
+    * derived from `ts`, which has shipped both as long epoch-nanos
+    * and as timestamp[us]/NTZ (see Tables.events) — branch on dtype.
     */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
+    val eventTime = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => expr("cast(ts as timestamp)")
+    }
     spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("event_time", eventTime)
   }
 
   /** Tumbling-window counts/sums per event type with a watermark for
