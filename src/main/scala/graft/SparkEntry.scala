@@ -313,16 +313,23 @@ object SparkEntry {
       Dedup.exactClusters(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // Text analysis: token counts, BPE-ish estimate, punctuation,
-    // md5 fingerprint — pure codegen'd Column exprs
+    // md5 fingerprint — pure codegen'd Column exprs. The narrow frame
+    // sorts FIRST and the expensive projections apply above the sort:
+    // a final orderBy's range-exchange sampling pass re-executes
+    // everything beneath it that is not already behind a shuffle or
+    // broadcast, so map-only compute under the sort runs TWICE
+    // (JsonProbe at sf0.1: 0.90 s sorted-last vs 0.42 s sorted-first
+    // for the json chain). Projections preserve the sort's ordering.
     "text_stats" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        length(col("text")).as("n_chars_len"),
-        TextFunctions.punctCount(col("text")).as("n_punct"),
-        TextFunctions.fingerprintMd5(col("text")).as("fp"))
-        .orderBy("doc_id")),
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars_len"),
+          TextFunctions.punctCount(col("text")).as("n_punct"),
+          TextFunctions.fingerprintMd5(col("text")).as("fp"))),
 
     // Text analysis: n-gram-heuristic language ID
     "lang_id" -> ((s, dir) =>
@@ -341,25 +348,30 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) => {
       val p = graft.functions.RepetitionFunctions
         .repetition_profile(col("text"))
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        p.getItem(0).as("n_lines"),
-        p.getItem(1).as("n_dup_lines"),
-        p.getItem(2).as("dup_line_chars"),
-        p.getItem(3).as("line_chars"),
-        p.getItem(4).as("top2gram_chars"),
-        p.getItem(5).as("dup5gram_chars"),
-        p.getItem(6).as("n_tokens"),
-        p.getItem(7).as("token_chars"))
+      // sorted-first: see text_stats — keeps the byte-walk kernel out
+      // of the range-sampling re-execution
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .orderBy("doc_id")
+        .select(
+          col("doc_id"),
+          p.getItem(0).as("n_lines"),
+          p.getItem(1).as("n_dup_lines"),
+          p.getItem(2).as("dup_line_chars"),
+          p.getItem(3).as("line_chars"),
+          p.getItem(4).as("top2gram_chars"),
+          p.getItem(5).as("dup5gram_chars"),
+          p.getItem(6).as("n_tokens"),
+          p.getItem(7).as("token_chars"))
     }),
 
-    // Text analysis: document quality scoring
+    // Text analysis: document quality scoring (sorted-first — see
+    // text_stats)
     "quality_score" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")),
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .select(
+          col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))),
 
     // Quality curation: keep the top 25% of documents per language by
     // quality score — deterministic rank cut (score desc, doc_id asc;
@@ -516,15 +528,19 @@ object SparkEntry {
     // row: identical from_json subtrees unify under codegen
     // subexpression elimination, and the int view is a cast of the
     // parsed string (two get_json_object calls tokenize twice)
-    "json_extract" -> ((s, dir) => {
-      val parsed = from_json(col("props"),
-        org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
+    // sorted-first (see text_stats) and ONE parse per row:
+    // get_json_object over the prior from_json-struct form — it also
+    // mirrors DuckDB's json_extract_string on non-scalar values
+    // (returns the JSON text where a typed struct field nulls out).
+    // JsonProbe at sf0.1: 1.04 s (from_json, sorted-last) → 0.42 s.
+    "json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
-        .select(col("event_id"),
-          parsed.getField("k").as("k_str"),
-          parsed.getField("k").cast("int").as("k_int"))
+        .select(col("event_id"), col("props"))
         .orderBy("event_id")
-    }),
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"))
+        .select(col("event_id"), col("k_str"),
+          col("k_str").cast("int").as("k_int"))),
 
     // Exact interpolated percentiles (median, p90) per group.
     // SCALE NOTE: exact percentile() buffers every distinct
