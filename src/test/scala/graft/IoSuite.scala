@@ -106,4 +106,26 @@ class IoSuite extends SparkSuite {
       SelectiveSearch.toTrec(noScore, s"$work/bad.trec")
     }
   }
+
+  test("Tables.events normalizes both on-disk ts layouts to long nanos") {
+    // the events table has shipped with ts as long epoch-nanos
+    // (TIMESTAMP(NANOS) read raw) and as timestamp[us]/NTZ (the
+    // 2026-08 refresh); every consumer assumes the long-nanos
+    // contract, so both layouts must read identically
+    val us = Seq(1704067200000000L, 1704067201500000L) // 2024-01-01T00:00:00/:01.5Z
+    val longDir = s"$work/ev-long"
+    us.map(_ * 1000L).zipWithIndex
+      .map { case (ns, i) => (i.toLong, ns) }.toDF("event_id", "ts")
+      .write.mode(SaveMode.Overwrite).parquet(s"$longDir/events.parquet")
+    val ntzDir = s"$work/ev-ntz"
+    us.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("event_id", "us")
+      .select($"event_id", expr("cast(timestamp_micros(us) as timestamp_ntz)").as("ts"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$ntzDir/events.parquet")
+    val fromLong = Tables.events(spark, longDir)
+      .orderBy("event_id").select("ts").as[Long].collect().toSeq
+    val fromNtz = Tables.events(spark, ntzDir)
+      .orderBy("event_id").select("ts").as[Long].collect().toSeq
+    assert(fromLong == us.map(_ * 1000L), s"long layout mangled: $fromLong")
+    assert(fromNtz == fromLong, s"ntz layout diverges: $fromNtz vs $fromLong")
+  }
 }

@@ -247,4 +247,27 @@ class PlanSuite extends SparkSuite {
     assert(!p.contains("Window"), p.take(4000))
     spark.catalog.clearCache()
   }
+
+  test("sorted-first rows keep expensive projections ABOVE the final sort") {
+    // a global orderBy's range-exchange sampling pass re-executes its
+    // child, so map-only compute under the sort runs twice (SCALING.md
+    // round 11; JsonProbe 0.90 -> 0.42 s). Pin that the expensive
+    // expression sits above the top Sort in the optimized plan — a
+    // collapse back under it silently doubles the row's cost.
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    for ((name, marker) <- Seq(
+        "json_extract" -> "get_json_object",
+        "text_stats" -> "regexp_extract_all",
+        "repetition_stats" -> "repetitionprofile",
+        "quality_score" -> "qualityscore")) {
+      val lp = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.optimizedPlan
+      val topSort = lp.collectFirst { case s: Sort => s }
+      assert(topSort.nonEmpty, s"$name lost its final sort")
+      assert(!topSort.get.child.toString.toLowerCase.contains(marker),
+        s"$name: $marker collapsed back under the final Sort")
+      assert(lp.toString.toLowerCase.contains(marker),
+        s"$name: $marker missing from the plan entirely")
+    }
+  }
 }
