@@ -39,7 +39,8 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // coalesce tiny post-shuffle partitions instead of keeping one
       // per core: at toy scale most queries are session-floor-bound
       // and scheduling 32 near-empty reduce tasks per exchange was

@@ -55,12 +55,19 @@ object FloorProbe {
         "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m",
         "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition" -> "20"),
+      // r11 question: how much of the sub-second floor is AQE's
+      // per-exchange query-stage re-planning rounds themselves?
+      "bench_noaqe" -> Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "32",
         "spark.sql.execution.rangeExchange.sampleSizePerPartition" -> "20"))
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     // reset every probed key to its Spark default before applying a
     // variant's overrides, so measurements don't depend on variant
     // order (a key set by an earlier variant would otherwise leak)
     val probedDefaults = Map(
+      "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m",
       "spark.sql.shuffle.partitions" -> "32",
