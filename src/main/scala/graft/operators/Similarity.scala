@@ -513,6 +513,90 @@ object Similarity {
     finishTopKAgg(scored, k, idCol)
   }
 
+  /** The plain-IVF index frame: every corpus vector with its single
+    * nearest-centroid cell and its quantized payload —
+    * (idCol, v, n2, cent_id), the inverted file a serving deployment
+    * builds once. Literal-eligible centroid tables assign map-side;
+    * over-limit tables use the joined shape (output-identical).
+    */
+  def ivfIndex(corpus: DataFrame, numCentroids: Int = 64,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cp = prepared(corpus, embCol, idCol)
+    val cent = centroidSample(cp, numCentroids, idCol)
+    collectCentroidRows(cent).filter(literalEligible) match {
+      case Some(cents) => nearestCentroidsFromRows(cp, cents, 1, idCol)
+      case None => nearestCentroidsJoined(cp, cent, 1, idCol)
+    }
+  }
+
+  /** [[ivfIndex]] behind the metadata-versioned store
+    * ([[graft.core.IndexStore]]): rebuilt only when the source
+    * parquet fingerprint or the build parameters change.
+    */
+  def storedIvfIndex(corpus: DataFrame, corpusPath: String,
+      numCentroids: Int = 64,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      force: Boolean = false): DataFrame = {
+    val name = s"ivf-c$numCentroids-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      ivfIndex(corpus, numCentroids, embCol, idCol))
+  }
+
+  /** The IVF query phase against an already-built index frame: the
+    * per-call work is the centroid-sample and query collects (tiny,
+    * overlapped — [[graft.core.Builds]]) plus the probed-cell scan
+    * over index bytes; the corpus-wide assignment pass happens zero
+    * times per query. Output-identical to [[ivfTopK]] at the same
+    * knobs — the assignment is a deterministic function of the
+    * corpus.
+    */
+  def ivfTopKFromIndex(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cp = prepared(corpus, embCol, idCol)
+    val cent = centroidSample(cp, numCentroids, idCol)
+    val qrowsB = graft.core.Builds.buildCollect(queries)(
+      collectVecRows(prepared(queries, embCol, idCol), idCol))
+    val centsOpt = graft.core.Builds.withBuild(qrowsB)(
+      collectCentroidRows(cent).filter(literalEligible))
+    val probes = centsOpt match {
+      case Some(cents) =>
+        qrowsB.await().toSeq.flatMap(q =>
+          driverNearestCells(q, cents, nprobe)
+            .map(c => (q.id, q.v.toSeq, q.n2, c)))
+          .toDF("query_id", "qv", "qn2", "cent_id")
+      case None =>
+        qrowsB.cancel()
+        nearestCentroidsJoined(prepared(queries, embCol, idCol), cent,
+          nprobe, idCol)
+          .select(col(idCol).as("query_id"), col("v").as("qv"),
+            col("n2").as("qn2"), col("cent_id"))
+    }
+    val scored = index.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol),
+        cosineQ(dotQ(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
+    finishTopKAgg(scored, k, idCol)
+  }
+
+  /** [[ivfTopK]] served from the stored index — the
+    * build-once/query-many shape (mirrors
+    * [[graft.operators.Pq.ivfPqTopKPrebuilt]]).
+    */
+  def ivfTopKPrebuilt(corpus: DataFrame, corpusPath: String,
+      queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val index = storedIvfIndex(corpus, corpusPath, numCentroids, embCol, idCol)
+    ivfTopKFromIndex(index, corpus, queries, k, numCentroids, nprobe,
+      embCol, idCol)
+  }
+
   /** Auto centroid count: C = ceil(sqrt(n x targetCell)), floor 16.
     *
     * The growth law balances the two quadratics that kill the naive

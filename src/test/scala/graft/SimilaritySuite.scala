@@ -521,6 +521,29 @@ class SimilaritySuite extends SparkSuite {
     graft.core.OpCaches.release()
   }
 
+  test("ivf: prebuilt index serving equals the inline build") {
+    // the plain-IVF twin of the PQ store test: the stored
+    // (vec_id, v, n2, cent_id) inverted file served by
+    // ivfTopKFromIndex must reproduce ivfTopK exactly
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpre").toFile
+    val src = new java.io.File(tmp, "corpus.parquet").getPath
+    pqCorpus(120, 32, seed = 67).write.mode("overwrite").parquet(src)
+    val corpus = spark.read.parquet(src)
+    val q = corpus.filter($"vec_id" < 4)
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val inline = rows(Similarity.ivfTopK(corpus, q, 5,
+      numCentroids = 16, nprobe = 4))
+    graft.core.OpCaches.release()
+    val pre1 = rows(Similarity.ivfTopKPrebuilt(corpus, src, q, 5,
+      numCentroids = 16, nprobe = 4))
+    graft.core.OpCaches.release()
+    val pre2 = rows(Similarity.ivfTopKPrebuilt(corpus, src, q, 5,
+      numCentroids = 16, nprobe = 4))
+    assert(pre1 == inline && pre2 == inline)
+    graft.core.OpCaches.release()
+  }
+
   test("pq: withBuild cancels the in-flight background collect when main fails") {
     // the documented failure-cancels-background contract, forced
     // deterministically: the background body is a job whose single
