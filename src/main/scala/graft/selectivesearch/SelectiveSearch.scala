@@ -34,6 +34,19 @@ object SelectiveSearch {
     df.orderBy(col("query").asc +: col("score").desc +: tiebreak: _*)
   }
 
+  /** Final (query, step) sort of an evaluation MATRIX. The matrix is
+    * queries x steps rows — the reference returns a pandas frame, so
+    * presentation size is its contract — which makes a single-
+    * partition sort safe at any corpus scale, and it skips the range-
+    * exchange sampling job that would re-execute the arrival walk /
+    * explode stage beneath the sort (~0.3 s per call at toy scale:
+    * SortProbe, SCALING.md round 11). (query, step) is the group key,
+    * so the single-partition order is total and deterministic.
+    */
+  private def sortedMatrix(df: DataFrame): DataFrame =
+    df.repartition(1)
+      .sortWithinPartitions(col("query").asc, col("step").asc)
+
   // ---------------------------------------------------------------------
   // Selection family
   // ---------------------------------------------------------------------
@@ -235,7 +248,7 @@ object SelectiveSearch {
     ranked2.groupBy(col("query"), col("step"))
       .agg(measures.head.expr(col("__mrn")), measures.tail.map(_.expr(col("__mrn"))): _*)
       .select((Seq("query") ++ measures.map(_.name) ++ Seq("step")).map(col): _*)
-      .orderBy(col("query").asc, col("step").asc)
+      .transform(sortedMatrix)
   }
 
   /** Steps-scalable evaluate: identical results to [[evaluateExplode]],
@@ -401,7 +414,7 @@ object SelectiveSearch {
         measures.zipWithIndex.map { case (m, i) =>
           col("vals").getItem(i).as(m.name) } :+
         col("step").cast("int").as("step"): _*)
-      .orderBy(col("query").asc, col("step").asc)
+      .transform(sortedMatrix)
   }
 
   /** Reference-shaped per-step loop (union of [[evaluateStep]] plans).
@@ -422,7 +435,7 @@ object SelectiveSearch {
     (1 to numSteps)
       .map(step => evaluateStep(ranked, results, measures, step, withBuckets))
       .reduce(_.unionByName(_))
-      .orderBy(col("query").asc, col("step").asc)
+      .transform(sortedMatrix)
   }
 
   // ---------------------------------------------------------------------
