@@ -62,6 +62,17 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
 
+  /** Presentation sort for BOUNDED top-k result frames (the |Q| x k
+    * ANN/BM25 lists): a single-partition sortWithinPartitions skips
+    * the range sort's child-re-executing sampling job (SortProbe:
+    * ~0.1 s per row at toy scale, SCALING.md round 11) and stays
+    * trivial at any corpus scale because the output is bounded by the
+    * query batch, not the corpus. (query_id, rank) is unique, so the
+    * single-partition order is total and deterministic.
+    */
+  private def topkSorted(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(1).sortWithinPartitions(col("query_id"), col("rank"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 + P1 + P2: parquet scan with filter/projection pushdown
     "s1_scan_filter_project" -> ((s, dir) =>
@@ -620,7 +631,7 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.cosineTopK(e, e.filter(col("vec_id") < 8), 5)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // ANN scale path: IVF — corpus in nearest-centroid cells (balanced
@@ -631,7 +642,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), 5,
         numCentroids = 64, nprobe = 40)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // ...and its build-once/query-many serving twin (same knobs, same
@@ -642,7 +653,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopKPrebuilt(e, s"$dir/embeddings.parquet",
         e.filter(col("vec_id") < 8), 5, numCentroids = 64, nprobe = 40)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // Embedding near-duplicate pairs at scale: IVF multi-assignment
@@ -671,7 +682,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), 5,
         numCentroids = 64, nprobe = 8, superCells = 8, superProbes = 2)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // Product quantization (memory-side ANN scale path): 4 subspaces
@@ -680,7 +691,7 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // PQ scan over FITTED k-means sub-codebooks (the quality path):
@@ -693,7 +704,7 @@ object SparkEntry {
       val cb = graft.operators.Pq.kmeansCodebook(e, m = 4, ksub = 16)
       graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5,
         codebooks = Some(cb))
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // Driver-auditable quality bound for the fitted codebook: ONE
@@ -727,7 +738,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 8), 5,
         numCentroids = 64, nprobe = 8)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // IVF+PQ with exact re-ranking: the ADC scan nominates 50
@@ -737,7 +748,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.ivfPqRerankTopK(e, e.filter(col("vec_id") < 8), 5,
         numCentroids = 64, nprobe = 8, rerank = 50)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // The build half of the build-once/query-many pair: encode the
@@ -770,14 +781,14 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.ivfPqTopKPrebuilt(e, s"$dir/embeddings.parquet",
         e.filter(col("vec_id") < 8), 5, numCentroids = 64, nprobe = 8)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
     "ann_ivfpq_prebuilt_rerank" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.ivfPqRerankTopKPrebuilt(e, s"$dir/embeddings.parquet",
         e.filter(col("vec_id") < 8), 5, numCentroids = 64, nprobe = 8,
         rerank = 50)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // Sessionization (relational form): 30-min-gap user sessions via
@@ -933,7 +944,7 @@ object SparkEntry {
       val q = Bm25Queries.toDF("query_id", "term")
       graft.operators.Retrieval.bm25TopK(
         Tables.documents(s, dir), q, k = 10, k1 = Bm25K1, b = Bm25B)
-        .orderBy("query_id", "rank")
+        .transform(topkSorted)
     }),
 
     // Data mixing: cap each source's contribution at a token budget,

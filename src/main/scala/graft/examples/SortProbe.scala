@@ -40,7 +40,9 @@ object SortProbe {
       val mk = graft.SparkEntry.queries(name)
       // mode 0 = as registered; 1 = top Sort stripped; 2 = child
       // lazily localCheckpoint'ed then re-sorted (one computation of
-      // the child shared by the sampling pass and the sort)
+      // the child shared by the sampling pass and the sort); 3 =
+      // single-partition sort (no sampling job — only valid as a
+      // plan choice when the output is presentation-bounded)
       def run(mode: Int): Double = {
         graft.core.OpCaches.release()
         spark.catalog.clearCache(); System.gc()
@@ -50,6 +52,12 @@ object SortProbe {
           case s: org.apache.spark.sql.catalyst.plans.logical.Sort if mode > 0 =>
             val child = PlanBridge.ofRows(spark, s.child)
             if (mode == 1) child
+            else if (mode == 3)
+              PlanBridge.ofRows(spark,
+                org.apache.spark.sql.catalyst.plans.logical.Sort(
+                  s.order, global = false,
+                  org.apache.spark.sql.catalyst.plans.logical.Repartition(
+                    1, shuffle = true, child.queryExecution.analyzed)))
             else {
               val lc = child.localCheckpoint(eager = false)
               PlanBridge.ofRows(spark,
@@ -81,16 +89,16 @@ object SortProbe {
       val counts = (0 to 2).map(rowsOf)
       require(counts.distinct.size == 1, s"$name row counts diverge: $counts")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      (0 to 2).foreach(run) // warm all
+      (0 to 3).foreach(run) // warm all
       val trips = (1 to reps).map { _ =>
-        val t = (run(0), run(1), run(2))
+        val t = (run(0), run(1), run(2), run(3))
         // drop finished checkpoint blocks so later reps recompute
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         t
       }
       val s = median(trips.map(_._1)); val n = median(trips.map(_._2))
-      val l = median(trips.map(_._3))
-      println(f"$name%-22s sorted ${s}%.3f  stripped ${n}%.3f  lc+sort ${l}%.3f  cached=${spark.sparkContext.getPersistentRDDs.size}")
+      val l = median(trips.map(_._3)); val sp = median(trips.map(_._4))
+      println(f"$name%-22s sorted ${s}%.3f  stripped ${n}%.3f  lc+sort ${l}%.3f  1part ${sp}%.3f")
     }
     spark.stop()
   }
