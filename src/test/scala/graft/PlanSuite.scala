@@ -248,6 +248,24 @@ class PlanSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("bounded finals sort in a single partition; corpus-sized finals keep the range sort") {
+    // bounded |Q| x k / matrix outputs: single-partition presentation
+    // sort, no range-exchange sampling job (SCALING.md round 11)
+    for (name <- Seq("ann_pq_topk", "bm25_topk", "c2_evaluate")) {
+      val p = plan(name)
+      assert(!p.toLowerCase.contains("rangepartitioning"),
+        s"$name regained a range sort: ${p.take(3000)}")
+    }
+    // corpus-sized outputs: the scalable range sort is the right plan
+    // at 100 TB — losing it to a single partition IS the scale bug
+    for (name <- Seq("c6_select", "u1_union_all")) {
+      val p = plan(name)
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"$name lost its range sort: ${p.take(3000)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("sorted-first rows keep expensive projections ABOVE the final sort") {
     // a global orderBy's range-exchange sampling pass re-executes its
     // child, so map-only compute under the sort runs twice (SCALING.md
