@@ -874,11 +874,14 @@ object SparkEntry {
     // trained on a reference slice (top-M bigrams, broadcast), every
     // document scored by average negative log-probability — exact
     // integer-quantized log terms so the per-doc sum is order-free
+    // plan-form model: the vocabulary count rides in as a broadcast
+    // subtree (bigramLmPlan), not a serializing driver count — same
+    // V, bit-identical scores (TextDedupSuite pins the two forms)
     "lm_perplexity" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val (lm, vocab) = graft.operators.Lm.bigramLm(
+      val (lm, vocabDf) = graft.operators.Lm.bigramLmPlan(
         docs.filter(col("doc_id") % 7 === 3))
-      graft.operators.Lm.lmScore(docs, lm, vocab).orderBy("doc_id")
+      graft.operators.Lm.lmScoreWith(docs, lm, vocabDf).orderBy("doc_id")
     }),
 
     "pack_sequences" -> ((s, dir) =>

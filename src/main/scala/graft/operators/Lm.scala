@@ -60,14 +60,13 @@ object Lm {
     * and unknown-bigram mass. c_a is the reference unigram count of
     * the bigram's first token.
     */
-  def bigramLm(reference: DataFrame, textCol: String = "text",
-      topM: Int = 50000): (DataFrame, Long) = {
+  private def uniAndLm(reference: DataFrame, textCol: String,
+      topM: Int): (DataFrame, DataFrame) = {
     val nonBlank = reference.filter(length(btrim(col(textCol))) > 0)
     val uni = nonBlank
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c_a"))
       .transform(graft.core.OpCaches.persistTracked)
-    val vocab = uni.count()
     val lm = reference
       .select(TextFunctions.tokens(col(textCol)).as("ws"))
       .select(explode(bigramsOf(col("ws"))).as("s"))
@@ -78,7 +77,34 @@ object Lm {
       .withColumn("a", split(col("s"), " ").getItem(0))
       .join(uni.withColumnRenamed("t", "a"), Seq("a"))
       .select(col("s"), col("c_ab"), col("c_a"))
-    (lm, vocab)
+    (uni, lm)
+  }
+
+  def bigramLm(reference: DataFrame, textCol: String = "text",
+      topM: Int = 50000): (DataFrame, Long) = {
+    val (uni, lm) = uniAndLm(reference, textCol, topM)
+    (lm, uni.count())
+  }
+
+  /** [[bigramLm]] with the vocabulary size kept IN-PLAN as a one-row
+    * broadcast frame instead of a driver `count()`: the count job
+    * serialized the entire model build before scoring could start,
+    * where a broadcast subtree overlaps it inside one job (the same
+    * stats-then-score lesson BM25 recorded in round 9 — driver
+    * collects serialize, broadcast subtrees parallelize). Same model,
+    * same V, bit-identical scores via [[lmScoreWith]].
+    */
+  def bigramLmPlan(reference: DataFrame, textCol: String = "text",
+      topM: Int = 50000): (DataFrame, DataFrame) = {
+    val (uni, lm) = uniAndLm(reference, textCol, topM)
+    // the guard folds INTO the value column — a side column would be
+    // pruned as unreferenced and the old driver-side require(vocab>0)
+    // would silently become an ANSI divide-by-zero downstream
+    val vocabDf = uni.agg(count(lit(1)).cast("long").as("__v0"))
+      .select(when(col("__v0") > lit(0L), col("__v0"))
+        .otherwise(raise_error(lit("empty reference vocabulary")).cast("long"))
+        .as("__vocab"))
+    (lm, vocabDf)
   }
 
   /** Per-document average negative log-probability under the model:
@@ -115,6 +141,33 @@ object Lm {
     docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
       .select(col(idCol), explode(bigramsOf(col("ws"))).as("s"))
+      .join(broadcast(lm), Seq("s"), "left")
+      .select(col(idCol),
+        when(col("c_ab").isNotNull, qKnown).otherwise(qUnk).as("q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
+      .select(col(idCol), col("n_bigrams"),
+        (-(col("qsum").cast("double") / lit(1e9)) / col("n_bigrams"))
+          .as("nll"))
+  }
+
+  /** [[lmScore]] against a [[bigramLmPlan]] vocabulary frame: V rides
+    * in on a broadcast cross join, so the quantized terms are the
+    * same double computations on the same values — the only change is
+    * WHERE V comes from (a plan subtree, not a driver literal).
+    */
+  def lmScoreWith(docs: DataFrame, lm: DataFrame, vocabDf: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val v = col("__vocab")
+    val qKnown = floor(lit(1e9) * log(
+      (col("c_ab") + lit(1L)).cast("double") /
+        (col("c_a") + v).cast("double"))).cast("long")
+    val qUnk = floor(lit(1e9) * log(
+      lit(1.0) / v.cast("double"))).cast("long")
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
+      .select(col(idCol), explode(bigramsOf(col("ws"))).as("s"))
+      .crossJoin(broadcast(vocabDf))
       .join(broadcast(lm), Seq("s"), "left")
       .select(col(idCol),
         when(col("c_ab").isNotNull, qKnown).otherwise(qUnk).as("q"))

@@ -300,4 +300,31 @@ class TextDedupSuite extends SparkSuite {
     // multiplicity counts: a doubled in-domain bigram is no penalty
     assert(got(100L)._1 == 8)
   }
+
+  test("lm perplexity: plan-form vocabulary scores bit-identically to the driver form") {
+    import graft.operators.Lm
+    val ref = (0L until 20L).map(i =>
+      (i, s"alpha beta gamma delta epsilon token$i beta gamma"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (100L, "alpha beta gamma"), (101L, "beta gamma delta epsilon"),
+      (102L, "unknown words only here"), (103L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val (lmA, vocab) = Lm.bigramLm(ref)
+    val driver = Lm.lmScore(docs, lmA, vocab)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    graft.core.OpCaches.release()
+    val (lmB, vocabDf) = Lm.bigramLmPlan(ref)
+    val planned = Lm.lmScoreWith(docs, lmB, vocabDf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(planned == driver, s"plan-form diverges: $planned vs $driver")
+    graft.core.OpCaches.release()
+    // the in-plan guard still fails loudly on an empty reference
+    val err = intercept[Exception] {
+      val (lmE, vE) = Lm.bigramLmPlan(ref.filter($"doc_id" < 0))
+      Lm.lmScoreWith(docs, lmE, vE).collect()
+    }
+    assert(err.getMessage.contains("empty reference vocabulary"),
+      s"wrong failure: $err")
+  }
 }
