@@ -71,7 +71,16 @@ object SparkEntry {
     * single-partition order is total and deterministic.
     */
   private def topkSorted(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.repartition(1).sortWithinPartitions(col("query_id"), col("rank"))
+    boundedSorted(df, col("query_id"), col("rank"))
+
+  /** Same single-partition presentation sort for any BOUNDED report
+    * frame (category-set aggregates, rollup/cube matrices, the
+    * queries x shards selection frame): the caller's keys must form a
+    * unique grouping key, so the order is total and deterministic.
+    */
+  private def boundedSorted(df: org.apache.spark.sql.DataFrame,
+      keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(1).sortWithinPartitions(keys: _*)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 + P1 + P2: parquet scan with filter/projection pushdown
@@ -86,11 +95,12 @@ object SparkEntry {
     "j4_cartesian" -> ((s, dir) =>
       DataUtils.cartesianWithPos(s,
         Seq(0L until 6L, 0L until 4L), Seq("query", "shard"))
-        .orderBy("pos")),
+        .transform(boundedSorted(_, col("pos")))),
 
     // A4 + C3 core: per-query shard ranking (window row_number)
     "a4_selection_rank" -> ((s, dir) =>
-      Tables.selection(s, dir).orderBy("query", "shard")),
+      Tables.selection(s, dir)
+        .transform(boundedSorted(_, col("query"), col("shard")))),
 
     // C6 = P9 -> P2 -> P1 -> J1 (broadcast) -> T1
     "c6_select" -> ((s, dir) =>
@@ -195,7 +205,7 @@ object SparkEntry {
             Tables.cents(lit(1) - col("l_discount"))).cast("double") / 10000).as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .transform(boundedSorted(_, col("l_returnflag"), col("l_linestatus")))),
 
     // Core analytics: 3-way join + top-k by revenue (TPC-H Q3-shaped)
     "q3_join_topk" -> ((s, dir) => {
@@ -503,8 +513,8 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)),
+        .transform(boundedSorted(_, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))),
 
     // Distinct aggregation
     "distinct_agg" -> ((s, dir) =>
@@ -513,7 +523,7 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+        .transform(boundedSorted(_, col("l_returnflag")))),
 
     // (The MLlib MinHashLSH variant — DedupMl.minHashCandidatesMl —
     // is deliberately NOT registered: approxSimilarityJoin costs 96s
@@ -569,15 +579,15 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.5)").as("p50_qty"),
           expr("percentile(l_quantity, 0.9)").as("p90_qty"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+        .transform(boundedSorted(_, col("l_returnflag")))),
 
     // Cube aggregation (all grouping-set combinations)
     "cube_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)),
+        .transform(boundedSorted(_, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))),
 
     // Generator/UDTF-style: explode tokens to corpus word frequencies
     "word_freq" -> ((s, dir) =>
