@@ -704,6 +704,17 @@ object SparkEntry {
         .transform(topkSorted)
     }),
 
+    // ...and its build-once/query-many serving twin (stored code
+    // frame, same oracle — the sample codebook and codes are
+    // deterministic functions of the corpus; SimilaritySuite pins
+    // served == inline)
+    "ann_pq_prebuilt_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.pqTopKPrebuilt(e, s"$dir/embeddings.parquet",
+        e.filter(col("vec_id") < 8), 5)
+        .transform(topkSorted)
+    }),
+
     // PQ scan over FITTED k-means sub-codebooks (the quality path):
     // rows-only BY DESIGN — a seeded k-means|| fit is deterministic
     // and engine-reproducible but not practically SQL-replayable, so
@@ -1330,6 +1341,22 @@ object SparkEntry {
     // expands (a-b)² as a²+b²-2ab over native integer dots — same
     // integers, so the forms cannot diverge
     "ann_pq_topk" ->
+      s"""WITH $QuantCte,
+         |$PqCtes,
+         |sc AS (SELECT dtab.query_id, enc.vec_id, CAST(sum(dtab.d) AS BIGINT) AS pq_dist
+         |       FROM enc JOIN dtab ON enc.s = dtab.s AND enc.code = dtab.j
+         |       WHERE dtab.query_id != enc.vec_id GROUP BY 1, 2),
+         |rk AS (SELECT query_id, vec_id, pq_dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, vec_id) AS r
+         |       FROM sc)
+         |SELECT query_id, CAST(r AS INT) AS rank, vec_id, pq_dist
+         |FROM rk WHERE r <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // served-from-store twin: output-identical to ann_pq_topk, same
+    // SQL — DuckDB has no store and re-derives the codes, so this
+    // row's ratio compares Spark steady-state serving to DuckDB
+    // build+serve
+    "ann_pq_prebuilt_topk" ->
       s"""WITH $QuantCte,
          |$PqCtes,
          |sc AS (SELECT dtab.query_id, enc.vec_id, CAST(sum(dtab.d) AS BIGINT) AS pq_dist

@@ -329,24 +329,83 @@ object Pq {
     // pq_dist is computed MAP-SIDE per (doc, query), and the only
     // exchange in the whole scan is the bounded top-k partial
     // aggregation (<= k rows per query per task)
-    // empty query set -> empty result of the right schema (grouped()
-    // yields no chunks to reduce)
-    val scored =
-      if (dt.isEmpty)
-        codes.select(lit(0L).as("query_id"), col(idCol),
-          lit(0L).as("pq_dist")).filter(lit(false))
-      else dt.grouped(chunkSize).map { chunk =>
-        val qScores = chunk.map { case (qid, tab) =>
-          struct(lit(qid).as("query_id"), lookupDist(tab).as("pq_dist"))
-        }
-        codes
-          .select(col(idCol), explode(array(qScores: _*)).as("q"))
-          .select(col("q.query_id").as("query_id"), col(idCol),
-            col("q.pq_dist").as("pq_dist"))
-          .filter(col("query_id") =!= col(idCol))
-      }.reduce(_.unionByName(_))
-    finishAdc(scored, k, idCol)
+    finishAdc(adcFullScan(codes, dt, idCol, chunkSize), k, idCol)
   }
+
+  /** Full-scan ADC over a code frame: every (doc, query) pair scored
+    * map-side from the literal distance tables; the only exchange is
+    * the bounded top-k that follows. Shared by [[pqTopK]] and the
+    * served-from-store [[pqTopKFromIndex]]. Empty query set -> empty
+    * frame of the right schema (grouped() yields no chunks).
+    */
+  private def adcFullScan(codes: DataFrame,
+      dt: Seq[(Long, Array[Array[Long]])], idCol: String,
+      chunkSize: Int): DataFrame =
+    if (dt.isEmpty)
+      codes.select(lit(0L).as("query_id"), col(idCol),
+        lit(0L).as("pq_dist")).filter(lit(false))
+    else dt.grouped(chunkSize).map { chunk =>
+      val qScores = chunk.map { case (qid, tab) =>
+        struct(lit(qid).as("query_id"), lookupDist(tab).as("pq_dist"))
+      }
+      codes
+        .select(col(idCol), explode(array(qScores: _*)).as("q"))
+        .select(col("q.query_id").as("query_id"), col(idCol),
+          col("q.pq_dist").as("pq_dist"))
+        .filter(col("query_id") =!= col(idCol))
+    }.reduce(_.unionByName(_))
+
+  /** The plain-PQ code frame (idCol, codes) under the sample
+    * codebook — the stored artifact for build-once/query-many
+    * full-scan ADC serving.
+    */
+  def pqIndex(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val prep = Similarity.prepared(corpus, embCol, idCol)
+    encode(prep, codebookFromPrep(prep, m, ksub, idCol), idCol)
+  }
+
+  /** [[pqIndex]] behind the metadata-versioned store. */
+  def storedPqIndex(corpus: DataFrame, corpusPath: String,
+      m: Int = 4, ksub: Int = 16,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      force: Boolean = false): DataFrame = {
+    val name = s"pq-m$m-k$ksub-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      pqIndex(corpus, m, ksub, embCol, idCol))
+  }
+
+  /** The full-scan ADC query phase against a stored code frame: the
+    * per-call work is the codebook-sample and query collects
+    * (overlapped) plus the scan over index bytes — zero corpus-wide
+    * encode passes per query. Output-identical to [[pqTopK]]: the
+    * sample codebook is a deterministic function of the corpus, so
+    * stored codes and the re-derived distance tables agree.
+    */
+  def pqTopKFromIndex(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, m: Int = 4, ksub: Int = 16,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val prep = Similarity.prepared(corpus, embCol, idCol)
+    val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
+      Similarity.prepared(queries, embCol, idCol), idCol))
+    val cb = withBuild(qrowsB)(codebookFromPrep(prep, m, ksub, idCol))
+    val dt = driverDistTables(qrowsB.await(), cb)
+    finishAdc(adcFullScan(index, dt, idCol, chunkSize), k, idCol)
+  }
+
+  /** [[pqTopK]] served from the stored code frame — the
+    * build-once/query-many shape.
+    */
+  def pqTopKPrebuilt(corpus: DataFrame, corpusPath: String,
+      queries: DataFrame, k: Int, m: Int = 4, ksub: Int = 16,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      chunkSize: Int = MaxLiteralQueries): DataFrame =
+    pqTopKFromIndex(storedPqIndex(corpus, corpusPath, m, ksub, embCol, idCol),
+      corpus, queries, k, m, ksub, embCol, idCol, chunkSize)
 
   /** Exact-integer ADC sum for one query's tables: m literal-array
     * lookups indexed by the row's code array.

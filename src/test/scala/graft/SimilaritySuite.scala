@@ -521,6 +521,24 @@ class SimilaritySuite extends SparkSuite {
     graft.core.OpCaches.release()
   }
 
+  test("pq: plain-PQ prebuilt serving equals the inline full-scan") {
+    import graft.operators.Pq
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqpre").toFile
+    val src = new java.io.File(tmp, "corpus.parquet").getPath
+    pqCorpus(120, 32, seed = 71).write.mode("overwrite").parquet(src)
+    val corpus = spark.read.parquet(src)
+    val q = corpus.filter($"vec_id" < 4)
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val inline = rows(Pq.pqTopK(corpus, q, 5))
+    graft.core.OpCaches.release()
+    val pre1 = rows(Pq.pqTopKPrebuilt(corpus, src, q, 5))
+    graft.core.OpCaches.release()
+    val pre2 = rows(Pq.pqTopKPrebuilt(corpus, src, q, 5))
+    assert(pre1 == inline && pre2 == inline)
+    graft.core.OpCaches.release()
+  }
+
   test("ivf: prebuilt index serving equals the inline build") {
     // the plain-IVF twin of the PQ store test: the stored
     // (vec_id, v, n2, cent_id) inverted file served by
