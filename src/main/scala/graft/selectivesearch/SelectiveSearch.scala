@@ -90,16 +90,26 @@ object SelectiveSearch {
   def selectWithDecay(selection: DataFrame, results: DataFrame, t: Int,
       decayFactor: Double): DataFrame = {
     if (decayFactor == 1) return select(selection, results, t)
+    require(0 < decayFactor && decayFactor <= 1,
+      s"decay factor must be in (0, 1], got $decayFactor")
     ensureHasColumns(selection, Seq("rank", "query", "shard"))
     ensureHasColumns(results, Seq("score", "query", "shard", "bucket"))
     val spark = results.sparkSession
-    import spark.implicits._
-    // scalar max to driver (reference :147) — cheap agg over results
-    val numBuckets =
-      results.agg(max(col("bucket"))).first().getAs[Number](0).doubleValue() + 1
-    val budgets = decayedBuckets(numBuckets, t, decayFactor)
-    val lookup = budgets.zipWithIndex
-      .map { case (b, rank) => (rank, b) }.toDF("rank", "buckets")
+    // The reference takes a scalar max(bucket) first (reference :147).
+    // A driver `first()` would serialize that full-column agg before
+    // any other work; instead numBuckets rides IN-PLAN from a one-row
+    // broadcast subtree (the recurring stats-then-score lesson:
+    // driver collects serialize, broadcast subtrees overlap). The
+    // rank -> budget recurrence replays [[decayedBuckets]]'s repeated
+    // multiplication BIT-FOR-BIT as a sequence fold — same float ops
+    // in the same order, so budgets cannot diverge from the driver
+    // form (PropertiesSuite pins the two across random knobs).
+    val nb = results.agg((max(col("bucket")) + lit(1)).cast("double").as("__nb"))
+    val lookup = spark.range(0, t).toDF("rank").crossJoin(broadcast(nb))
+      .select(col("rank").cast("int").as("rank"),
+        ceil(expr(
+          s"aggregate(array_repeat(1, CAST(rank AS INT)), __nb, (acc, x) -> acc * ${decayFactor})"))
+          .cast("int").as("buckets"))
     val sel = selection.filter(col("rank") < lit(t))
       .join(broadcast(lookup), Seq("rank"), "inner")
       .select("query", "shard", "buckets")

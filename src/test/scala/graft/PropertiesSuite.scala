@@ -27,6 +27,27 @@ class PropertiesSuite extends SparkSuite {
     }
   }
 
+  test("in-plan budget fold replays decayedBuckets bit-for-bit") {
+    // selectWithDecay builds its rank -> budget lookup as a sequence
+    // fold inside the plan; it must equal the driver recurrence for
+    // every knob (same repeated multiplication in the same order)
+    for {
+      nb <- Seq(1, 2, 7, 64, 1000)
+      t <- Seq(1, 5, 20)
+      decay <- Seq(0.01, 0.3, 0.5, 0.77, 0.9, 0.999)
+    } {
+      val driver = SelectiveSearch.decayedBuckets(nb.toDouble, t, decay)
+      val planned = spark.range(0, t).toDF("rank")
+        .select(col("rank").cast("int").as("rank"),
+          ceil(expr(
+            s"aggregate(array_repeat(1, CAST(rank AS INT)), CAST($nb AS DOUBLE), (acc, x) -> acc * ${decay})"))
+            .cast("int").as("buckets"))
+        .orderBy("rank").select("buckets").as[Int].collect().toSeq
+      assert(planned == driver,
+        s"fold diverges (nb=$nb t=$t d=$decay): $planned vs $driver")
+    }
+  }
+
   test("select with t > max rank is identity modulo sort") {
     for { nq <- Seq(1, 3); ns <- Seq(1, 4) } {
       val results = (for {
