@@ -63,8 +63,10 @@ object Tables {
     * via nanosAsLong) and, since the 2026-08 testdata refresh,
     * timestamp[us] (read as TIMESTAMP_NTZ) — so normalize by dtype.
     * The NTZ wall-clock is UTC by convention (exactly what DuckDB's
-    * epoch_us assumes); the LTZ cast below matches it because every
-    * session here pins spark.sql.session.timeZone=UTC.
+    * epoch_us assumes); the conversion is timestampdiff between two
+    * NTZ values — pure wall-clock arithmetic, independent of the
+    * session timezone (an LTZ cast would silently shift every ts in
+    * a session not pinned to UTC).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -72,7 +74,8 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
       case _ =>
-        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+        raw.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

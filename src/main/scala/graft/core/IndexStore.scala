@@ -28,17 +28,27 @@ object IndexStore {
     s"${sys.props("java.io.tmpdir")}/graft-index")
 
   /** Deterministic fingerprint of a source parquet file or directory:
-    * MD5 over the sorted (name, size, mtime) of every regular file
-    * under it. Driver-side stat calls only — no data scan.
+    * MD5 over the sorted (path-relative-to-root, size, mtime) of
+    * every regular file under it. Driver-side stat calls only — no
+    * data scan. The RELATIVE path (not just the basename) is part of
+    * the print: partitioned sources reuse file names across partition
+    * dirs (`p=0/part-00000`, `p=1/part-00000`), so a bare-name print
+    * could not see same-named files moved between partitions.
     */
   def sourceFingerprint(path: String): String = {
+    val root = new java.io.File(path)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty)
           .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
-    val parts = walk(new java.io.File(path))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val rootPath = root.toPath
+    val parts = walk(root).map { f =>
+      val rel =
+        if (f == root) f.getName
+        else rootPath.relativize(f.toPath).toString
+      s"$rel:${f.length}:${f.lastModified}"
+    }
     md5hex(parts.mkString("|"))
   }
 
@@ -52,6 +62,15 @@ object IndexStore {
     * artifact, not the build plan — so downstream scans touch index
     * bytes only. The manifest is deleted before any overwrite and
     * written after it, so a crashed build is never trusted.
+    *
+    * Concurrency contract: SINGLE WRITER per store entry. The
+    * manifest ordering protects against crashes, not against a
+    * second process rebuilding the same entry while a first is
+    * lazily scanning it (the overwrite would delete part files out
+    * from under the reader). The dev default under java.io.tmpdir is
+    * fine for one driver at a time; concurrent deployments point
+    * SPARK_GRAFT_INDEX_DIR at per-pipeline locations or front the
+    * store with a real catalog/lock service.
     */
   def readOrBuild(spark: SparkSession, name: String, fingerprint: String,
       force: Boolean = false)(build: => DataFrame): DataFrame = {

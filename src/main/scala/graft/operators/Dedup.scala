@@ -350,6 +350,14 @@ object Dedup {
     * documented alternative for deployments that cannot afford the
     * per-task group map.
     */
+  /* SCALE WARNING: a shingle's posting row materializes ALL C(df,2)
+   * candidate pairs inside one array value, so an uncapped hot
+   * shingle (df ~ 100k -> ~5e9 structs) blows up a single row where
+   * the self-join form would merely produce many join rows.
+   * `maxDocFreq = None` exists for the suite's output-parity check;
+   * every production call and the registered query MUST pass a cap
+   * (the cap is also what makes hot shingles uninformative noise —
+   * see the df-cap rationale above). */
   def ngramJaccardPairsPostings(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, minJaccard: Double = 0.5,
       maxDocFreq: Option[Int] = None): DataFrame = {

@@ -370,7 +370,7 @@ object Pq {
       m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id",
       force: Boolean = false): DataFrame = {
-    val name = s"pq-m$m-k$ksub-v1-" +
+    val name = s"pq-m$m-k$ksub-$embCol-$idCol-v1-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
@@ -759,7 +759,7 @@ object Pq {
       numCentroids: Int = 64, m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id",
       force: Boolean = false): DataFrame = {
-    val name = s"ivfpq-c$numCentroids-m$m-k$ksub-v1-" +
+    val name = s"ivfpq-c$numCentroids-m$m-k$ksub-$embCol-$idCol-v1-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
@@ -839,9 +839,14 @@ object Pq {
   }
 
   /** [[ivfPqRerankTopK]] served from the stored index: nomination
-    * scans index bytes, the refine fetches raw vectors for the
-    * nominated |Q| x rerank rows only — at corpus scale the raw
-    * store is touched per-candidate, never per-vector.
+    * scans index bytes only. The refine then joins the nominated
+    * |Q| x rerank ids against the prepared corpus — which in THIS
+    * implementation still streams the full corpus projection through
+    * a broadcast semi-join (and caches it for the call), i.e. one
+    * per-vector pass per serving call. A deployment that needs the
+    * candidate-keyed fetch (touch raw bytes per-candidate only)
+    * fronts the raw store with a point-lookup table; the join
+    * structure here is exactly that shape, the storage isn't.
     */
   def ivfPqRerankTopKPrebuilt(corpus: DataFrame, corpusPath: String,
       queries: DataFrame, k: Int,

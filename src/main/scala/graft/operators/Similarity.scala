@@ -537,7 +537,7 @@ object Similarity {
       numCentroids: Int = 64,
       embCol: String = "embedding", idCol: String = "vec_id",
       force: Boolean = false): DataFrame = {
-    val name = s"ivf-c$numCentroids-v1-" +
+    val name = s"ivf-c$numCentroids-$embCol-$idCol-v1-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(

@@ -105,11 +105,7 @@ object SelectiveSearch {
     // in the same order, so budgets cannot diverge from the driver
     // form (PropertiesSuite pins the two across random knobs).
     val nb = results.agg((max(col("bucket")) + lit(1)).cast("double").as("__nb"))
-    val lookup = spark.range(0, t).toDF("rank").crossJoin(broadcast(nb))
-      .select(col("rank").cast("int").as("rank"),
-        ceil(expr(
-          s"aggregate(array_repeat(1, CAST(rank AS INT)), __nb, (acc, x) -> acc * ${decayFactor})"))
-          .cast("int").as("buckets"))
+    val lookup = decayBudgetLookup(spark, nb, t, decayFactor)
     val sel = selection.filter(col("rank") < lit(t))
       .join(broadcast(lookup), Seq("rank"), "inner")
       .select("query", "shard", "buckets")
@@ -117,6 +113,20 @@ object SelectiveSearch {
     sortedByQueryScore(
       joined.filter(col("bucket") < col("buckets")).drop("buckets"))
   }
+
+  /** The in-plan rank -> budget lookup: `nb` is a one-row frame with
+    * `__nb` = numBuckets as double; the fold replays
+    * [[decayedBuckets]]' repeated multiplication in the same order.
+    * Factored out so PropertiesSuite pins THIS expression (not a
+    * copy) against the driver recurrence.
+    */
+  private[graft] def decayBudgetLookup(spark: SparkSession,
+      nb: DataFrame, t: Int, decayFactor: Double): DataFrame =
+    spark.range(0, t).toDF("rank").crossJoin(broadcast(nb))
+      .select(col("rank").cast("int").as("rank"),
+        ceil(expr(
+          s"aggregate(array_repeat(1, CAST(rank AS INT)), __nb, (acc, x) -> acc * ${decayFactor})"))
+          .cast("int").as("buckets"))
 
   /** Bucket-level selection under a total bucket budget
     * (reference: dataproc/selectivesearch.py:183-191). The greedy

@@ -127,5 +127,17 @@ class IoSuite extends SparkSuite {
       .orderBy("event_id").select("ts").as[Long].collect().toSeq
     assert(fromLong == us.map(_ * 1000L), s"long layout mangled: $fromLong")
     assert(fromNtz == fromLong, s"ntz layout diverges: $fromNtz vs $fromLong")
+    // the NTZ conversion must be wall-clock arithmetic, NOT a session-
+    // timezone cast: the same read under a non-UTC session must yield
+    // the same nanos (a cast-through-LTZ would shift by the offset)
+    val tzKey = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val fromNtzNy = Tables.events(spark, ntzDir)
+        .orderBy("event_id").select("ts").as[Long].collect().toSeq
+      assert(fromNtzNy == fromLong,
+        s"ntz layout is session-tz-dependent: $fromNtzNy vs $fromLong")
+    } finally spark.conf.set(tzKey, orig)
   }
 }

@@ -37,11 +37,8 @@ class PropertiesSuite extends SparkSuite {
       decay <- Seq(0.01, 0.3, 0.5, 0.77, 0.9, 0.999)
     } {
       val driver = SelectiveSearch.decayedBuckets(nb.toDouble, t, decay)
-      val planned = spark.range(0, t).toDF("rank")
-        .select(col("rank").cast("int").as("rank"),
-          ceil(expr(
-            s"aggregate(array_repeat(1, CAST(rank AS INT)), CAST($nb AS DOUBLE), (acc, x) -> acc * ${decay})"))
-            .cast("int").as("buckets"))
+      val nbDf = Seq(nb.toDouble).toDF("__nb")
+      val planned = SelectiveSearch.decayBudgetLookup(spark, nbDf, t, decay)
         .orderBy("rank").select("buckets").as[Int].collect().toSeq
       assert(planned == driver,
         s"fold diverges (nb=$nb t=$t d=$decay): $planned vs $driver")
