@@ -15,25 +15,17 @@ import graft.operators.Dedup
   * conclusion.
   */
 object NgramProbe {
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-  }
+  import ProbeUtil.median
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ProbeUtil.benchSession("ngram-probe")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val docs = Tables.documents(spark, dir)
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val defaultFallback = spark.conf.get(fallbackKey)
+    // the A/B's low side is Spark's OWN default (128), pinned
+    // explicitly — benchSession already raises the session value
+    val defaultFallback = "128"
 
     def run(tag: String): Double = {
       graft.core.OpCaches.release()
