@@ -102,7 +102,12 @@ object SparkEntry {
       Tables.selection(s, dir)
         .transform(boundedSorted(_, col("query"), col("shard")))),
 
-    // C6 = P9 -> P2 -> P1 -> J1 (broadcast) -> T1
+    // C6 = P9 -> P2 -> P1 -> J1 (broadcast) -> T1. (A round-12
+    // interleaved A/B also tried deriving selection+results from ONE
+    // OpCaches-persisted projection: 0.90 -> 1.34 s — the cache
+    // materialization costs more than the column-pruned parquet
+    // re-scans it saves; the plain two-scan form stays. SCALING.md
+    // round 12.)
     "c6_select" -> ((s, dir) =>
       SelectiveSearch.select(Tables.selection(s, dir), Tables.results(s, dir), 2)),
 

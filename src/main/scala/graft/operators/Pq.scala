@@ -362,7 +362,10 @@ object Pq {
   def pqIndex(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val prep = Similarity.prepared(corpus, embCol, idCol)
-    encode(prep, codebookFromPrep(prep, m, ksub, idCol), idCol)
+    graft.core.IndexMeta.tag(
+      encode(prep, codebookFromPrep(prep, m, ksub, idCol), idCol),
+      "codes", "kind" -> "pq", "m" -> m, "ksub" -> ksub,
+      "embCol" -> embCol, "idCol" -> idCol)
   }
 
   /** [[pqIndex]] behind the metadata-versioned store. */
@@ -370,7 +373,7 @@ object Pq {
       m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id",
       force: Boolean = false): DataFrame = {
-    val name = s"pq-m$m-k$ksub-$embCol-$idCol-v1-" +
+    val name = s"pq-m$m-k$ksub-$embCol-$idCol-v2-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
@@ -389,6 +392,9 @@ object Pq {
       embCol: String = "embedding", idCol: String = "vec_id",
       chunkSize: Int = MaxLiteralQueries): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
+    graft.core.IndexMeta.validate(index, "codes", "pqTopKFromIndex",
+      "kind" -> "pq", "m" -> m, "ksub" -> ksub,
+      "embCol" -> embCol, "idCol" -> idCol)
     val prep = Similarity.prepared(corpus, embCol, idCol)
     val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
       Similarity.prepared(queries, embCol, idCol), idCol))
@@ -398,14 +404,29 @@ object Pq {
   }
 
   /** [[pqTopK]] served from the stored code frame — the
-    * build-once/query-many shape.
+    * build-once/query-many shape. The codebook sample comes from the
+    * stored low-id rows ([[Similarity.storedPreparedSample]]), so
+    * steady-state serving reads index bytes plus a ksub-row frame and
+    * never scans the source corpus.
     */
   def pqTopKPrebuilt(corpus: DataFrame, corpusPath: String,
       queries: DataFrame, k: Int, m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id",
-      chunkSize: Int = MaxLiteralQueries): DataFrame =
-    pqTopKFromIndex(storedPqIndex(corpus, corpusPath, m, ksub, embCol, idCol),
-      corpus, queries, k, m, ksub, embCol, idCol, chunkSize)
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val index = storedPqIndex(corpus, corpusPath, m, ksub, embCol, idCol)
+    graft.core.IndexMeta.validate(index, "codes", "pqTopKPrebuilt",
+      "kind" -> "pq", "m" -> m, "ksub" -> ksub,
+      "embCol" -> embCol, "idCol" -> idCol)
+    val sample = Similarity.storedPreparedSample(corpus, corpusPath, ksub,
+      embCol, idCol)
+    val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
+      Similarity.prepared(queries, embCol, idCol), idCol))
+    val cb = withBuild(qrowsB)(codebookFromVecs(
+      Similarity.collectVecRows(sample, idCol).take(ksub).map(_.v).toSeq, m))
+    val dt = driverDistTables(qrowsB.await(), cb)
+    finishAdc(adcFullScan(index, dt, idCol, chunkSize), k, idCol)
+  }
 
   /** Exact-integer ADC sum for one query's tables: m literal-array
     * lookups indexed by the row's code array.
@@ -722,7 +743,7 @@ object Pq {
       idCol: String = "vec_id"): DataFrame = {
     val cp = Similarity.prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
-    if (numCentroids <= Similarity.MaxLiteralCentroids) {
+    val built = if (numCentroids <= Similarity.MaxLiteralCentroids) {
       val low = Similarity.collectVecRows(
         cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
       val cents = low.take(numCentroids)
@@ -747,6 +768,9 @@ object Pq {
         Similarity.nearestCentroidsJoined(cp, cent, 1, idCol)
           .select(col(idCol), col("cent_id")), Seq(idCol))
     }
+    graft.core.IndexMeta.tag(built, "codes",
+      "kind" -> "ivfpq", "numCentroids" -> numCentroids,
+      "m" -> m, "ksub" -> ksub, "embCol" -> embCol, "idCol" -> idCol)
   }
 
   /** [[ivfPqIndex]] kept in the on-disk [[graft.core.IndexStore]],
@@ -759,7 +783,7 @@ object Pq {
       numCentroids: Int = 64, m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id",
       force: Boolean = false): DataFrame = {
-    val name = s"ivfpq-c$numCentroids-m$m-k$ksub-$embCol-$idCol-v1-" +
+    val name = s"ivfpq-c$numCentroids-m$m-k$ksub-$embCol-$idCol-v2-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
@@ -780,6 +804,9 @@ object Pq {
       embCol: String = "embedding", idCol: String = "vec_id",
       chunkSize: Int = MaxLiteralQueries): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
+    graft.core.IndexMeta.validate(index, "codes", "ivfPqTopKFromIndex",
+      "kind" -> "ivfpq", "numCentroids" -> numCentroids,
+      "m" -> m, "ksub" -> ksub, "embCol" -> embCol, "idCol" -> idCol)
     val cp = Similarity.prepared(corpus, embCol, idCol)
     if (numCentroids <= Similarity.MaxLiteralCentroids) {
       val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
@@ -798,24 +825,26 @@ object Pq {
   }
 
   /** Literal-regime serving against a prebuilt index: mirrors
-    * [[ivfPqLiteral]] minus the encode — ONE cheap corpus TakeOrdered
-    * (centroids + codebook sample) overlapped with the caller's query
-    * collect, then driver-computed ADC tables/probes feed the probed
-    * scan over the index frame.
+    * [[ivfPqLiteral]] minus the encode — ONE cheap TakeOrdered over
+    * `lowSrc` (centroids + codebook sample; the prepared corpus for
+    * hand-held indexes, the stored n-row sample for store-served
+    * calls — the latter never scans the corpus) overlapped with the
+    * caller's query collect, then driver-computed ADC tables/probes
+    * feed the probed scan over the index frame.
     */
-  private def fromIndexLiteral(index: DataFrame, cp: DataFrame,
+  private def fromIndexLiteral(index: DataFrame, lowSrc: DataFrame,
       qrowsB: BuildCollect[Array[Similarity.VecRow]],
       k: Int, numCentroids: Int, nprobe: Int, m: Int, ksub: Int,
       idCol: String, chunkSize: Int): DataFrame = {
     val (cents, cb) = withBuild(qrowsB) {
       val low = Similarity.collectVecRows(
-        cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
+        lowSrc.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
       (low.take(numCentroids).map(r => Similarity.CentRow(r.id, r.v, r.n2)),
         codebookFromVecs(low.take(ksub).map(_.v).toSeq, m))
     }
     val qrows = qrowsB.await()
     val dt = driverDistTables(qrows, cb)
-    val spark = cp.sparkSession
+    val spark = lowSrc.sparkSession
     import spark.implicits._
     val probes = qrows.toSeq.flatMap(q =>
       Similarity.driverNearestCells(q, cents, nprobe).map(c => (q.id, c)))
@@ -826,16 +855,32 @@ object Pq {
   /** [[ivfPqTopK]] served from the stored index — the registered
     * build-once/query-many pair's query half. Output-identical to the
     * inline form (codes are a deterministic function of the corpus).
+    * In the literal regime the centroid/codebook sample comes from
+    * the stored low-id rows, so serving never scans the corpus; the
+    * over-limit regime falls back to the corpus-deriving
+    * [[ivfPqTopKFromIndex]].
     */
   def ivfPqTopKPrebuilt(corpus: DataFrame, corpusPath: String,
       queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8, m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id",
       chunkSize: Int = MaxLiteralQueries): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
     val index = storedIvfPqIndex(corpus, corpusPath, numCentroids, m, ksub,
       embCol, idCol)
-    ivfPqTopKFromIndex(index, corpus, queries, k, numCentroids, nprobe,
-      m, ksub, embCol, idCol, chunkSize)
+    if (numCentroids <= Similarity.MaxLiteralCentroids) {
+      graft.core.IndexMeta.validate(index, "codes", "ivfPqTopKPrebuilt",
+        "kind" -> "ivfpq", "numCentroids" -> numCentroids,
+        "m" -> m, "ksub" -> ksub, "embCol" -> embCol, "idCol" -> idCol)
+      val sample = Similarity.storedPreparedSample(corpus, corpusPath,
+        math.max(ksub, numCentroids), embCol, idCol)
+      val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
+        Similarity.prepared(queries, embCol, idCol), idCol))
+      fromIndexLiteral(index, sample, qrowsB, k, numCentroids, nprobe, m,
+        ksub, idCol, chunkSize)
+    } else
+      ivfPqTopKFromIndex(index, corpus, queries, k, numCentroids, nprobe,
+        m, ksub, embCol, idCol, chunkSize)
   }
 
   /** [[ivfPqRerankTopK]] served from the stored index: nomination
@@ -864,10 +909,12 @@ object Pq {
       embCol, idCol)
     val cp = Similarity.prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
+    val sample = Similarity.storedPreparedSample(corpus, corpusPath,
+      math.max(ksub, numCentroids), embCol, idCol)
     val qrowsB = buildCollect(queries)(Similarity.collectVecRows(
       Similarity.prepared(queries, embCol, idCol), idCol))
-    val nominate = fromIndexLiteral(index, cp, qrowsB, rerank, numCentroids,
-      nprobe, m, ksub, idCol, chunkSize)
+    val nominate = fromIndexLiteral(index, sample, qrowsB, rerank,
+      numCentroids, nprobe, m, ksub, idCol, chunkSize)
     val qp = qrowsB.await().toSeq.map(q => (q.id, q.v.toSeq, q.n2))
       .toDF("query_id", "qv", "qn2")
     rerankTail(cp, nominate.select(col("query_id"), col(idCol)), qp, k, idCol)

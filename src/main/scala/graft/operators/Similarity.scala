@@ -523,10 +523,13 @@ object Similarity {
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
     val cent = centroidSample(cp, numCentroids, idCol)
-    collectCentroidRows(cent).filter(literalEligible) match {
+    val assigned = collectCentroidRows(cent).filter(literalEligible) match {
       case Some(cents) => nearestCentroidsFromRows(cp, cents, 1, idCol)
       case None => nearestCentroidsJoined(cp, cent, 1, idCol)
     }
+    graft.core.IndexMeta.tag(assigned, "cent_id",
+      "kind" -> "ivf", "numCentroids" -> numCentroids,
+      "embCol" -> embCol, "idCol" -> idCol)
   }
 
   /** [[ivfIndex]] behind the metadata-versioned store
@@ -537,29 +540,44 @@ object Similarity {
       numCentroids: Int = 64,
       embCol: String = "embedding", idCol: String = "vec_id",
       force: Boolean = false): DataFrame = {
-    val name = s"ivf-c$numCentroids-$embCol-$idCol-v1-" +
+    val name = s"ivf-c$numCentroids-$embCol-$idCol-v2-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
       ivfIndex(corpus, numCentroids, embCol, idCol))
   }
 
-  /** The IVF query phase against an already-built index frame: the
-    * per-call work is the centroid-sample and query collects (tiny,
-    * overlapped — [[graft.core.Builds]]) plus the probed-cell scan
-    * over index bytes; the corpus-wide assignment pass happens zero
-    * times per query. Output-identical to [[ivfTopK]] at the same
-    * knobs — the assignment is a deterministic function of the
-    * corpus.
+  /** The `n` lowest-id prepared rows (idCol, v, n2) persisted behind
+    * the metadata-versioned store. The deterministic low-id sample is
+    * what every index family derives its centroid table and codebook
+    * from; persisting it beside the index removes the LAST corpus
+    * touch from the serving paths — a prebuilt top-k reads index
+    * bytes plus this n-row frame and never scans the source again.
+    * Keyed by n alone (plus columns), so families sharing a sample
+    * size share the entry.
     */
-  def ivfTopKFromIndex(index: DataFrame, corpus: DataFrame,
-      queries: DataFrame, k: Int,
-      numCentroids: Int = 64, nprobe: Int = 8,
-      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val spark = corpus.sparkSession
+  private[operators] def storedPreparedSample(corpus: DataFrame,
+      corpusPath: String, n: Int,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      force: Boolean = false): DataFrame = {
+    val name = s"sample-n$n-$embCol-$idCol-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      prepared(corpus, embCol, idCol).orderBy(col(idCol)).limit(n))
+  }
+
+  /** The IVF query phase against an already-built index frame and an
+    * explicit centroid table: the per-call work is the centroid and
+    * query collects (tiny, overlapped — [[graft.core.Builds]]) plus
+    * the probed-cell scan over index bytes; the corpus-wide
+    * assignment pass happens zero times per query.
+    */
+  private def serveIvfIndex(index: DataFrame, cent: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      embCol: String, idCol: String): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val cp = prepared(corpus, embCol, idCol)
-    val cent = centroidSample(cp, numCentroids, idCol)
     val qrowsB = graft.core.Builds.buildCollect(queries)(
       collectVecRows(prepared(queries, embCol, idCol), idCol))
     val centsOpt = graft.core.Builds.withBuild(qrowsB)(
@@ -584,17 +602,42 @@ object Similarity {
     finishTopKAgg(scored, k, idCol)
   }
 
+  /** [[serveIvfIndex]] with the centroid table re-derived from the
+    * passed corpus (a hand-held index frame's serving entry point).
+    * Output-identical to [[ivfTopK]] at the same knobs — the
+    * assignment is a deterministic function of the corpus.
+    */
+  def ivfTopKFromIndex(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.core.IndexMeta.validate(index, "cent_id", "ivfTopKFromIndex",
+      "kind" -> "ivf", "numCentroids" -> numCentroids,
+      "embCol" -> embCol, "idCol" -> idCol)
+    val cent = centroidSample(prepared(corpus, embCol, idCol),
+      numCentroids, idCol)
+    serveIvfIndex(index, cent, queries, k, nprobe, embCol, idCol)
+  }
+
   /** [[ivfTopK]] served from the stored index — the
     * build-once/query-many shape (mirrors
-    * [[graft.operators.Pq.ivfPqTopKPrebuilt]]).
+    * [[graft.operators.Pq.ivfPqTopKPrebuilt]]). Centroids come from
+    * the stored low-id sample, so steady-state serving touches index
+    * bytes and the n-row sample ONLY — no source scan of any kind.
     */
   def ivfTopKPrebuilt(corpus: DataFrame, corpusPath: String,
       queries: DataFrame, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8,
       embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val index = storedIvfIndex(corpus, corpusPath, numCentroids, embCol, idCol)
-    ivfTopKFromIndex(index, corpus, queries, k, numCentroids, nprobe,
-      embCol, idCol)
+    graft.core.IndexMeta.validate(index, "cent_id", "ivfTopKPrebuilt",
+      "kind" -> "ivf", "numCentroids" -> numCentroids,
+      "embCol" -> embCol, "idCol" -> idCol)
+    val cent = storedPreparedSample(corpus, corpusPath, numCentroids,
+        embCol, idCol)
+      .select(col(idCol).as("cent_id"), col("v").as("cv"),
+        col("n2").as("cn2"))
+    serveIvfIndex(index, cent, queries, k, nprobe, embCol, idCol)
   }
 
   /** Auto centroid count: C = ceil(sqrt(n x targetCell)), floor 16.

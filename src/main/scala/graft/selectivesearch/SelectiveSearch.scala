@@ -104,7 +104,17 @@ object SelectiveSearch {
     // multiplication BIT-FOR-BIT as a sequence fold — same float ops
     // in the same order, so budgets cannot diverge from the driver
     // form (PropertiesSuite pins the two across random knobs).
-    val nb = results.agg((max(col("bucket")) + lit(1)).cast("double").as("__nb"))
+    // Empty results would make max(bucket) null, nulling every budget
+    // and silently emptying the output where the reference's driver
+    // `first().getAs[Number]` form failed loudly — guard in-plan (the
+    // Lm.bigramLmPlan pattern: raise_error inside the one-row frame).
+    val nb = results.agg(max(col("bucket")).as("__maxb"))
+      .select(when(col("__maxb").isNotNull,
+          (col("__maxb") + lit(1)).cast("double"))
+        .otherwise(raise_error(
+          lit("selectWithDecay: empty results frame (max(bucket) undefined)"))
+          .cast("double"))
+        .as("__nb"))
     val lookup = decayBudgetLookup(spark, nb, t, decayFactor)
     val sel = selection.filter(col("rank") < lit(t))
       .join(broadcast(lookup), Seq("rank"), "inner")

@@ -26,7 +26,17 @@ object EventsStream {
     val eventTime = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         expr("timestamp_micros(ts div 1000)")
-      case _ => expr("cast(ts as timestamp)")
+      case _ =>
+        // tz-free NTZ -> instant: the NTZ wall-clock is UTC by
+        // convention (Tables.events), so derive epoch-micros with
+        // pure wall-clock arithmetic and rebuild the timestamp from
+        // them. A bare `cast(ts as timestamp)` is an NTZ->LTZ cast
+        // that interprets the wall-clock in the SESSION zone — under
+        // a non-UTC session every event_time would shift by the zone
+        // offset vs the long-nanos layout (StreamingSuite pins the
+        // two layouts equal under a non-UTC session).
+        expr("timestamp_micros(timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))")
     }
     spark.readStream.schema(schema).parquet(eventsDir)
       .withColumn("event_time", eventTime)

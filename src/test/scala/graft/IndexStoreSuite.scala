@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{IndexMeta, IndexStore}
+import graft.operators.Similarity
+
+/** Direct tests of the build-once/query-many store machinery:
+  * manifest-hit reuse, mismatch/crash rebuild, fingerprint
+  * sensitivity (including the partition-dir rename case the
+  * fingerprint's relative-path design exists for), and the
+  * build-parameter stamp that guards the *FromIndex serving paths.
+  */
+class IndexStoreSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def uniqueName(prefix: String) =
+    s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  test("readOrBuild reuses a manifest-matched store and rebuilds on mismatch") {
+    val name = uniqueName("test-reuse")
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val r1 = IndexStore.readOrBuild(spark, name, "fp-A")(build)
+    assert(builds == 1 && r1.count() == 2)
+    // same fingerprint: served from the store, builder not invoked
+    val r2 = IndexStore.readOrBuild(spark, name, "fp-A")(build)
+    assert(builds == 1 && r2.count() == 2)
+    // changed fingerprint (source changed): rebuilt and re-stored
+    IndexStore.readOrBuild(spark, name, "fp-B")(build)
+    assert(builds == 2)
+    // force: rebuilt even when the manifest matches
+    IndexStore.readOrBuild(spark, name, "fp-B", force = true)(build)
+    assert(builds == 3)
+  }
+
+  test("readOrBuild does not trust a crashed build (missing manifest)") {
+    val name = uniqueName("test-crash")
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a")).toDF("id", "v") }
+    IndexStore.readOrBuild(spark, name, "fp")(build)
+    assert(builds == 1)
+    // simulate a crash between data write and manifest write: data
+    // exists, manifest doesn't -> must rebuild
+    val meta = new java.io.File(new java.io.File(IndexStore.baseDir, name),
+      "_graft_manifest")
+    assert(meta.delete(), "manifest should exist after a clean build")
+    IndexStore.readOrBuild(spark, name, "fp")(build)
+    assert(builds == 2)
+  }
+
+  test("sourceFingerprint sees size, mtime, and partition-dir renames") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fp").toFile
+    def put(rel: String, content: String, mtime: Long): Unit = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+      f.setLastModified(mtime)
+    }
+    val t0 = 1700000000000L
+    put("p=0/part-00000", "aa", t0)
+    put("p=1/part-00001", "bb", t0)
+    val base = IndexStore.sourceFingerprint(root.getPath)
+    assert(base == IndexStore.sourceFingerprint(root.getPath), "not deterministic")
+    // size change
+    put("p=0/part-00000", "aaa", t0)
+    val sized = IndexStore.sourceFingerprint(root.getPath)
+    assert(sized != base)
+    put("p=0/part-00000", "aa", t0)
+    assert(IndexStore.sourceFingerprint(root.getPath) == base)
+    // mtime change, same size
+    put("p=0/part-00000", "aa", t0 + 60000)
+    val touched = IndexStore.sourceFingerprint(root.getPath)
+    assert(touched != base)
+    put("p=0/part-00000", "aa", t0)
+    assert(IndexStore.sourceFingerprint(root.getPath) == base)
+    // the doc-comment case: a same-named file MOVED between partition
+    // dirs (p=1/part-00001 -> p=0/part-00001) keeps every basename,
+    // size, and mtime — only the relative path differs
+    val moved = new java.io.File(root, "p=0/part-00001")
+    assert(new java.io.File(root, "p=1/part-00001").renameTo(moved))
+    moved.setLastModified(t0)
+    assert(IndexStore.sourceFingerprint(root.getPath) != base,
+      "a partition-dir rename must change the fingerprint")
+  }
+
+  test("index build params survive the store round-trip and gate serving") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-meta").toFile
+    val src = new java.io.File(tmp, "corpus.parquet").getPath
+    val rnd = new scala.util.Random(11)
+    Seq.tabulate(60)(i => (i.toLong, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(src)
+    val corpus = spark.read.parquet(src)
+    val q = corpus.filter($"vec_id" < 2)
+    val index = Similarity.storedIvfIndex(corpus, src, numCentroids = 8)
+    // the stamp survived parquet: serving with MATCHING knobs works...
+    assert(Similarity.ivfTopKFromIndex(index, corpus, q, 3,
+      numCentroids = 8).count() > 0)
+    // ...and serving with DIFFERENT knobs fails loudly instead of
+    // silently scoring against re-derived centroids that don't match
+    // the stored cent_ids
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(index, corpus, q, 3, numCentroids = 16)
+    }
+    assert(err.getMessage.contains("numCentroids=16") &&
+      err.getMessage.contains("numCentroids=8"), err.getMessage)
+    // hand-assembled frames without a stamp are accepted (the stamp
+    // guards built artifacts, it is not a capability gate)
+    val bare = index.withColumn("cent_id", col("cent_id") + 0L)
+    IndexMeta.validate(bare, "cent_id", "test", "kind" -> "ivf")
+    graft.core.OpCaches.release()
+  }
+}

@@ -76,6 +76,39 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming: NTZ event_time derivation is session-timezone-free") {
+    // mirror of the IoSuite batch pin (Tables.events): the NTZ
+    // wall-clock is UTC by convention, so readEvents under a non-UTC
+    // session must yield the same instants as the long-nanos layout —
+    // a cast-through-LTZ would shift every event_time by the offset
+    val us = Seq(1704067200000000L, 1704067201500000L)
+    val buildDir = java.nio.file.Files.createTempDirectory("graft-ev-build")
+    us.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("event_id", "us")
+      .select($"event_id", expr("cast(timestamp_micros(us) as timestamp_ntz)").as("ts"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(buildDir.toString)
+    // stage the single part file under the watched dir (file-stream
+    // sources list top-level entries; a nested directory would not
+    // batch-infer)
+    val part = new java.io.File(buildDir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val ntzDir = java.nio.file.Files.createTempDirectory("graft-ev-ntz")
+    java.nio.file.Files.copy(part.toPath, ntzDir.resolve("events.parquet"))
+    val tzKey = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val streamed = EventsStream.readEvents(spark, ntzDir.toString)
+        .select($"event_id", expr("unix_micros(event_time)").as("em"))
+      val q = streamed.writeStream.format("memory").queryName("ntz_tz")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("ntz_tz").orderBy("event_id")
+        .select("em").as[Long].collect().toSeq
+      assert(got == us, s"event_time is session-tz-dependent: $got vs $us")
+    } finally spark.conf.set(tzKey, orig)
+  }
+
   test("streaming: dedup within watermark drops duplicate keys") {
     val dir = sf("sf0.001")
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dup")

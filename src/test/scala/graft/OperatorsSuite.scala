@@ -216,6 +216,40 @@ class OperatorsSuite extends SparkSuite {
     assert(again == pairs)
   }
 
+  test("json_extract semantics pinned for non-scalar and missing keys") {
+    // the registered query uses get_json_object (not a typed from_json
+    // struct field): missing key -> null, but a NON-SCALAR value comes
+    // back as the raw JSON text — and its int cast THROWS under ANSI
+    // where the struct form would have nulled. Pin both so a testdata
+    // refresh with nested props fails visibly, not silently.
+    val df = Seq(
+      (0L, """{"k": "7"}"""),
+      (1L, """{"k": {"a": 1}}"""),
+      (2L, """{"x": 1}"""))
+      .toDF("event_id", "props")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+    val rows = df.orderBy("event_id").collect()
+    assert(rows(0).getString(1) == "7")
+    assert(rows(1).getString(1).replaceAll("\\s", "") == """{"a":1}""",
+      s"non-scalar k should surface as raw JSON text, got ${rows(1).getString(1)}")
+    assert(rows(2).isNullAt(1))
+    val ansiKey = "spark.sql.ansi.enabled"
+    val orig = spark.conf.get(ansiKey)
+    try {
+      spark.conf.set(ansiKey, "true")
+      // scalar rows cast cleanly (the oracle-matched path)
+      val ok = df.filter(col("event_id") === 0)
+        .select(col("k_str").cast("int")).collect()
+      assert(ok.head.getInt(0) == 7)
+      // the raw JSON text of a nested value is not int-castable
+      intercept[Exception] {
+        df.filter(col("event_id") === 1)
+          .select(col("k_str").cast("int")).collect()
+      }
+    } finally spark.conf.set(ansiKey, orig)
+  }
+
   test("ngramJaccardPairs maxDocFreq drops hot shingles consistently") {
     // "x y z" appears in all three docs (df=3); the cap at 2 removes it
     val docs = Seq(

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.rand
 
 import graft.core.MissingColumnException
 import graft.selectivesearch.{BucketResolver, SelectiveSearch}
@@ -98,6 +99,34 @@ class SelectiveSearchSuite extends SparkSuite {
     assertRowsEqual(resolved, Seq(
       Seq(0, 0, 0), Seq(0, 1, 0), Seq(0, 2, 0),
       Seq(1, 0, 0), Seq(1, 0, 1), Seq(1, 1, 0)))
+  }
+
+  test("selectWithDecay on empty results fails loudly, not silently empty") {
+    // empty results -> max(bucket) null -> every budget null: without
+    // the in-plan guard the output would silently be empty where the
+    // reference's driver `first().getAs[Number]` form raised. A
+    // statically-KNOWN-empty local input is collapsed whole by
+    // PropagateEmptyRelation before the guard can evaluate — and
+    // empty output for provably empty input is the right answer — so
+    // exercise the guard with a parquet-backed input whose emptiness
+    // only materializes at runtime (the 100 TB shape: a filter that
+    // happens to match nothing). AQE off so runtime empty-stage
+    // pruning cannot race the guard's one-row agg.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val origAqe = spark.conf.get(aqeKey)
+    val err = intercept[Exception] {
+      try {
+        spark.conf.set(aqeKey, "false")
+        SelectiveSearch.selectWithDecay(
+          selection, Tables.results(spark, sf("sf0.001")).filter($"score" < 0),
+          3, 0.5).collect()
+      } finally spark.conf.set(aqeKey, origAqe)
+    }
+    val messages = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("empty results"),
+      s"expected the raise_error guard, got: $messages")
   }
 
   test("missing columns raise MissingColumnException") {
