@@ -733,6 +733,19 @@ object SparkEntry {
         .transform(topkSorted)
     }),
 
+    // The fitted codebook as a PINNED fit artifact
+    // (PinnedCodebook.FittedPq): both engines consume the same
+    // literal entries — Spark through the codebooks override, DuckDB
+    // through a generated VALUES table — so the fitted-codebook ADC
+    // top-k is fully hash-checked where ann_pq_fitted_topk (live
+    // in-call fit) is rows-only by design
+    "ann_pq_fitted_pinned" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5,
+        codebooks = Some(PinnedCodebook.FittedPq))
+        .transform(topkSorted)
+    }),
+
     // Driver-auditable quality bound for the fitted codebook: ONE
     // boolean row "fitted codebook's total quantization distortion
     // <= sample codebook's" — distortion is the objective k-means
@@ -1085,13 +1098,11 @@ object SparkEntry {
   // the PQ codebook/encode/distance-table pipeline as reusable CTEs
   // (shared by the plain-PQ and the IVF+PQ oracle): 4 subspaces x 16
   // dims, 16-entry sample codebooks from the lowest-id vectors
-  private val PqCtes =
-    s"""low AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM qn
-       |        QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
-       |cb AS (SELECT sub.s, low.j,
-       |         list_slice(low.v, sub.s * 16 + 1, sub.s * 16 + 16) AS e
-       |       FROM low CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) sub),
-       |enc AS (SELECT vec_id, s, j AS code FROM (
+  // the encode + ADC-table tail over whatever `cb(s, j, e)` CTE
+  // precedes it (the lowest-id sample for the oracle-derivable rows,
+  // literal VALUES for the pinned fitted codebook)
+  private val PqEncDtabCtes =
+    s"""enc AS (SELECT vec_id, s, j AS code FROM (
        |          SELECT qn.vec_id, cb.s, cb.j,
        |            row_number() OVER (PARTITION BY qn.vec_id, cb.s ORDER BY
        |              list_sum(list_transform(generate_series(1, 16),
@@ -1101,6 +1112,28 @@ object SparkEntry {
        |           CAST(list_sum(list_transform(generate_series(1, 16),
        |             i -> (q.v[cb.s * 16 + i] - cb.e[i]) * (q.v[cb.s * 16 + i] - cb.e[i]))) AS BIGINT) AS d
        |         FROM qn q CROSS JOIN cb WHERE q.vec_id < 8)""".stripMargin
+
+  private val PqCtes =
+    s"""low AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM qn
+       |        QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+       |cb AS (SELECT sub.s, low.j,
+       |         list_slice(low.v, sub.s * 16 + 1, sub.s * 16 + 16) AS e
+       |       FROM low CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) sub),
+       |$PqEncDtabCtes""".stripMargin
+
+  /** The pinned fitted codebook as a DuckDB VALUES table — generated
+    * from [[PinnedCodebook.FittedPq]] so the oracle's literals can
+    * never drift from the Spark side's.
+    */
+  private def pinnedCbCte: String = {
+    val rows = PinnedCodebook.FittedPq.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (e, j) =>
+        s"($s, $j, [${e.mkString(", ")}])"
+      }
+    }
+    rows.mkString("cb AS (SELECT * FROM (VALUES\n       ",
+      ",\n       ", ") t(s, j, e))")
+  }
 
   // the IVF-restricted ADC scan as reusable CTEs (shared by the
   // IVF+PQ query and its rerank variant): C=64 assignment, nprobe=8,
@@ -1348,6 +1381,19 @@ object SparkEntry {
     "ann_pq_topk" ->
       s"""WITH $QuantCte,
          |$PqCtes,
+         |sc AS (SELECT dtab.query_id, enc.vec_id, CAST(sum(dtab.d) AS BIGINT) AS pq_dist
+         |       FROM enc JOIN dtab ON enc.s = dtab.s AND enc.code = dtab.j
+         |       WHERE dtab.query_id != enc.vec_id GROUP BY 1, 2),
+         |rk AS (SELECT query_id, vec_id, pq_dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, vec_id) AS r
+         |       FROM sc)
+         |SELECT query_id, CAST(r AS INT) AS rank, vec_id, pq_dist
+         |FROM rk WHERE r <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_pq_fitted_pinned" ->
+      s"""WITH $QuantCte,
+         |$pinnedCbCte,
+         |$PqEncDtabCtes,
          |sc AS (SELECT dtab.query_id, enc.vec_id, CAST(sum(dtab.d) AS BIGINT) AS pq_dist
          |       FROM enc JOIN dtab ON enc.s = dtab.s AND enc.code = dtab.j
          |       WHERE dtab.query_id != enc.vec_id GROUP BY 1, 2),

@@ -85,7 +85,22 @@ object IndexStore {
       if (meta.exists()) meta.delete()
       build.write.mode("overwrite").parquet(data.getPath)
       java.nio.file.Files.writeString(meta.toPath, fingerprint)
+      readCache.remove((spark, data.getPath))
     }
-    spark.read.parquet(data.getPath)
+    if (readCache.size > 512) readCache.clear()
+    readCache.computeIfAbsent((spark, data.getPath),
+      key => key._1.read.parquet(key._2))
   }
+
+  /** Memoized store reads per (session, path): `read.parquet`
+    * rebuilds a file index and re-reads footers on EVERY call — pure
+    * per-serving-call floor for frames that change only when
+    * [[readOrBuild]] itself rewrites them (the entry is invalidated
+    * on rebuild above). Same bounded-map shape and staleness contract
+    * as Tables.readCache; a rewrite by ANOTHER process is invisible
+    * until the manifest mismatch forces a local rebuild — the
+    * single-writer contract already documented above.
+    */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 }
