@@ -163,21 +163,34 @@ object SparkEntry {
           .withColumn("title", concat(lit("doc"), col("gdocid"))),
         cutoff = 50)),
 
-    // T2: per-group head (top-k within (query, shard) by score).
-    // Stays the WINDOW form deliberately: gdocid is NOT unique in
-    // this data (the synthetic results carry duplicate rows), so a
-    // bounded-top_k + id fetch-back would both drop duplicate-id rows
-    // inside the heap and over-fetch rows sharing a selected id; a
-    // row-faithful bounded form needs the full row as the aggregate
-    // payload (c9_to_trec's top_k_tag shape), which for this 5-column
-    // frame buys little over the per-group window sort
+    // T2: per-group head (top-k within (query, shard) by score),
+    // as the bounded top_k_tag aggregate (c9_to_trec's row-faithful
+    // shape): each map task ships at most 3 rows per (query, shard) —
+    // the prior window form exchanged the full corpus-sized frame to
+    // rank 96 survivors (0.91 -> ~0.5 s at sf0.1, round 12). gdocid
+    // is NOT unique in this data (the synthetic results carry exact
+    // duplicate rows), so the ROW rides in the tag: a plain
+    // top_k(score, gdocid) + id fetch-back would over-fetch rows
+    // sharing a selected id, while the heap keeps duplicate
+    // (score, tag) entries as distinct members — the exact top-3
+    // multiset. Tag order (zero-padded gdocid, then bucket — bucket
+    // is gdocid-determined here, appended only to carry it) matches
+    // the window's (score desc, gdocid asc) tiebreak; duplicates are
+    // identical full rows, so the multiset equals the window form's.
     "t2_group_head" -> ((s, dir) => {
-      val w = Window.partitionBy(col("query"), col("shard"))
-        .orderBy(col("score").desc, col("gdocid").asc)
-      Tables.results(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3).drop("rn")
-        .orderBy(col("query"), col("shard"), col("score").desc, col("gdocid"))
+      val r = Tables.results(s, dir)
+      val tag = concat(lpad(col("gdocid").cast("string"), 20, "0"),
+        lit(":"), col("bucket").cast("string"))
+      r.groupBy(col("query"), col("shard"))
+        .agg(graft.functions.TopKFunctions
+          .top_k_tag(col("score").cast("double"), tag, 3).as("top"))
+        .select(col("query"), col("shard"), explode(col("top")).as("t"))
+        .select(col("query"), col("shard"),
+          split(col("t.tag"), ":").getItem(1).cast("int").as("bucket"),
+          col("t.score").as("score"),
+          split(col("t.tag"), ":").getItem(0).cast("long").as("gdocid"))
+        .transform(boundedSorted(_, col("query"), col("shard"),
+          col("score").desc, col("gdocid")))
     }),
 
     // U1: union-all of tagged slices
