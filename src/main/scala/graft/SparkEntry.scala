@@ -1028,6 +1028,40 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Domain-mixture resample: ~50% of the corpus re-weighted to a
+    // target language mixture (en/de/fr at 50/30/20; es and zh are
+    // dropped by omission from the recipe) — the domain-reweighting
+    // step of a training-data mixture. One tiny aggregate broadcast
+    // back as per-domain hash thresholds; the corpus passes once
+    // through a stateless filter.
+    "mixture_sample" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(
+        Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), totalFraction = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // PII redaction over a corpus carrying synthetic-but-well-formed
+    // identifiers (the testdata text is PII-free, so the row injects
+    // a deterministic email/phone/IP per document and redacts them —
+    // the regex chain itself is what the oracle hash-checks).
+    // Sorted-first: the narrow (doc_id, lang, text) frame sorts, the
+    // regex chain rides in a projection ABOVE the sort (order
+    // preserved — the json_extract shape, SCALING.md round 11).
+    "pii_redact" -> ((s, dir) => {
+      val withPii = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("lang"),
+          graft.operators.Curation.redactPii(withPii).as("red_text"))
+    }),
+
     // Set operations as explicit API, (user, day) grain: days a user
     // both viewed and purchased but saw no error (INTERSECT then
     // EXCEPT, both distinct; user-level sets are vacuous here — every
@@ -2268,6 +2302,41 @@ object SparkEntry {
          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT
          |      < floor(least(greatest(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0), 0.0), 1.0) * 281474976710656.0)
          |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sampling.mixtureSample: per-domain keep fraction
+    // min(1, ((0.5 * n) * t) / c) — the float chain left-associative
+    // token-for-token with the Spark side — then the same 48-bit
+    // hash threshold as the other samplers
+    "mixture_sample" ->
+      s"""WITH tgt AS (SELECT * FROM (VALUES ('de', 0.3), ('en', 0.5), ('fr', 0.2)) t(lang, tshare)),
+         |tot AS (SELECT count(*) AS n FROM documents),
+         |frac AS (SELECT c.lang,
+         |           least(1.0, 0.5 * CAST(tot.n AS DOUBLE) * tgt.tshare / CAST(c.c AS DOUBLE)) AS f
+         |         FROM (SELECT lang, count(*) AS c FROM documents GROUP BY 1) c
+         |         JOIN tgt ON c.lang = tgt.lang CROSS JOIN tot)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN frac ON d.lang = frac.lang
+         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT
+         |      < floor(frac.f * 281474976710656.0)
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Curation.redactPii over the same injected identifiers;
+    // the regex literals come from the SAME Scala constants, and
+    // DuckDB needs the 'g' flag where Spark replaces globally by
+    // default
+    "pii_redact" ->
+      s"""SELECT doc_id, lang,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+         |        lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+         |        CAST(doc_id % 256 AS VARCHAR) || '.7',
+         |        '${graft.operators.Curation.EmailRe}', '<EMAIL>', 'g'),
+         |      '${graft.operators.Curation.Ipv4Re}', '<IP>', 'g'),
+         |    '${graft.operators.Curation.PhoneRe}', '<PHONE>', 'g') AS red_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "set_ops" ->
       """SELECT user_id, d FROM (

@@ -108,4 +108,40 @@ object Curation {
       .select(col(idCol), col("cum_tokens"))
     df.join(kept, Seq(idCol))
   }
+
+  /** Email pattern: local part, '@', dotted domain, 2+ letter TLD. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (word-bounded; no octet range check — redaction
+    * errs toward masking).
+    */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** International phone shape +CC-XXX-XXX-XXXX with '-' or ' '
+    * separators — deliberately strict (a loose \\d{7,} pattern mauls
+    * ids, timestamps, and numeric tables in real corpora).
+    */
+  val PhoneRe = "\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  /** PII redaction: emails, then IPv4s, then phone numbers replaced
+    * with typed placeholder tokens — the scrubbing step a public
+    * training corpus goes through before anything else sees it.
+    *
+    * Stateless per-row expression (codegen'd regexp_replace chain):
+    * no shuffle, fully pushdown-friendly, trivially parallel. The
+    * patterns stay inside the Java/RE2 common subset (character
+    * classes, \\d, \\b, bounded repetition) so the SAME regex text
+    * runs identically in Spark and the SQL oracle (DuckDB needs the
+    * 'g' flag for replace-all; Spark's regexp_replace is global by
+    * default). Order matters and is fixed: an email is consumed
+    * before its domain can be mistaken for anything else.
+    *
+    * Redaction is pattern-based, not NER: it masks well-formed
+    * identifiers, not free-text names. Compose with upstream quality
+    * filters, not instead of them.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

@@ -95,4 +95,49 @@ object Sampling {
       idCol: String, k: Int, salt: String = "graft"): DataFrame =
     df.join(stratifiedSample(df, strataCols, idCol, k, salt)
       .select(col(idCol)), Seq(idCol), "left_semi")
+
+  /** Deterministic domain-MIXTURE resample: draw ~`totalFraction` of
+    * the corpus re-weighted to the `targets` mixture (domain ->
+    * desired share of the sample; domains absent from `targets` are
+    * dropped). The per-domain keep fraction is
+    * min(1, totalFraction x n x t_d / c_d) — the factor that turns
+    * domain d's current share c_d/n into target share t_d — and each
+    * row's keep decision is the same content-hash threshold as
+    * [[bernoulliSample]], so the sample is reproducible across
+    * engines, partitionings, and re-runs. This is the
+    * domain-reweighting step of a training-data mixture recipe
+    * (upsample-by-omission only: a domain whose target exceeds its
+    * supply saturates at keeping everything — this operator never
+    * duplicates rows).
+    *
+    * Scale shape: ONE small aggregate (|domains| rows, map-side
+    * combined) plus a one-row total, broadcast back as the per-domain
+    * threshold; the corpus itself passes once through a stateless
+    * filter — no corpus-sized shuffle, no driver collect.
+    */
+  def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
+      targets: Map[String, Double], totalFraction: Double,
+      salt: String = "graft"): DataFrame = {
+    require(totalFraction > 0 && totalFraction <= 1,
+      s"totalFraction $totalFraction not in (0,1]")
+    require(targets.nonEmpty && targets.values.forall(_ >= 0),
+      "targets must be non-empty with non-negative shares")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.sortBy(_._1).toDF(domainCol, "__t")
+    val total = df.agg(count(lit(1)).as("__n"))
+    val frac = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
+      .join(broadcast(tgt), Seq(domainCol))
+      .crossJoin(broadcast(total))
+      // left-associative float chain, mirrored token-for-token by the
+      // SQL oracle: ((totalFraction * n) * t) / c
+      .select(col(domainCol),
+        least(lit(1.0),
+          lit(totalFraction) * col("__n").cast("double") * col("__t") /
+            col("__c").cast("double")).as("__f"))
+    df.join(broadcast(frac), Seq(domainCol))
+      .filter(hash48(col(idCol), salt) <
+        floor(col("__f") * lit(281474976710656.0)))
+      .drop("__f")
+  }
 }

@@ -216,6 +216,54 @@ class OperatorsSuite extends SparkSuite {
     assert(again == pairs)
   }
 
+  test("mixtureSample hits target mixture proportions and is reproducible") {
+    import graft.operators.Sampling
+    // 1000 'a' rows, 200 'b' rows, 300 'c' rows; recipe wants a 50/50
+    // a/b sample at 40% of the corpus (600 rows): a -> 300/1000,
+    // b -> min(1, 300/200) = all 200 (upsample-by-omission saturates),
+    // c -> dropped (absent from the recipe)
+    val df = ((0 until 1000).map(i => (i.toLong, "a")) ++
+      (1000 until 1200).map(i => (i.toLong, "b")) ++
+      (1200 until 1500).map(i => (i.toLong, "c")))
+      .toDF("id", "dom")
+    val got = Sampling.mixtureSample(df, "dom", "id",
+      Map("a" -> 0.5, "b" -> 0.5), totalFraction = 0.4)
+    val byDom = got.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byDom.contains("c"), s"unlisted domain kept: $byDom")
+    assert(byDom("b") == 200, s"saturated domain must keep all rows: $byDom")
+    // hash-thresholded Bernoulli at 0.3: expect ~300 of 1000 (binomial
+    // 3-sigma ~ 43)
+    assert(math.abs(byDom("a") - 300L) < 60, s"a-domain off target: $byDom")
+    // deterministic: same call, same rows
+    val again = Sampling.mixtureSample(df, "dom", "id",
+      Map("a" -> 0.5, "b" -> 0.5), totalFraction = 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(df, "dom", "id", Map("a" -> 0.5), 0.0))
+  }
+
+  test("redactPii masks well-formed identifiers and leaves look-alikes alone") {
+    import graft.operators.Curation
+    val df = Seq(
+      (0L, "mail bob.smith+x@sub.example.org now"),
+      (1L, "server at 192.168.0.1 responded"),
+      (2L, "call +1-555-123-4567 today"),
+      (3L, "version 1.2.3 of pi 3.14 at rank 4"), // 3 dotted groups / floats: untouched
+      (4L, "ticket 555-123-4567 plain"),          // no +CC prefix: untouched
+      (5L, "a@b fragment"))                       // no TLD: untouched
+      .toDF("id", "t")
+      .select(col("id"), Curation.redactPii(col("t")).as("r"))
+    val got = df.orderBy("id").collect().map(_.getString(1))
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "server at <IP> responded")
+    assert(got(2) == "call <PHONE> today")
+    assert(got(3) == "version 1.2.3 of pi 3.14 at rank 4")
+    assert(got(4) == "ticket 555-123-4567 plain")
+    assert(got(5) == "a@b fragment")
+  }
+
   test("json_extract semantics pinned for non-scalar and missing keys") {
     // the registered query uses get_json_object (not a typed from_json
     // struct field): missing key -> null, but a NON-SCALAR value comes
