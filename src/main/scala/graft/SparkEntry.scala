@@ -1062,6 +1062,35 @@ object SparkEntry {
           graft.operators.Curation.redactPii(withPii).as("red_text"))
     }),
 
+    // RAG-style token-window chunking: overlapping 32-token chunks
+    // advanced by 24 (8 tokens of shared context). Sorted-first: the
+    // narrow (doc_id, text) frame range-sorts on doc_id, the explode
+    // rides ABOVE the sort and emits chunk_ids in sequence order, so
+    // the output arrives (doc_id, chunk_id)-ordered without a second
+    // sort over the multiplied rows.
+    "chunk_overlap" -> ((s, dir) =>
+      graft.operators.Chunking.chunkByTokens(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .orderBy("doc_id"),
+        window = 32, stride = 24)),
+
+    // Winnowing fingerprints (Schleimer et al. 2003): k=3-token
+    // shingles, window w=4 — the MOSS-style passage sketch. Same
+    // sorted-first shape; fps explode pre-sorted ascending per doc.
+    "winnow_fingerprints" -> ((s, dir) =>
+      graft.operators.Fingerprint.winnowFingerprints(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .orderBy("doc_id"),
+        k = 3, w = 4)),
+
+    // Keyword extraction: top-3 TF-IDF terms per document. The final
+    // frame is corpus-proportional (3 rows per doc) — range sort, not
+    // the single-partition presentation sort.
+    "tfidf_topterms" -> ((s, dir) =>
+      graft.operators.Retrieval.tfidfTopTerms(
+        Tables.documents(s, dir), topK = 3)
+        .orderBy("doc_id", "rank")),
+
     // Set operations as explicit API, (user, day) grain: days a user
     // both viewed and purchased but saw no error (INTERSECT then
     // EXCEPT, both distinct; user-level sets are vacuous here — every
@@ -2324,6 +2353,65 @@ object SparkEntry {
     // the regex literals come from the SAME Scala constants, and
     // DuckDB needs the 'g' flag where Spark replaces globally by
     // default
+    // mirrors Chunking.chunkByTokens(window=32, stride=24): identical
+    // integer chunk grid (`//` = Spark's `div` for the non-negative
+    // operands here), and DuckDB's inclusive 1-based list slice
+    // [a : a+31] clamps at the end exactly like Spark's
+    // slice(toks, a, 32)
+    "chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $TokensExpr AS toks FROM documents
+         |           WHERE length(trim(text)) > 0),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |g AS (SELECT doc_id, toks,
+         |             unnest(generate_series(0,
+         |               CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS chunk_id
+         |      FROM n),
+         |ck AS (SELECT doc_id, chunk_id,
+         |              toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS ck
+         |       FROM g)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |       CAST(len(ck) AS INT) AS n_chunk_tokens,
+         |       array_to_string(ck, ' ') AS chunk_text
+         |FROM ck ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // mirrors Fingerprint.winnowFingerprints(k=3, w=4): positional
+    // 3-shingle md5-48bit hashes (the same '0x'||substr(md5,1,12)
+    // slice every hashing oracle uses), min per 4-wide window
+    // (full-width when a doc has < 4 shingles), distinct ascending
+    "winnow_fingerprints" ->
+      s"""WITH w AS (SELECT doc_id, $TokensExpr AS ws FROM documents
+         |           WHERE length(trim(text)) > 0),
+         |s AS (SELECT doc_id,
+         |             list_transform(generate_series(1, len(ws) - 2),
+         |               i -> ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 12))::BIGINT) AS h
+         |      FROM w WHERE len(ws) >= 3),
+         |wd AS (SELECT doc_id, h, least(4, len(h)) AS wsz FROM s),
+         |f AS (SELECT doc_id,
+         |             list_sort(list_distinct(
+         |               list_transform(generate_series(1, len(h) - wsz + 1),
+         |                 j -> list_min(h[j : j + wsz - 1])))) AS fps
+         |      FROM wd)
+         |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
+
+    // mirrors Retrieval.tfidfTopTerms(topK=3): raw-count tf, df from
+    // the distinct (doc, term) rows, score = tf * N / df as the SAME
+    // two IEEE ops in the same order (multiply then divide) — no
+    // transcendental, so bit-identity needs no quantization
+    "tfidf_topterms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TokensExpr) AS term FROM documents
+         |             WHERE length(trim(text)) > 0),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term <> '' GROUP BY 1, 2),
+         |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |              CAST(tf.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE) AS score
+         |       FROM tf JOIN dfc USING (term) CROSS JOIN nd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY score DESC, term ASC) AS rank FROM sc)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "pii_redact" ->
       s"""SELECT doc_id, lang,
          |  regexp_replace(

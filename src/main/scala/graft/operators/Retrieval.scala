@@ -107,4 +107,72 @@ object Retrieval {
         col("col.id").as("doc_id"),
         (col("col.score") / lit(1.0e9)).as("score"))
   }
+
+  /** Top TF-IDF terms per document — the keyword-extraction /
+    * salient-term-features step of a corpus pipeline. Plain raw-count
+    * tf with the unsmoothed ratio idf, score = tf * N / df as exactly
+    * two IEEE operations in that order (multiply, then divide — both
+    * correctly rounded, so any engine replaying the same op order is
+    * bit-identical; no transcendental in the hot path, unlike BM25's
+    * ln which leans on the integer quantization).
+    *
+    * Scale shape: one corpus tokenize pass cached, df via a map-side-
+    * combined groupBy(term) aggregate joined back (never a per-term
+    * window — a stopword's partition would be corpus-sized), and the
+    * per-document top-k via the bounded [[TopKFunctions.top_k_tag]]
+    * heap (≤ topK rows per document per map task), never a full
+    * sort.
+    *
+    * @return (doc_id, rank, term, tf, score): rank 1-based by
+    *         (score desc, term asc) per document, `topK` rows max.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastDf: Boolean = false): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val tf = graft.core.OpCaches.persistTracked(docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // tf rows are one per (doc, term), so count(*) per term IS the
+    // document frequency. The df frame is VOCABULARY-sized, not
+    // corpus-sized. Default is a PLAIN join and letting AQE convert:
+    // when the vocabulary's runtime stats fit the broadcast threshold
+    // AQE broadcasts it (no corpus re-shuffle) and when it doesn't —
+    // a web-scale vocabulary — it correctly stays a shuffle join; an
+    // eager broadcast() would OOM the driver exactly there. The
+    // interleaved A/B (TfidfProbe, sf0.1) also measured the eager
+    // broadcast SLOWER at toy scale (1.62 vs 1.21 s): it serializes
+    // the tf materialization into a driver collect before the main
+    // job, where the one-DAG shuffle plan overlaps them.
+    // `broadcastDf = true` forces the eager broadcast for callers
+    // that know their vocabulary and want the hint pinned.
+    val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(if (broadcastDf) broadcast(dfCounts) else dfCounts, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("double") * col("n_docs").cast("double") /
+          col("df").cast("double")).as("score"))
+    // per-doc top-k via the bounded top_k_tag heap, NOT a window:
+    // each map task ships at most topK rows per document and the
+    // doc-grain exchange never sorts whole partitions. The tiebreak
+    // key is the term STRING, so the long-id top_k cannot carry it;
+    // the tag packs term || TAB || tf — TAB cannot occur inside a
+    // whitespace-split token and sorts below every printable char, so
+    // (score desc, tag asc) == (score desc, term asc) and tf rides
+    // along for free.
+    val packed = scored.groupBy(col("doc_id"))
+      .agg(TopKFunctions.top_k_tag(col("score"),
+        concat_ws("\t", col("term"), col("tf")), topK).as("__top"))
+    packed
+      .select(col("doc_id"), posexplode(col("__top")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        element_at(split(col("col.tag"), "\t"), 1).as("term"),
+        element_at(split(col("col.tag"), "\t"), 2).cast("long").as("tf"),
+        col("col.score").as("score"))
+  }
 }

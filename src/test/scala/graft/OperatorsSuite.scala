@@ -314,4 +314,101 @@ class OperatorsSuite extends SparkSuite {
     assert(!capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 2L))
     assert(capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
   }
+
+  test("chunkByTokens covers every token with the exact stride grid") {
+    import graft.operators.Chunking
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (0L, words),        // 10 tokens
+      (1L, "a b c"),      // 3 tokens -> one chunk
+      (2L, "   "),        // blank -> dropped
+      (3L, "solo"))       // 1 token -> one chunk
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkByTokens(df, window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 0: starts 0,3,6 — ceil((10-4)/3)=2 -> last start 6 covers
+    // tokens 7..10; every token appears in >= 1 chunk
+    assert(got.toSeq == Seq(
+      (0L, 0, 4, "w1 w2 w3 w4"),
+      (0L, 1, 4, "w4 w5 w6 w7"),
+      (0L, 2, 4, "w7 w8 w9 w10"),
+      (1L, 0, 3, "a b c"),
+      (3L, 0, 1, "solo")), got.mkString("\n"))
+    intercept[IllegalArgumentException](
+      Chunking.chunkByTokens(df, window = 4, stride = 5))
+  }
+
+  test("chunkByTokens adjacent chunks share window - stride tokens") {
+    import graft.operators.Chunking
+    val df = Seq((0L, (1 to 100).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunkByTokens(df, window = 32, stride = 24)
+      .orderBy("chunk_id").collect()
+      .map(_.getString(3).split(" ").toSeq)
+    assert(chunks.length == 4) // starts 0, 24, 48, 72
+    chunks.sliding(2).foreach { pair =>
+      val (a, b) = (pair(0), pair(1))
+      assert(a.takeRight(8) == b.take(8), "8-token overlap broken")
+    }
+    assert(chunks.last.size == 28) // 100 - 72: short tail kept
+  }
+
+  test("winnowFingerprints guarantees shared fps for long shared passages") {
+    import graft.operators.Fingerprint
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (0L, s"aa bb cc $shared"),
+      (1L, s"$shared xx yy zz"),
+      (2L, "totally different words here entirely now"),
+      (3L, "ab"), // < k tokens -> dropped
+      (4L, "one two three")) // exactly one shingle -> one fp
+      .toDF("doc_id", "text")
+    val fps = Fingerprint.winnowFingerprints(df, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: a copied passage of >= w + k - 1 = 6
+    // tokens shares at least one fingerprint
+    assert((fps(0L) & fps(1L)).nonEmpty, "shared 20-token passage missed")
+    assert((fps(0L) & fps(2L)).isEmpty, "disjoint docs must not collide")
+    assert(!fps.contains(3L), "sub-shingle doc must drop")
+    assert(fps(4L).size == 1, "single-shingle doc keeps its one fp")
+    // density: ~2/(w+1) of shingles, never more than shingle count
+    assert(fps(0L).size <= 21 && fps(0L).size >= 2)
+  }
+
+  test("winnowFingerprints is position-robust: prefix shift keeps passage fps") {
+    import graft.operators.Fingerprint
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val df = Seq((0L, passage), (1L, s"pre1 pre2 pre3 pre4 pre5 $passage"))
+      .toDF("doc_id", "text")
+    val fps = Fingerprint.winnowFingerprints(df, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "fingerprints must be content-addressed, not offset-addressed")
+  }
+
+  test("tfidfTopTerms ranks rare terms above common ones") {
+    import graft.operators.Retrieval
+    val df = Seq(
+      (0L, "common common rare0 common"),
+      (1L, "common rare1 rare1"),
+      (2L, "common other2")).toDF("doc_id", "text")
+    val got = Retrieval.tfidfTopTerms(df, topK = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    // doc 0: rare0 (1 * 3/1 = 3) beats common (3 * 3/3 = 3) — tie
+    // broken by term asc? No: scores tie at 3.0, 'common' < 'rare0'
+    val doc0 = got.filter(_._1 == 0L)
+    assert(doc0.map(_._3).toSeq == Seq("common", "rare0"), doc0.mkString(","))
+    assert(doc0.head._5 == 3.0 && doc0(1)._5 == 3.0)
+    // doc 1: rare1 tf=2 -> 2 * 3/1 = 6 beats common 1 * 3/3 = 1
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.map(_._3).toSeq == Seq("rare1", "common"))
+    assert(doc1.head._5 == 6.0)
+    // every doc contributes at most topK rows
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+  }
 }
