@@ -662,6 +662,15 @@ object SparkEntry {
         .transform(topkSorted)
     }),
 
+    // k-NN majority-vote label propagation over the same query set:
+    // each query takes the modal label of its 5 cosine-nearest
+    // neighbors (votes desc, label asc tiebreak)
+    "knn_label" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 8), 5)
+        .transform(boundedSorted(_, col("query_id")))
+    }),
+
     // ANN scale path: IVF — corpus in nearest-centroid cells (balanced
     // by construction, unlike fixed sign-LSH cells), queries probe
     // their nprobe nearest cells. nprobe=40/64 measures recall@5 =
@@ -1359,6 +1368,24 @@ object SparkEntry {
          |       FROM pairs)
          |SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.knnClassify: the ann_cosine_topk neighbor
+    // CTE, labels joined from embeddings, modal label per query
+    "knn_label" ->
+      s"""WITH $QuantCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         ${cosSql("q.v", "c.v", "q.n2", "c.n2")} AS cosine
+         |  FROM qn q JOIN qn c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |       FROM pairs),
+         |nn AS (SELECT query_id, vec_id FROM rk WHERE rank <= 5),
+         |v AS (SELECT nn.query_id, e.label, count(*) AS votes
+         |      FROM nn JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY votes DESC, label ASC) AS r FROM v)
+         |SELECT query_id, label AS pred_label, votes FROM p WHERE r = 1
+         |ORDER BY query_id""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH $QuantCte,

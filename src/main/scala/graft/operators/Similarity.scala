@@ -709,4 +709,36 @@ object Similarity {
         cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** k-NN majority-vote label propagation: predict each query
+    * vector's label from its k cosine-nearest labeled neighbors —
+    * the label-transfer / weak-supervision step of an embedding
+    * pipeline (e.g. propagating curated topic labels onto an
+    * unlabeled corpus slice). Vote ties break (votes desc,
+    * label asc), neighbor selection inherits [[cosineTopK]]'s
+    * deterministic (cosine desc, id asc) rank.
+    *
+    * Scale shape: the neighbor frame is |queries| x k rows —
+    * broadcast onto the corpus for the label join, so the corpus
+    * streams through once unshuffled; the vote aggregate is map-side
+    * combined on (query, label); the argmax window partitions are
+    * bounded by the label-set size per query, never corpus-sized.
+    *
+    * @return (query_id, pred_label, votes)
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val nn = cosineTopK(corpus, queries, k, embCol, idCol)
+    val voted = corpus.select(col(idCol), col(labelCol))
+      .join(broadcast(nn.select(col("query_id"), col(idCol))), Seq(idCol))
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col(labelCol).asc)
+    voted.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col(labelCol).as("pred_label"), col("votes"))
+  }
 }

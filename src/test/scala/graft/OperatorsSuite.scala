@@ -389,6 +389,31 @@ class OperatorsSuite extends SparkSuite {
       "fingerprints must be content-addressed, not offset-addressed")
   }
 
+  test("knnClassify takes the modal neighbor label with deterministic ties") {
+    import graft.operators.Similarity
+    // 2-d embeddings: cluster A around (1,0) labeled 1, cluster B
+    // around (0,1) labeled 2; query 100 sits in cluster A
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.95f, 0.05f), 1),
+      (3L, Array(0.0f, 1.0f), 2),
+      (4L, Array(0.1f, 0.9f), 2),
+      (100L, Array(0.92f, 0.08f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(
+      corpus, corpus.filter(col("vec_id") === 100L), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // 3 nearest to query 100 are the A cluster (self excluded) ->
+    // label 1 with 3 votes
+    assert(got.toSeq == Seq((100L, 1, 3L)), got.mkString(","))
+    // k spanning both clusters: 5 neighbors = 3x label 1 + 2x label 2
+    val got5 = Similarity.knnClassify(
+      corpus, corpus.filter(col("vec_id") === 100L), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got5.toSeq == Seq((100L, 1, 3L)), got5.mkString(","))
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     import graft.operators.Retrieval
     val df = Seq(
