@@ -259,4 +259,28 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty, "vacuous screen — adjust the split")
   }
+
+  test("streaming: token-window chunking is stateless and matches batch") {
+    // chunkByTokens is a pure per-row explode, so it must run
+    // unchanged on a streaming frame (no state, no watermark) and
+    // emit the exact batch rows
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-chunk")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("batch.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val arriving = graft.streaming.DocsStream
+      .readDocuments(spark, streamDir.toString)
+    val q = graft.operators.Chunking.chunkByTokens(arriving, 32, 24)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("chunk_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+    val batch = graft.operators.Chunking.chunkByTokens(docs, 32, 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }

@@ -288,4 +288,20 @@ class PlanSuite extends SparkSuite {
         s"$name: $marker missing from the plan entirely")
     }
   }
+
+  test("winnow plan carries exactly one md5 transform (no inferred-filter inlining)") {
+    // A plain explode above the winnowing HOF chain lets
+    // InferFiltersFromGenerate + pushdown inline the whole aliased
+    // chain into an interpreted Filter under the scan — the md5
+    // transform then appears 6+ times and re-runs per input row
+    // (measured 37 s vs 0.4 s at sf0.01, SCALING.md round 12). The
+    // operator uses explode_outer to suppress the inference; pin
+    // that the optimized plan keeps a single md5 subtree so an
+    // optimizer change (or an edit back to plain explode) fails
+    // loudly instead of 100x-ing the row.
+    val lp = SparkEntry.queries("winnow_fingerprints")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    val md5Count = "md5".r.findAllIn(lp).length
+    assert(md5Count == 1, s"winnow plan has $md5Count md5 subtrees: ${lp.take(3000)}")
+  }
 }
