@@ -1092,6 +1092,13 @@ object SparkEntry {
           .orderBy("doc_id"),
         k = 3, w = 4)),
 
+    // MOSS-style passage-overlap candidates: pairs sharing >= 2
+    // winnowing fingerprints, posting-list expansion, df-capped at 5
+    "winnow_pairs" -> ((s, dir) =>
+      graft.operators.Fingerprint.winnowPairs(
+        Tables.documents(s, dir), k = 3, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b")),
+
     // Keyword extraction: top-3 TF-IDF terms per document. The final
     // frame is corpus-proportional (3 rows per doc) — range sort, not
     // the single-partition presentation sort.
@@ -2419,6 +2426,32 @@ object SparkEntry {
          |                 j -> list_min(h[j : j + wsz - 1])))) AS fps
          |      FROM wd)
          |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
+
+    // mirrors Fingerprint.winnowPairs(k=3, w=4, minShared=2,
+    // maxDocFreq=5): the winnow fingerprint CTE, df-capped, shared
+    // counts as a fp-equality self-join (== the posting-list pair
+    // expansion)
+    "winnow_pairs" ->
+      s"""WITH w AS (SELECT doc_id, $TokensExpr AS ws FROM documents
+         |           WHERE length(trim(text)) > 0),
+         |s AS (SELECT doc_id,
+         |             list_transform(generate_series(1, len(ws) - 2),
+         |               i -> ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 12))::BIGINT) AS h
+         |      FROM w WHERE len(ws) >= 3),
+         |wd AS (SELECT doc_id, h, least(4, len(h)) AS wsz FROM s),
+         |f AS (SELECT doc_id,
+         |             list_distinct(
+         |               list_transform(generate_series(1, len(h) - wsz + 1),
+         |                 j -> list_min(h[j : j + wsz - 1]))) AS fps
+         |      FROM wd),
+         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |dfc AS (SELECT fp, count(*) AS df FROM ex GROUP BY fp),
+         |exf AS (SELECT ex.doc_id, ex.fp FROM ex JOIN dfc USING (fp) WHERE dfc.df <= 5),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |          FROM exf a JOIN exf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM inter WHERE n_shared >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // mirrors Retrieval.tfidfTopTerms(topK=3): raw-count tf, df from
     // the distinct (doc, term) rows, score = tf * N / df as the SAME

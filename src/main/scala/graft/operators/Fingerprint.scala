@@ -72,4 +72,33 @@ object Fingerprint {
       // filter has >= 1 window), so outer ≡ inner row-for-row.
       .select(col(idCol), explode_outer(col("__fps")).as("fp"))
   }
+
+  /** Candidate near-duplicate pairs sharing at least `minShared`
+    * winnowing fingerprints — the MOSS-style passage-overlap
+    * detector built on [[winnowFingerprints]]. Same posting-list
+    * shape as [[Dedup.ngramJaccardPairsPostings]]: one row per
+    * distinct fingerprint with its sorted doc list (df-capped — a
+    * boilerplate passage shared by everything is uninformative and
+    * its pair expansion quadratic), pairs expanded per posting,
+    * shared counts aggregated. No all-pairs join anywhere.
+    *
+    * @return (id_a, id_b, n_shared) with id_a < id_b
+    */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Int,
+      maxDocFreq: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minShared > 0, s"minShared must be positive, got $minShared")
+    val fps = winnowFingerprints(docs, k, w, idCol, textCol)
+    val posts = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) <= maxDocFreq)
+      .select(col("ids"))
+    val pairCombos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    posts.select(explode(pairCombos).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -389,6 +389,27 @@ class OperatorsSuite extends SparkSuite {
       "fingerprints must be content-addressed, not offset-addressed")
   }
 
+  test("winnowPairs finds passage-sharing docs and df-caps boilerplate") {
+    import graft.operators.Fingerprint
+    val passage = (1 to 30).map(i => s"p$i").mkString(" ")
+    val boiler = "standard header line common to all docs"
+    val df = Seq(
+      (0L, s"$boiler $passage"),
+      (1L, s"$boiler intro words then $passage"),
+      (2L, s"$boiler completely different content in this one entirely"),
+      (3L, s"$boiler nothing shared here either beyond the header"),
+      (4L, s"$boiler another unrelated document body text"),
+      (5L, s"$boiler and one more to push header df past the cap"))
+      .toDF("doc_id", "text")
+    val pairs = Fingerprint.winnowPairs(df, k = 3, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 30-token shared passage yields >= 2 shared fps for (0,1)
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L), pairs.mkString(","))
+    // the boilerplate header appears in 6 docs > cap 5, so header-only
+    // doc pairs (e.g. 2-3) never reach minShared
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 3L), pairs.mkString(","))
+  }
+
   test("knnClassify takes the modal neighbor label with deterministic ties") {
     import graft.operators.Similarity
     // 2-d embeddings: cluster A around (1,0) labeled 1, cluster B
