@@ -403,6 +403,16 @@ object SparkEntry {
           p.getItem(7).as("token_chars"))
     }),
 
+    // Gopher-style composite quality gate: five exact-integer rules
+    // from one repetition_profile byte walk (token bounds tuned to
+    // this corpus's 20-80-token docs; the operator defaults to the
+    // published 50-100k bounds). Sorted-first like repetition_stats.
+    "gopher_quality_gate" -> ((s, dir) =>
+      graft.operators.Curation.gopherGate(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .orderBy("doc_id"),
+        minTokens = 25)),
+
     // Text analysis: document quality scoring (sorted-first — see
     // text_stats)
     "quality_score" -> ((s, dir) =>
@@ -1146,6 +1156,55 @@ object SparkEntry {
   private val NPunctExpr =
     "length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))"
 
+  // repetition-kernel oracle fragments, shared by repetition_stats and
+  // gopher_quality_gate: CTE list + the final per-doc stats select
+  // (mirrors RepetitionKernel's counts exactly)
+  private val RepetitionCtes =
+    """lines AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+      |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+      |lstats AS (
+      |  SELECT doc_id,
+      |         sum(c) AS n_lines,
+      |         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS n_dup_lines,
+      |         coalesce(sum(c * length(line)) FILTER (WHERE c > 1), 0) AS dup_line_chars,
+      |         sum(c * length(line)) AS line_chars
+      |  FROM lc GROUP BY 1),
+      |toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |tstats AS (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS token_chars
+      |  FROM toks),
+      |g2 AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+      |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |g2s AS (SELECT doc_id, max(c * length(g)) AS top2gram_chars FROM g2c GROUP BY 1),
+      |g5 AS (SELECT doc_id,
+      |              t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS g
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)),
+      |g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+      |g5s AS (SELECT doc_id,
+      |               coalesce(sum(c * length(g)) FILTER (WHERE c > 1), 0) AS dup5gram_chars
+      |        FROM g5c GROUP BY 1)""".stripMargin
+
+  private val RepetitionSelect =
+    """SELECT d.doc_id,
+      |       CAST(l.n_lines AS BIGINT) AS n_lines,
+      |       CAST(l.n_dup_lines AS BIGINT) AS n_dup_lines,
+      |       CAST(l.dup_line_chars AS BIGINT) AS dup_line_chars,
+      |       CAST(l.line_chars AS BIGINT) AS line_chars,
+      |       CAST(coalesce(g2s.top2gram_chars, 0) AS BIGINT) AS top2gram_chars,
+      |       CAST(coalesce(g5s.dup5gram_chars, 0) AS BIGINT) AS dup5gram_chars,
+      |       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(t.token_chars AS BIGINT) AS token_chars
+      |FROM documents d
+      |JOIN lstats l USING (doc_id)
+      |JOIN tstats t USING (doc_id)
+      |LEFT JOIN g2s USING (doc_id)
+      |LEFT JOIN g5s USING (doc_id)""".stripMargin
+
   private val ShinglesCte =
     s"""w AS (SELECT doc_id, $TokensExpr AS ws FROM documents),
        |sh AS (
@@ -1645,49 +1704,24 @@ object SparkEntry {
     // n-grams space-joined, chars = code points, all counts exact
     // integers.
     "repetition_stats" ->
-      """WITH lines AS (
-        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
-        |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
-        |lstats AS (
-        |  SELECT doc_id,
-        |         sum(c) AS n_lines,
-        |         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS n_dup_lines,
-        |         coalesce(sum(c * length(line)) FILTER (WHERE c > 1), 0) AS dup_line_chars,
-        |         sum(c * length(line)) AS line_chars
-        |  FROM lc GROUP BY 1),
-        |toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t
-        |  FROM documents),
-        |tstats AS (
-        |  SELECT doc_id, len(t) AS n_tokens,
-        |         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS token_chars
-        |  FROM toks),
-        |g2 AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
-        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
-        |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-        |g2s AS (SELECT doc_id, max(c * length(g)) AS top2gram_chars FROM g2c GROUP BY 1),
-        |g5 AS (SELECT doc_id,
-        |              t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS g
-        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)),
-        |g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
-        |g5s AS (SELECT doc_id,
-        |               coalesce(sum(c * length(g)) FILTER (WHERE c > 1), 0) AS dup5gram_chars
-        |        FROM g5c GROUP BY 1)
-        |SELECT d.doc_id,
-        |       CAST(l.n_lines AS BIGINT) AS n_lines,
-        |       CAST(l.n_dup_lines AS BIGINT) AS n_dup_lines,
-        |       CAST(l.dup_line_chars AS BIGINT) AS dup_line_chars,
-        |       CAST(l.line_chars AS BIGINT) AS line_chars,
-        |       CAST(coalesce(g2s.top2gram_chars, 0) AS BIGINT) AS top2gram_chars,
-        |       CAST(coalesce(g5s.dup5gram_chars, 0) AS BIGINT) AS dup5gram_chars,
-        |       CAST(t.n_tokens AS BIGINT) AS n_tokens,
-        |       CAST(t.token_chars AS BIGINT) AS token_chars
-        |FROM documents d
-        |JOIN lstats l USING (doc_id)
-        |JOIN tstats t USING (doc_id)
-        |LEFT JOIN g2s USING (doc_id)
-        |LEFT JOIN g5s USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $RepetitionCtes
+         |$RepetitionSelect
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Curation.gopherGate(minTokens=25): the repetition CTEs
+    // plus the five cross-multiplied exact-integer rules — no float
+    // division anywhere, so keep is trivially bit-identical
+    "gopher_quality_gate" ->
+      s"""WITH $RepetitionCtes,
+         |rs AS ($RepetitionSelect)
+         |SELECT doc_id,
+         |       CAST(n_tokens >= 25 AND n_tokens <= 100000
+         |        AND token_chars >= n_tokens * 3
+         |        AND token_chars <= n_tokens * 10
+         |        AND dup_line_chars * 10 <= line_chars * 3
+         |        AND top2gram_chars * 5 <= token_chars
+         |        AND dup5gram_chars * 20 <= token_chars * 3 AS INT) AS keep
+         |FROM rs ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, $TokensExpr AS toks FROM documents),

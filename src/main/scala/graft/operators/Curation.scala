@@ -144,4 +144,46 @@ object Curation {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** Gopher-style composite quality gate (Rae et al., "Scaling
+    * Language Models: ... Gopher", 2021, §A1.1): token-count bounds,
+    * mean word length in [3, 10], duplicate-line character fraction
+    * ≤ 0.30, dominant-2-gram character fraction ≤ 0.20, repeated-
+    * 5-gram character fraction ≤ 0.15. All five rules come from ONE
+    * [[graft.functions.RepetitionFunctions.repetition_profile]] byte
+    * walk per document (no explode, no shuffle), and every fraction
+    * threshold is evaluated as a CROSS-MULTIPLIED exact-integer
+    * comparison (`dup_chars * 10 <= chars * 3`, never a float
+    * division) — bit-identical in any engine with no zero-denominator
+    * guards needed.
+    *
+    * The published token bounds (50–100k words) are the defaults;
+    * pass corpus-appropriate bounds where the distribution differs.
+    *
+    * @return (idCol, keep) with keep ∈ {0, 1} as int
+    */
+  def gopherGate(docs: DataFrame, minTokens: Long = 50,
+      maxTokens: Long = 100000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minTokens <= maxTokens,
+      s"minTokens $minTokens > maxTokens $maxTokens")
+    val p = graft.functions.RepetitionFunctions.repetition_profile(col(textCol))
+    docs.select(col(idCol), p.as("__p"))
+      .select(col(idCol),
+        col("__p").getItem(2).as("dup_line_chars"),
+        col("__p").getItem(3).as("line_chars"),
+        col("__p").getItem(4).as("top2gram_chars"),
+        col("__p").getItem(5).as("dup5gram_chars"),
+        col("__p").getItem(6).as("n_tokens"),
+        col("__p").getItem(7).as("token_chars"))
+      .select(col(idCol),
+        ((col("n_tokens") >= minTokens) &&
+          (col("n_tokens") <= maxTokens) &&
+          (col("token_chars") >= col("n_tokens") * 3) &&
+          (col("token_chars") <= col("n_tokens") * 10) &&
+          (col("dup_line_chars") * 10 <= col("line_chars") * 3) &&
+          (col("top2gram_chars") * 5 <= col("token_chars")) &&
+          (col("dup5gram_chars") * 20 <= col("token_chars") * 3))
+          .cast("int").as("keep"))
+  }
 }

@@ -389,6 +389,21 @@ class OperatorsSuite extends SparkSuite {
       "fingerprints must be content-addressed, not offset-addressed")
   }
 
+  test("gopherGate applies the five rules on exact-integer thresholds") {
+    import graft.operators.Curation
+    val ok = (1 to 60).map(i => s"word$i").mkString(" ") // 60 tokens, mean len ~6
+    val df = Seq(
+      (0L, ok),                                        // passes all
+      (1L, "too short"),                               // fails token floor
+      (2L, (1 to 60).map(_ => "a").mkString(" ")),     // mean word len 1 < 3
+      (3L, ok + " " + ok),                             // dup 5-grams dominate
+      (4L, (1 to 40).map(_ => "ha ho").mkString(" "))) // dominant 2-gram
+      .toDF("doc_id", "text")
+    val got = Curation.gopherGate(df, minTokens = 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0), got)
+  }
+
   test("winnowPairs finds passage-sharing docs and df-caps boilerplate") {
     import graft.operators.Fingerprint
     val passage = (1 to 30).map(i => s"p$i").mkString(" ")
