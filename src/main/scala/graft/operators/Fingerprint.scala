@@ -36,12 +36,40 @@ object Fingerprint {
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
   /** (idCol, fp) rows — the distinct winnowing fingerprint set per
-    * document, fp ascending within a document.
+    * document, fp ascending within a document. One native byte walk
+    * per row ([[graft.functions.WinnowKernels]]): the declarative HOF
+    * form below evaluated an interpreted md5+conv lambda per shingle
+    * (1.25 s at sf0.1, 3.2× the oracle; kernel ~0.3 s) —
+    * [[winnowFingerprintsDeclarative]] stays as the property-pinned
+    * semantic reference.
+    *
+    * explode_OUTER + null filter, deliberately: a plain explode
+    * triggers InferFiltersFromGenerate, whose pushed-down predicate
+    * re-evaluates the generator child under the scan (catastrophic
+    * for the old HOF chain — 37 s vs 0.4 s at sf0.01, plan md5-count
+    * 9 vs 1, WinnowProbe — and still a doubled kernel call now).
+    * Short docs yield an empty array ⇒ one null row ⇒ the cheap
+    * attribute filter above the Generate.
     */
   def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0, s"shingle size k must be positive, got $k")
     require(w > 0, s"winnow window w must be positive, got $w")
+    docs
+      .select(col(idCol),
+        graft.functions.WinnowFunctions.winnow_fps(col(textCol), k, w)
+          .as("__fps"))
+      .select(col(idCol), explode_outer(col("__fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  /** The declarative HOF formulation — the semantic reference the
+    * native kernel is pinned against (OperatorsSuite property test);
+    * not registered, and slow by construction (interpreted md5 lambda
+    * per shingle).
+    */
+  private[graft] def winnowFingerprintsDeclarative(docs: DataFrame, k: Int,
+      w: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     docs
       .select(col(idCol), split(btrim(col(textCol)), "\\s+").as("__toks"))
       .filter(length(element_at(col("__toks"), 1)) > 0)

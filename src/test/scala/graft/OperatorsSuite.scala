@@ -404,6 +404,31 @@ class OperatorsSuite extends SparkSuite {
     assert(got == Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0), got)
   }
 
+  test("winnow kernel equals the declarative HOF reference on edge inputs") {
+    import graft.operators.Fingerprint
+    // adversarial shapes: multi-space runs, tabs (btrim is space-only,
+    // so a leading tab makes an empty first token -> doc dropped),
+    // trailing whitespace, exactly-k tokens, repeated shingles, blank
+    val df = Seq(
+      (0L, "a b c d e f g"),
+      (1L, "a  b\tc   d"),      // internal tabs/multi-space
+      (2L, "\ta b c d"),        // leading tab survives btrim -> dropped
+      (3L, "x y z"),            // exactly k tokens
+      (4L, "r r r r r r r r"),  // all-equal shingles -> one fp
+      (5L, "  padded   with spaces   "),
+      (6L, ""), (7L, "   "), (8L, "one two"))
+      .toDF("doc_id", "text")
+    val kernel = Fingerprint.winnowFingerprints(df, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val declarative = Fingerprint.winnowFingerprintsDeclarative(df, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(kernel == declarative,
+      s"kernel:\n  ${kernel.mkString("\n  ")}\ndecl:\n  ${declarative.mkString("\n  ")}")
+    assert(!kernel.exists(_._1 == 2L), "leading-tab doc must drop (empty first token)")
+    assert(kernel.count(_._1 == 4L) == 1, "all-equal shingles collapse to one fp")
+    assert(kernel.exists(_._1 == 3L), "exactly-k doc keeps one fp")
+  }
+
   test("winnowPairs finds passage-sharing docs and df-caps boilerplate") {
     import graft.operators.Fingerprint
     val passage = (1 to 30).map(i => s"p$i").mkString(" ")

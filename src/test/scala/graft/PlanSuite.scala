@@ -301,7 +301,8 @@ class PlanSuite extends SparkSuite {
     // loudly instead of 100x-ing the row.
     val lp = SparkEntry.queries("winnow_fingerprints")(spark, sf("sf0.001"))
       .queryExecution.optimizedPlan.toString
-    val md5Count = "md5".r.findAllIn(lp).length
-    assert(md5Count == 1, s"winnow plan has $md5Count md5 subtrees: ${lp.take(3000)}")
+    val kernelCount = "winnowfps".r.findAllIn(lp).length
+    assert(kernelCount == 1,
+      s"winnow plan has $kernelCount winnowfps subtrees: ${lp.take(3000)}")
   }
 }
