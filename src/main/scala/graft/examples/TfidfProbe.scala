@@ -25,18 +25,19 @@ object TfidfProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def base() = {
-      val tf = graft.core.OpCaches.persistTracked(docs
+    def base(persist: Boolean = true) = {
+      val tf0 = docs
         .select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val tf = if (persist) graft.core.OpCaches.persistTracked(tf0) else tf0
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       (tf, nDocs, dfCounts)
     }
-    def scored(bcast: Boolean) = {
-      val (tf, nDocs, dfCounts) = base()
+    def scored(bcast: Boolean, persist: Boolean = true) = {
+      val (tf, nDocs, dfCounts) = base(persist)
       tf.join(if (bcast) broadcast(dfCounts) else dfCounts, Seq("term"))
         .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("term"), col("tf"),
@@ -51,8 +52,8 @@ object TfidfProbe {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
     }
-    def heapForm(bcast: Boolean) = {
-      scored(bcast).groupBy(col("doc_id"))
+    def heapForm(bcast: Boolean, persist: Boolean = true) = {
+      scored(bcast, persist).groupBy(col("doc_id"))
         .agg(TopKFunctions.top_k_tag(col("score"),
           concat_ws("\t", col("term"), col("tf")), 3).as("__top"))
         .select(col("doc_id"), posexplode(col("__top")))
@@ -70,7 +71,8 @@ object TfidfProbe {
       "heap bcast nosort" -> (() => heapForm(true)),
       "window bcast sorted" -> (() => windowForm(true).orderBy("doc_id", "rank")),
       "heap bcast sorted" -> (() => heapForm(true).orderBy("doc_id", "rank")),
-      "heap shuffle sorted" -> (() => heapForm(false).orderBy("doc_id", "rank")))
+      "heap shuffle sorted" -> (() => heapForm(false).orderBy("doc_id", "rank")),
+      "heap nopersist sorted" -> (() => heapForm(false, persist = false).orderBy("doc_id", "rank")))
 
     // interleaved: round-robin reps so ambient drift hits all variants
     val times = scala.collection.mutable.Map[String, Vector[Double]]()

@@ -116,9 +116,11 @@ object Retrieval {
     * bit-identical; no transcendental in the hot path, unlike BM25's
     * ln which leans on the integer quantization).
     *
-    * Scale shape: one corpus tokenize pass cached, df via a map-side-
-    * combined groupBy(term) aggregate joined back (never a per-term
-    * window — a stopword's partition would be corpus-sized), and the
+    * Scale shape: one corpus tokenize pass (the two tf consumers
+    * share one exchange via ReuseExchange — see the in-body note),
+    * df via a map-side-combined groupBy(term) aggregate joined back
+    * (never a per-term window — a stopword's partition would be
+    * corpus-sized), and the
     * per-document top-k via the bounded [[TopKFunctions.top_k_tag]]
     * heap (≤ topK rows per document per map task), never a full
     * sort.
@@ -130,11 +132,20 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text",
       broadcastDf: Boolean = false): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    val tf = graft.core.OpCaches.persistTracked(docs
+    // NOT persisted, deliberately: tf is consumed twice (df aggregate
+    // + scoring join), but both consumers sit above the IDENTICAL
+    // groupBy(doc, term) exchange, which ReuseExchange dedupes — the
+    // tokenize+partial-agg pass runs once either way, and the block-
+    // store materialization is pure overhead (interleaved A/B,
+    // TfidfProbe: 1.02 s persisted vs 0.82 s reused at sf0.1). The
+    // bm25 operator's dl persist is different: its consumers sit on
+    // DIFFERENT plans (an agg row and a join side), so no exchange
+    // dedups them.
+    val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // tf rows are one per (doc, term), so count(*) per term IS the
     // document frequency. The df frame is VOCABULARY-sized, not
