@@ -720,6 +720,28 @@ object SparkEntry {
         assignments = 24, minSharedCells = 2)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): the
+    // IVF-bucketed embedding near-dup pairs resolved into clusters
+    // (pointer-doubling CC), keep the min-id vector per cluster —
+    // the composed keep-one form of embedding_neardup_pairs +
+    // neardup_clusters, over vectors instead of text
+    "semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // embeddings carries its own `label` (class) column — rename
+      // the CC label before joining to avoid the ambiguity
+      val comp = graft.operators.Components.connectedComponents(
+        Similarity.ivfNearDupPairs(e, threshold = 0.3,
+          assignments = 24, minSharedCells = 2))
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("label", "__cc")
+      e.join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("__cc"), col("vec_id")).as("component"),
+          (coalesce(col("__cc"), col("vec_id")) === col("vec_id"))
+            .cast("int").as("is_survivor"))
+        .orderBy("vec_id")
+    }),
+
     // ANN very-large-C path: two-level (coarse-then-fine) assignment —
     // vectors rank 8 super-centroids, then score only their 2 nearest
     // super-cells' centroids (~2 sqrt(C) dots per vector instead of
@@ -1679,6 +1701,31 @@ object SparkEntry {
          |  FROM cand JOIN qn a ON a.vec_id = id_a JOIN qn b ON b.vec_id = id_b)
          |WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors the semantic_dedup composition: the embedding near-dup
+    // pair CTE (same knobs as embedding_neardup_pairs) feeding the
+    // unrolled CC rounds (ccRoundsSql needs the CTE named `pairs`)
+    "semantic_dedup" ->
+      s"""WITH $QuantCte,
+         |${centCte(AutoCentroidsSql)},
+         |multi AS (SELECT vec_id, cent_id FROM ${ivfRanked("")}
+         |          WHERE rk <= 24),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM multi a JOIN multi b USING (cent_id)
+         |         WHERE a.vec_id < b.vec_id
+         |         GROUP BY 1, 2 HAVING count(*) >= 2),
+         |pairs AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b,
+         |         list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+         |           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cosine
+         |  FROM cand JOIN qn a ON a.vec_id = id_a JOIN qn b ON b.vec_id = id_b)
+         |  WHERE cosine >= 0.3),
+         |${ccRoundsSql(CcOracleRounds)}
+         |SELECT e.vec_id,
+         |       coalesce(l.label, e.vec_id) AS component,
+         |       CAST(coalesce(l.label, e.vec_id) = e.vec_id AS INT) AS is_survivor
+         |FROM embeddings e LEFT JOIN l$CcOracleRounds l ON e.vec_id = l.id
+         |ORDER BY vec_id""".stripMargin,
 
     "dedup_exact_clusters" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -389,6 +389,20 @@ class OperatorsSuite extends SparkSuite {
       "fingerprints must be content-addressed, not offset-addressed")
   }
 
+  test("semantic dedup keeps the min-id vector per embedding cluster") {
+    val q = SparkEntry.queries("semantic_dedup")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(q.nonEmpty)
+    // exactly one survivor per component, and it is the min id
+    q.groupBy(_._2).foreach { case (comp, members) =>
+      val survivors = members.filter(_._3 == 1).map(_._1)
+      assert(survivors.toSeq == Seq(members.map(_._1).min),
+        s"component $comp: $members")
+    }
+    // every vector appears exactly once
+    assert(q.map(_._1).distinct.length == q.length)
+  }
+
   test("gopherGate applies the five rules on exact-integer thresholds") {
     import graft.operators.Curation
     val ok = (1 to 60).map(i => s"word$i").mkString(" ") // 60 tokens, mean len ~6
