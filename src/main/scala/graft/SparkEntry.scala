@@ -403,7 +403,7 @@ object SparkEntry {
           p.getItem(7).as("token_chars"))
     }),
 
-    // Gopher-style composite quality gate: five exact-integer rules
+    // Gopher-style composite quality gate: six exact-integer rules
     // from one repetition_profile byte walk (token bounds tuned to
     // this corpus's 20-80-token docs; the operator defaults to the
     // published 50-100k bounds). Sorted-first like repetition_stats.
@@ -1756,7 +1756,7 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     // mirrors Curation.gopherGate(minTokens=25): the repetition CTEs
-    // plus the five cross-multiplied exact-integer rules — no float
+    // plus the six cross-multiplied exact-integer rules — no float
     // division anywhere, so keep is trivially bit-identical
     "gopher_quality_gate" ->
       s"""WITH $RepetitionCtes,
@@ -1765,7 +1765,8 @@ object SparkEntry {
          |       CAST(n_tokens >= 25 AND n_tokens <= 100000
          |        AND token_chars >= n_tokens * 3
          |        AND token_chars <= n_tokens * 10
-         |        AND dup_line_chars * 10 <= line_chars * 3
+         |        AND n_dup_lines * 10 <= n_lines * 3
+         |        AND dup_line_chars * 5 <= line_chars
          |        AND top2gram_chars * 5 <= token_chars
          |        AND dup5gram_chars * 20 <= token_chars * 3 AS INT) AS keep
          |FROM rs ORDER BY doc_id""".stripMargin,
@@ -2474,9 +2475,9 @@ object SparkEntry {
     // [a : a+31] clamps at the end exactly like Spark's
     // slice(toks, a, 32)
     "chunk_overlap" ->
-      s"""WITH t AS (SELECT doc_id, $TokensExpr AS toks FROM documents
-         |           WHERE length(trim(text)) > 0),
-         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      s"""WITH t AS (SELECT doc_id, list_filter($TokensExpr, x -> x <> '') AS toks
+         |           FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
          |g AS (SELECT doc_id, toks,
          |             unnest(generate_series(0,
          |               CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS chunk_id
@@ -2494,8 +2495,8 @@ object SparkEntry {
     // slice every hashing oracle uses), min per 4-wide window
     // (full-width when a doc has < 4 shingles), distinct ascending
     "winnow_fingerprints" ->
-      s"""WITH w AS (SELECT doc_id, $TokensExpr AS ws FROM documents
-         |           WHERE length(trim(text)) > 0),
+      s"""WITH w AS (SELECT doc_id, list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
          |s AS (SELECT doc_id,
          |             list_transform(generate_series(1, len(ws) - 2),
          |               i -> ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 12))::BIGINT) AS h
@@ -2513,8 +2514,8 @@ object SparkEntry {
     // counts as a fp-equality self-join (== the posting-list pair
     // expansion)
     "winnow_pairs" ->
-      s"""WITH w AS (SELECT doc_id, $TokensExpr AS ws FROM documents
-         |           WHERE length(trim(text)) > 0),
+      s"""WITH w AS (SELECT doc_id, list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
          |s AS (SELECT doc_id,
          |             list_transform(generate_series(1, len(ws) - 2),
          |               i -> ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 12))::BIGINT) AS h

@@ -14,6 +14,17 @@ object TextFunctions {
   /** Whitespace tokens of trimmed text. */
   def tokens(c: Column): Column = split(btrim(c), "\\s+")
 
+  /** [[tokens]] with empty tokens removed — the full-whitespace-trim
+    * tokenization ([[tokens]] alone leaves a leading/trailing EMPTY
+    * token when btrim's space-only trim leaves a tab/newline at an
+    * edge; the empties only ever occur at the edges, so filtering
+    * them == trimming all whitespace). Oracle form:
+    * `list_filter(regexp_split_to_array(trim(text), ...), x -> x <> '')`
+    * — the repetition-stats convention.
+    */
+  def tokensNonEmpty(c: Column): Column =
+    filter(tokens(c), t => t =!= lit(""))
+
   /** Whitespace token count; 0 for blank text (split of "" yields [""]). */
   def tokenCount(c: Column): Column =
     when(length(btrim(c)) === 0, lit(0)).otherwise(size(tokens(c)))

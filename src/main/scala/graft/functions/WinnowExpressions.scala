@@ -20,14 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracle replays the identical hash
   * (`('0x' || substr(md5(shingle), 1, 12))::BIGINT`).
   *
-  * Contract (replays the declarative chain EXACTLY, including its
-  * edge semantics): btrim is ASCII-space-only; tokens are
-  * `Pattern.split("\\s+", -1)`-style spans (a leading whitespace run
-  * left by btrim — e.g. a tab — yields a leading EMPTY token, which
-  * makes the declarative `length(first) > 0` filter drop the doc:
-  * mirrored here by returning an empty array); fewer than k tokens
-  * ⇒ empty; otherwise windows of width min(w, #shingles) guarantee
-  * ≥ 1 fingerprint.
+  * Contract (replays the declarative chain EXACTLY): tokens are the
+  * NON-EMPTY whitespace-split tokens ([[TextFunctions.tokensNonEmpty]]
+  * — full-whitespace trim, so a leading tab/newline does not produce
+  * a phantom empty token); fewer than k tokens ⇒ empty array;
+  * otherwise windows of width min(w, #shingles) guarantee ≥ 1
+  * fingerprint.
   */
 object WinnowKernels {
 
@@ -41,23 +39,24 @@ object WinnowKernels {
     while (lo < hi && bytes(lo) == ' ') lo += 1
     while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
 
+    // NON-EMPTY token spans only (leading/trailing whitespace runs
+    // that btrim's space-only trim leaves — tabs, newlines — would
+    // otherwise yield empty edge tokens)
     val starts = new java.util.ArrayList[Int]()
     val ends = new java.util.ArrayList[Int]()
     var i = lo
     var tokStart = lo
     while (i < hi) {
       if (isWs(bytes(i))) {
-        starts.add(tokStart); ends.add(i)
+        if (i > tokStart) { starts.add(tokStart); ends.add(i) }
         while (i < hi && isWs(bytes(i))) i += 1
         tokStart = i
       } else i += 1
     }
-    starts.add(tokStart); ends.add(hi)
+    if (hi > tokStart) { starts.add(tokStart); ends.add(hi) }
 
     val m = starts.size()
-    // declarative filters: first token non-empty, >= k tokens
-    if (ends.get(0) - starts.get(0) == 0 || m < k)
-      return new GenericArrayData(Array.empty[Any])
+    if (m < k) return new GenericArrayData(Array.empty[Any])
 
     val nSh = m - k + 1
     val h = new Array[Long](nSh)

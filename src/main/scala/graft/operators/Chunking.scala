@@ -34,11 +34,13 @@ object Chunking {
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window], got $stride (window $window)")
     docs
-      .select(col(idCol), split(btrim(col(textCol)), "\\s+").as("__toks"))
-      // blank text splits to [""] — drop with the same guard as
-      // tokenCount; also guards sequence() below (start > stop would
-      // COUNT DOWN with Spark's default -1 step, not yield empty)
-      .filter(length(element_at(col("__toks"), 1)) > 0)
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokensNonEmpty(col(textCol))
+          .as("__toks"))
+      // tokenless (blank/whitespace-only) docs drop; the guard also
+      // protects sequence() below (start > stop would COUNT DOWN with
+      // Spark's default -1 step, not yield empty)
+      .filter(size(col("__toks")) > 0)
       .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
       // last chunk start index (in strides): 0 when n <= window, else
       // exact-integer ceil((n - window) / stride)

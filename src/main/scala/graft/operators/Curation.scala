@@ -147,9 +147,11 @@ object Curation {
 
   /** Gopher-style composite quality gate (Rae et al., "Scaling
     * Language Models: ... Gopher", 2021, §A1.1): token-count bounds,
-    * mean word length in [3, 10], duplicate-line character fraction
-    * ≤ 0.30, dominant-2-gram character fraction ≤ 0.20, repeated-
-    * 5-gram character fraction ≤ 0.15. All five rules come from ONE
+    * mean word length in [3, 10], duplicate-line COUNT fraction
+    * ≤ 0.30, duplicate-line CHARACTER fraction ≤ 0.20, dominant-
+    * 2-gram character fraction ≤ 0.20, repeated-5-gram character
+    * fraction ≤ 0.15 (the cut-offs [[graft.functions.RepetitionKernel]]
+    * documents). All six rules come from ONE
     * [[graft.functions.RepetitionFunctions.repetition_profile]] byte
     * walk per document (no explode, no shuffle), and every fraction
     * threshold is evaluated as a CROSS-MULTIPLIED exact-integer
@@ -170,6 +172,8 @@ object Curation {
     val p = graft.functions.RepetitionFunctions.repetition_profile(col(textCol))
     docs.select(col(idCol), p.as("__p"))
       .select(col(idCol),
+        col("__p").getItem(0).as("n_lines"),
+        col("__p").getItem(1).as("n_dup_lines"),
         col("__p").getItem(2).as("dup_line_chars"),
         col("__p").getItem(3).as("line_chars"),
         col("__p").getItem(4).as("top2gram_chars"),
@@ -181,7 +185,8 @@ object Curation {
           (col("n_tokens") <= maxTokens) &&
           (col("token_chars") >= col("n_tokens") * 3) &&
           (col("token_chars") <= col("n_tokens") * 10) &&
-          (col("dup_line_chars") * 10 <= col("line_chars") * 3) &&
+          (col("n_dup_lines") * 10 <= col("n_lines") * 3) &&
+          (col("dup_line_chars") * 5 <= col("line_chars")) &&
           (col("top2gram_chars") * 5 <= col("token_chars")) &&
           (col("dup5gram_chars") * 20 <= col("token_chars") * 3))
           .cast("int").as("keep"))

@@ -71,8 +71,9 @@ object Fingerprint {
   private[graft] def winnowFingerprintsDeclarative(docs: DataFrame, k: Int,
       w: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     docs
-      .select(col(idCol), split(btrim(col(textCol)), "\\s+").as("__toks"))
-      .filter(length(element_at(col("__toks"), 1)) > 0)
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokensNonEmpty(col(textCol))
+          .as("__toks"))
       .filter(size(col("__toks")) >= k)
       // positional k-shingle hash sequence (NOT the distinct
       // word_shingles kernel — winnowing needs every position)

@@ -171,19 +171,20 @@ object Retrieval {
     // each map task ships at most topK rows per document and the
     // doc-grain exchange never sorts whole partitions. The tiebreak
     // key is the term STRING, so the long-id top_k cannot carry it;
-    // the tag packs term || TAB || tf — TAB cannot occur inside a
-    // whitespace-split token and sorts below every printable char, so
-    // (score desc, tag asc) == (score desc, term asc) and tf rides
-    // along for free.
+    // the tag packs term || NUL || tf. NUL (0x00) cannot occur inside
+    // a whitespace-split token short of a NUL-bearing document and
+    // sorts below every other byte, so (score desc, tag asc) ==
+    // (score desc, term asc) — a TAB separator would mis-order terms
+    // containing C0 controls below 0x09 — and tf rides along free.
     val packed = scored.groupBy(col("doc_id"))
       .agg(TopKFunctions.top_k_tag(col("score"),
-        concat_ws("\t", col("term"), col("tf")), topK).as("__top"))
+        concat_ws("\u0000", col("term"), col("tf")), topK).as("__top"))
     packed
       .select(col("doc_id"), posexplode(col("__top")))
       .select(col("doc_id"),
         (col("pos") + 1).cast("int").as("rank"),
-        element_at(split(col("col.tag"), "\t"), 1).as("term"),
-        element_at(split(col("col.tag"), "\t"), 2).cast("long").as("tf"),
+        element_at(split(col("col.tag"), "\u0000"), 1).as("term"),
+        element_at(split(col("col.tag"), "\u0000"), 2).cast("long").as("tf"),
         col("col.score").as("score"))
   }
 }

@@ -322,7 +322,8 @@ class OperatorsSuite extends SparkSuite {
       (0L, words),        // 10 tokens
       (1L, "a b c"),      // 3 tokens -> one chunk
       (2L, "   "),        // blank -> dropped
-      (3L, "solo"))       // 1 token -> one chunk
+      (3L, "solo"),       // 1 token -> one chunk
+      (4L, "\tlead tab\n")) // edge tab/newline -> tokens kept intact
       .toDF("doc_id", "text")
     val got = Chunking.chunkByTokens(df, window = 4, stride = 3)
       .orderBy("doc_id", "chunk_id")
@@ -334,7 +335,8 @@ class OperatorsSuite extends SparkSuite {
       (0L, 1, 4, "w4 w5 w6 w7"),
       (0L, 2, 4, "w7 w8 w9 w10"),
       (1L, 0, 3, "a b c"),
-      (3L, 0, 1, "solo")), got.mkString("\n"))
+      (3L, 0, 1, "solo"),
+      (4L, 0, 2, "lead tab")), got.mkString("\n"))
     intercept[IllegalArgumentException](
       Chunking.chunkByTokens(df, window = 4, stride = 5))
   }
@@ -420,17 +422,19 @@ class OperatorsSuite extends SparkSuite {
 
   test("winnow kernel equals the declarative HOF reference on edge inputs") {
     import graft.operators.Fingerprint
-    // adversarial shapes: multi-space runs, tabs (btrim is space-only,
-    // so a leading tab makes an empty first token -> doc dropped),
-    // trailing whitespace, exactly-k tokens, repeated shingles, blank
+    // adversarial shapes: multi-space runs, edge tabs/newlines (NOT
+    // dropped — tokensNonEmpty removes the phantom empty edge token
+    // btrim's space-only trim would leave), exactly-k tokens,
+    // repeated shingles, blank/whitespace-only
     val df = Seq(
       (0L, "a b c d e f g"),
       (1L, "a  b\tc   d"),      // internal tabs/multi-space
-      (2L, "\ta b c d"),        // leading tab survives btrim -> dropped
+      (2L, "\ta b c d\n"),      // edge tab/newline -> same as "a b c d"
       (3L, "x y z"),            // exactly k tokens
       (4L, "r r r r r r r r"),  // all-equal shingles -> one fp
       (5L, "  padded   with spaces   "),
-      (6L, ""), (7L, "   "), (8L, "one two"))
+      (6L, ""), (7L, "   "), (8L, "one two"),
+      (9L, "a b c d"))          // clean twin of doc 2
       .toDF("doc_id", "text")
     val kernel = Fingerprint.winnowFingerprints(df, k = 3, w = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -438,9 +442,12 @@ class OperatorsSuite extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(kernel == declarative,
       s"kernel:\n  ${kernel.mkString("\n  ")}\ndecl:\n  ${declarative.mkString("\n  ")}")
-    assert(!kernel.exists(_._1 == 2L), "leading-tab doc must drop (empty first token)")
-    assert(kernel.count(_._1 == 4L) == 1, "all-equal shingles collapse to one fp")
-    assert(kernel.exists(_._1 == 3L), "exactly-k doc keeps one fp")
+    val byDoc = kernel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(2L) == byDoc(9L),
+      "edge whitespace must not change the fingerprint set")
+    assert(byDoc(4L).size == 1, "all-equal shingles collapse to one fp")
+    assert(byDoc.contains(3L), "exactly-k doc keeps one fp")
+    assert(!byDoc.contains(6L) && !byDoc.contains(7L) && !byDoc.contains(8L))
   }
 
   test("winnowPairs finds passage-sharing docs and df-caps boilerplate") {
