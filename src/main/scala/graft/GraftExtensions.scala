@@ -49,6 +49,12 @@ object GraftExtensions {
     // constant baked into the generated code
     fn("word_shingles", 2)(e =>
       WordShingles(e.head, intLit("word_shingles", "n", e(1)))),
+    // winnowing fingerprints: k (shingle width) and w (window) are
+    // plan-time integer literals, like word_shingles' n
+    fn("winnow_fps", 3)(e =>
+      graft.functions.WinnowFps(e.head,
+        intLit("winnow_fps", "k", e(1)),
+        intLit("winnow_fps", "w", e(2)))),
     // bounded per-group top-k aggregates (k: INT literal — the heap
     // size is a plan-time constant); the analyzer wraps the returned
     // AggregateFunction when used in SQL aggregation position. The

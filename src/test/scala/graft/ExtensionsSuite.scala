@@ -31,6 +31,20 @@ class ExtensionsSuite extends SparkSuite {
     assert(err.getMessage.contains("INT literal"), err.getMessage)
   }
 
+  test("winnow_fps registers for SQL with literal k/w") {
+    GraftExtensions.register(spark)
+    val fps = spark.sql("SELECT winnow_fps('a b c d e', 3, 4) AS fps")
+      .first().getSeq[Long](0)
+    assert(fps.nonEmpty && fps == fps.sorted && fps.distinct == fps)
+    assert(fps == graft.functions.WinnowKernels
+      .winnowFps(org.apache.spark.unsafe.types.UTF8String
+        .fromString("a b c d e"), 3, 4)
+      .toLongArray().toSeq)
+    val err = intercept[Exception](
+      spark.sql("SELECT winnow_fps('a b c', 3, length('abcd'))").first())
+    assert(err.getMessage.contains("INT literal"), err.getMessage)
+  }
+
   test("SQL functions work over a table column") {
     GraftExtensions.register(spark)
     Tables.documents(spark, sf("sf0.001")).createOrReplaceTempView("docs")

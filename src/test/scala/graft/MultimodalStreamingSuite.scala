@@ -260,6 +260,35 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(streamed.nonEmpty, "vacuous screen — adjust the split")
   }
 
+  test("streaming: winnow fingerprints and gopher gate run stateless, match batch") {
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-wg")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("batch.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val arriving = graft.streaming.DocsStream
+      .readDocuments(spark, streamDir.toString)
+    val q1 = graft.operators.Fingerprint.winnowFingerprints(arriving, 3, 4)
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    val q2 = graft.operators.Curation.gopherGate(arriving, minTokens = 25)
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val winnowStream = spark.table("winnow_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnowBatch = graft.operators.Fingerprint.winnowFingerprints(docs, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnowStream == winnowBatch && winnowStream.nonEmpty)
+    val gateStream = spark.table("gopher_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val gateBatch = graft.operators.Curation.gopherGate(docs, minTokens = 25)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(gateStream == gateBatch && gateStream.values.toSet == Set(0, 1))
+  }
+
   test("streaming: token-window chunking is stateless and matches batch") {
     // chunkByTokens is a pure per-row explode, so it must run
     // unchanged on a streaming frame (no state, no watermark) and
