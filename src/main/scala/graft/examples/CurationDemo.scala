@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.core.OpCaches
 import graft.functions.TextFunctions
-import graft.operators.{Components, Curation, Dedup, Sampling}
+import graft.operators.{Chunking, Components, Curation, Dedup, Packing, Sampling}
 
 /** End-to-end training-data curation pipeline — the composition the
   * individual operators exist for:
   *
   *   documents
+  *     -> gopher quality gate    (six published repetition/length rules)
   *     -> exact dedup            (content-hash clusters, keep min id)
   *     -> near-dup removal       (minhash+LSH candidates, est_jaccard
   *                                >= 0.9, transitive components, keep
@@ -20,6 +21,8 @@ import graft.operators.{Components, Curation, Dedup, Sampling}
   *     -> quality filter         (top 75% per language by score)
   *     -> token-budget mixing    (per-source cap, best-quality-first)
   *     -> stratified sample      (100 docs per language, hash-ranked)
+  *     -> token-window chunking  (32-token chunks, stride 24)
+  *     -> sequence packing       (chunk token counts into 64-token bins)
   *     -> parquet sink
   *
   * Every stage is deterministic (content hashes, exact rank cuts), so
@@ -42,8 +45,16 @@ object CurationDemo {
     val docs = Tables.documents(spark, sfDir)
     val n0 = docs.count()
 
+    // 0. gopher gate: the six published repetition/length rules
+    // (token floor tuned to this corpus's 20-80-token docs)
+    val gated = docs.join(
+      Curation.gopherGate(docs, minTokens = 25).filter(col("keep") === 1)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val n0b = gated.count()
+
     // 1. exact dedup: one survivor per identical-content cluster
-    val exact = Dedup.dedupExact(docs)
+    val exact = Dedup.dedupExact(gated)
     val n1 = exact.count()
 
     // 2. near-dup removal: minhash+LSH candidates at est_jaccard >=
@@ -84,13 +95,24 @@ object CurationDemo {
     val sampled = Sampling.stratifiedSampleRows(
       mixed.drop("cum_tokens"), Seq("lang"), "doc_id", 100)
 
-    // 6. sink + release the operator-held caches in one call
+    // 6. chunk the surviving docs into overlapping context windows,
+    // then pack chunk token counts into fixed training bins
+    val chunks = Chunking.chunkByTokens(sampled, window = 32, stride = 24)
+    val packed = Packing.packSequences(
+      chunks.select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+        (col("doc_id") * 1000 + col("chunk_id")).as("cid")),
+      col("n_chunk_tokens"), Seq.empty, "cid", seqLen = 64L)
+
+    // 7. sink + release the operator-held caches in one call
     OpCaches.materializeAndRelease(sampled)
     sampled.write.mode("overwrite").partitionBy("lang").parquet(outDir)
     val n5 = spark.read.parquet(outDir).count()
+    val n6 = chunks.count()
+    val n7 = packed.agg(org.apache.spark.sql.functions.max(col("bin_id")))
+      .first().getLong(0) + 1
 
-    println(s"CURATION_OK in=$n0 exact_dedup=$n1 near_dedup=$n2 decontaminated=$n2b " +
-      s"quality=$n3 mixed=$n4 sampled=$n5 out=$outDir")
+    println(s"CURATION_OK in=$n0 gated=$n0b exact_dedup=$n1 near_dedup=$n2 decontaminated=$n2b " +
+      s"quality=$n3 mixed=$n4 sampled=$n5 chunks=$n6 bins=$n7 out=$outDir")
     spark.stop()
   }
 }
