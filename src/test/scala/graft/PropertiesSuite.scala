@@ -306,4 +306,46 @@ class PropertiesSuite extends SparkSuite {
       }
     }
   }
+
+  test("chunkByTokens: full coverage and exact overlap for every (window, stride)") {
+    // grid sweep in the suite's deterministic style: every token of
+    // every doc appears in >= 1 chunk; consecutive chunks overlap by
+    // exactly window - stride tokens (except a short tail); dropping
+    // each later chunk's overlap prefix and concatenating rebuilds
+    // the document token-for-token
+    val texts = Seq(
+      (0L, (1 to 37).map(i => s"t$i").mkString(" ")),
+      (1L, (1 to 8).map(i => s"u$i").mkString(" ")),
+      (2L, "single"),
+      (3L, (1 to 24).map(i => s"v$i").mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    for {
+      window <- Seq(1, 4, 8, 32)
+      stride <- Seq(1, 3, window)
+      if stride <= window
+    } {
+      val chunks = graft.operators.Chunking
+        .chunkByTokens(df, window, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(3).split(" ").toSeq))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      texts.foreach { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val got = chunks(id)
+        // reconstruction: first chunk whole, later chunks minus the
+        // (window - stride)-token overlap with their predecessor
+        val rebuilt = got.head ++ got.drop(1).zipWithIndex.flatMap {
+          case (c, i) =>
+            // chunk i+1 starts at (i+1)*stride; predecessor covered
+            // up to min(i*stride + window, n)
+            val start = (i + 1) * stride
+            val covered = math.min(i * stride + window, toks.length)
+            c.drop(covered - start)
+        }
+        assert(rebuilt == toks,
+          s"doc $id window=$window stride=$stride: $rebuilt != $toks")
+      }
+    }
+  }
 }
