@@ -1082,6 +1082,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Deterministic train/val/test split: content-hash range
+    // assignment (80/10/10) — stable under corpus growth, unlike an
+    // RNG split
+    "split_assign" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(
+        Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
     // PII redaction over a corpus carrying synthetic-but-well-formed
     // identifiers (the testdata text is PII-free, so the row injects
     // a deterministic email/phone/IP per document and redacts them —
@@ -2464,6 +2473,22 @@ object SparkEntry {
          |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT
          |      < floor(frac.f * 281474976710656.0)
          |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sampling.hashSplit(train 0.8, val 0.1, test 0.1): the
+    // cumulative thresholds are the SAME Scala-computed exact longs
+    // inlined on both sides
+    "split_assign" -> {
+      // replicate hashSplit's scanLeft EXACTLY: 0.8 + 0.1 is
+      // 0.9000000000000001 in IEEE, not 0.9 — a rounded literal here
+      // would shift the val threshold by ~31 hash units
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+        .map(c => (math.min(c, 1.0) * (1L << 48)).toLong)
+      s"""SELECT doc_id,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT < ${cums(0)} THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT < ${cums(1)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // mirrors Curation.redactPii over the same injected identifiers;
     // the regex literals come from the SAME Scala constants, and

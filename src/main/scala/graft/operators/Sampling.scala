@@ -140,4 +140,37 @@ object Sampling {
         floor(col("__f") * lit(281474976710656.0)))
       .drop("__f")
   }
+
+  /** Deterministic train/val/test (or any named) split assignment:
+    * each row's 48-bit content hash lands in one of the cumulative
+    * weight ranges, so the split is a pure function of (id, salt) —
+    * reproducible across engines, partitionings, retries, and
+    * re-runs on a grown corpus (existing rows never change split
+    * when new rows arrive, the property an RNG-based split lacks).
+    * Stateless per-row CASE, no shuffle.
+    *
+    * @param splits (name, weight) pairs in ASSIGNMENT ORDER; weights
+    *               must sum to ~1 (cumulative thresholds are exact
+    *               integers, floor(cum * 2^48); the final range is
+    *               closed at 2^48 so every row is assigned)
+    * @return input plus a `split` string column
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    require(splits.forall(_._2 > 0), s"weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $total")
+    // exact-integer cumulative thresholds, replayed by the oracle
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => (math.min(c, 1.0) * (1L << 48)).toLong)
+    val h = hash48(col(idCol), salt)
+    val assign = splits.zip(cums).dropRight(1)
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(""))) {
+        case (acc, ((name, _), cum)) => acc.when(h < lit(cum), lit(name))
+      }
+      .otherwise(lit(splits.last._1))
+    df.withColumn("split", assign)
+  }
 }

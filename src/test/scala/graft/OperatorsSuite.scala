@@ -391,6 +391,26 @@ class OperatorsSuite extends SparkSuite {
       "fingerprints must be content-addressed, not offset-addressed")
   }
 
+  test("hashSplit assigns every row deterministically with stable proportions") {
+    import graft.operators.Sampling
+    val df = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.hashSplit(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 2000, "every row assigned exactly once")
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    // binomial 4-sigma bounds on 2000 rows
+    assert(math.abs(counts("train") - 1600) < 72, counts.toString)
+    assert(math.abs(counts("val") - 200) < 54, counts.toString)
+    assert(math.abs(counts("test") - 200) < 54, counts.toString)
+    // growth stability: adding rows never reassigns existing ones
+    val grown = Sampling.hashSplit((0L until 4000L).toDF("id"), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, s) => grown(id) == s })
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.5)))
+  }
+
   test("semantic dedup keeps the min-id vector per embedding cluster") {
     val q = SparkEntry.queries("semantic_dedup")(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
