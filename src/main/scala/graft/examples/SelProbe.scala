@@ -43,10 +43,30 @@ object SelProbe {
     def c7 = SelectiveSearch.selectWithDecay(
       Tables.selection(spark, dir), Tables.results(spark, dir), 3, 0.5)
 
+    // Variant C: coalesce(1) between the bounded (|Q| x |S|) selection
+    // aggregate and its rank window — the single-partition child
+    // satisfies the window's ClusteredDistribution statically, so the
+    // window's exchange disappears from the plan (2 -> 1 exchanges on
+    // the broadcast side).
+    def c6coal = {
+      import org.apache.spark.sql.expressions.Window
+      val agg = Tables.lineitem(spark, dir)
+        .groupBy(
+          (col("l_orderkey") % Tables.NumQueries).cast("int").as("query"),
+          (col("l_suppkey") % Tables.NumShards).cast("int").as("shard"))
+        .agg(sum(col("l_quantity")).as("mass"))
+        .coalesce(1)
+      val w = Window.partitionBy(col("query"))
+        .orderBy(col("mass").desc, col("shard").asc)
+      val sel = agg.withColumn("rank", (row_number().over(w) - 1).cast("int"))
+      SelectiveSearch.select(sel, Tables.results(spark, dir), 2)
+    }
+
     val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "c6 registered" -> (() => c6),
       "c6 unsorted" -> (() => c6unsorted),
       "c6 repart+sort" -> (() => c6mat),
+      "c6 coal-window" -> (() => c6coal),
       "c7 registered" -> (() => c7))
 
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
