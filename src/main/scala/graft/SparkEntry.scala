@@ -742,6 +742,14 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Per-label centroid embeddings (mean-pool + L2-normalize): the
+    // class-prototype / cluster-centroid construction step. Exact
+    // cross-engine doubles via the quantized-sums-normalized-directly
+    // identity (the mean factor cancels under L2) — see Embeddings.
+    "embedding_pool" -> ((s, dir) =>
+      graft.operators.Embeddings.groupCentroids(
+        Tables.embeddings(s, dir), "label")),
+
     // ANN very-large-C path: two-level (coarse-then-fine) assignment —
     // vectors rank 8 super-centroids, then score only their 2 nearest
     // super-cells' centroids (~2 sqrt(C) dots per vector instead of
@@ -1454,6 +1462,26 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "c8_select_buckets" -> c8OracleSql,
+    // mirrors Embeddings.groupCentroids: quantized component sums per
+    // (label, pos), normalized directly (the mean factor cancels
+    // under L2); squares summed in HUGEINT = Spark's DECIMAL(38,0)
+    "embedding_pool" ->
+      """WITH qe AS (
+        |  SELECT label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, unnest(generate_series(0, len(v) - 1)) AS pos, unnest(v) AS qx
+        |  FROM qe),
+        |sums AS (SELECT label, pos, SUM(qx) AS qsum FROM ex GROUP BY 1, 2),
+        |norms AS (SELECT label, SUM(CAST(qsum AS HUGEINT) * qsum) AS ssq
+        |          FROM sums GROUP BY 1)
+        |SELECT s.label, CAST(s.pos AS INT) AS pos,
+        |       CASE WHEN n.ssq = 0 THEN 0.0
+        |            ELSE CAST(s.qsum AS DOUBLE) / sqrt(CAST(n.ssq AS DOUBLE)) END AS value
+        |FROM sums s JOIN norms n USING (label)
+        |ORDER BY label, pos""".stripMargin,
+
     "ann_cosine_topk" ->
       s"""WITH $QuantCte,
          |pairs AS (

@@ -538,4 +538,33 @@ class OperatorsSuite extends SparkSuite {
     // every doc contributes at most topK rows
     assert(got.groupBy(_._1).forall(_._2.length <= 2))
   }
+
+  test("groupCentroids: unit norms, singleton identity, zero-group zeros, partition-invariant") {
+    import graft.operators.Embeddings
+    val df = Seq(
+      (0L, Array(3.0f, 4.0f, 0.0f), "a"),
+      (1L, Array(3.0f, 4.0f, 0.0f), "a"), // duplicate: centroid = member direction
+      (2L, Array(0.0f, 1.0f, 0.0f), "b"),
+      (3L, Array(0.0f, 0.0f, 0.0f), "z")) // degenerate group
+      .toDF("vec_id", "embedding", "grp")
+    val out = Embeddings.groupCentroids(df, "grp")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // group a: both members identical, so the centroid is the
+    // normalized vector (3,4,0)/5 = (0.6, 0.8, 0)
+    assert(out.filter(_._1 == "a").map(_._3).toSeq == Seq(0.6, 0.8, 0.0))
+    // non-degenerate centroids have unit L2 norm
+    for (g <- Seq("a", "b")) {
+      val n2 = out.filter(_._1 == g).map(v => v._3 * v._3).sum
+      assert(math.abs(n2 - 1.0) < 1e-12, s"group $g norm^2 $n2")
+    }
+    // all-zero group yields zeros, not NaN
+    assert(out.filter(_._1 == "z").map(_._3).forall(_ == 0.0))
+    // output is (grp, pos)-sorted and exactly |groups| x dim rows
+    assert(out.toSeq == out.sortBy(r => (r._1, r._2)).toSeq)
+    assert(out.length == 3 * 3)
+    // bit-identical at a different parallelism (exact-integer sums)
+    val re = Embeddings.groupCentroids(df.repartition(7), "grp")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(re.toSeq == out.toSeq)
+  }
 }
