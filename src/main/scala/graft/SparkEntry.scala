@@ -720,6 +720,14 @@ object SparkEntry {
         assignments = 24, minSharedCells = 2)
         .orderBy("id_a", "id_b")),
 
+    // Corpus-wide approximate k-NN self-join (IVF cell blocking,
+    // same knobs as embedding_neardup_pairs): every vector's 5
+    // nearest neighbors — the scale path where broadcast-queries
+    // cosineTopK does not apply because the query set IS the corpus
+    "knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(Tables.embeddings(s, dir), k = 5,
+        assignments = 24, minSharedCells = 2)),
+
     // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): the
     // IVF-bucketed embedding near-dup pairs resolved into clusters
     // (pointer-doubling CC), keep the min-id vector per cluster —
@@ -1738,6 +1746,33 @@ object SparkEntry {
          |  FROM cand JOIN qn a ON a.vec_id = id_a JOIN qn b ON b.vec_id = id_b)
          |WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors Similarity.knnJoin: the embedding_neardup candidate +
+    // exact-cosine CTEs (no threshold), both directions, per-vector
+    // top-5 by (cosine desc, neighbor asc)
+    "knn_join" ->
+      s"""WITH $QuantCte,
+         |${centCte(AutoCentroidsSql)},
+         |multi AS (SELECT vec_id, cent_id FROM ${ivfRanked("")}
+         |          WHERE rk <= 24),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM multi a JOIN multi b USING (cent_id)
+         |         WHERE a.vec_id < b.vec_id
+         |         GROUP BY 1, 2 HAVING count(*) >= 2),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |         list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+         |           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cosine
+         |  FROM cand JOIN qn a ON a.vec_id = id_a JOIN qn b ON b.vec_id = id_b),
+         |directed AS (
+         |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
+         |  UNION ALL
+         |  SELECT id_b, id_a, cosine FROM scored),
+         |rk2 AS (SELECT *, CAST(row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |        FROM directed)
+         |SELECT vec_id, neighbor_id, cosine, rank FROM rk2 WHERE rank <= 5
+         |ORDER BY vec_id, rank""".stripMargin,
 
     // mirrors the semantic_dedup composition: the embedding near-dup
     // pair CTE (same knobs as embedding_neardup_pairs) feeding the

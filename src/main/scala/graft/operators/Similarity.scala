@@ -684,7 +684,19 @@ object Similarity {
       numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
       embCol: String = "embedding", idCol: String = "vec_id",
       centroids: Option[DataFrame] = None,
-      superCells: Int = 0, superProbes: Int = 2): DataFrame = {
+      superCells: Int = 0, superProbes: Int = 2): DataFrame =
+    ivfScoredPairs(corpus, numCentroids, assignments, minSharedCells,
+      embCol, idCol, centroids, superCells, superProbes)
+      .filter(col("cosine") >= threshold)
+
+  /** The shared IVF-blocked candidate + exact-cosine stage behind
+    * [[ivfNearDupPairs]] (threshold verify) and [[knnJoin]] (top-k
+    * finish): undirected scored pairs (id_a < id_b, cosine).
+    */
+  private def ivfScoredPairs(corpus: DataFrame,
+      numCentroids: Int, assignments: Int, minSharedCells: Int,
+      embCol: String, idCol: String, centroids: Option[DataFrame],
+      superCells: Int, superProbes: Int): DataFrame = {
     val cp = prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
     val cent = centroids.getOrElse {
@@ -707,7 +719,54 @@ object Similarity {
       .join(cp.select(col(idCol).as("id_b"), col("v").as("vb"), col("n2").as("nb2")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+  }
+
+  /** Corpus-wide approximate k-NN SELF-join: every vector's k
+    * cosine-nearest neighbors within the corpus, via the same IVF
+    * multi-assign cell blocking as [[ivfNearDupPairs]] — the scale
+    * path where [[cosineTopK]]'s broadcast-queries form does not
+    * apply because the query set IS the corpus (retrieval
+    * augmentation, SemDeDup neighborhoods, corpus-wide label
+    * propagation).
+    *
+    * Each undirected candidate pair is scored ONCE, then flipped into
+    * both directions for the per-vector bounded top-k aggregate — at
+    * most k (cosine, id) pairs per vector per map task cross the
+    * final shuffle, never the candidate set. Approximation is in
+    * candidate RECALL only (a vector whose true neighbor shares
+    * < `minSharedCells` cells misses it; vectors with few candidates
+    * return fewer than k rows); every returned cosine is exact, and
+    * rank order (cosine desc, id asc) is total.
+    *
+    * Output: (idCol, neighbor_id, cosine, rank), corpus-sized (≤ n·k
+    * rows) — keeps the scalable range sort, not the bounded
+    * presentation sort.
+    */
+  def knnJoin(corpus: DataFrame, k: Int,
+      numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      centroids: Option[DataFrame] = None,
+      superCells: Int = 0, superProbes: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = ivfScoredPairs(corpus, numCentroids, assignments,
+      minSharedCells, embCol, idCol, centroids, superCells, superProbes)
+    // both directions in ONE pass over the scored pairs (a self-union
+    // would re-run the whole candidate + score stage per branch)
+    val directed = scored.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"), col("cosine")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"), col("cosine"))))
+        .as("e"))
+      .select(col("e.src").as(idCol), col("e.dst").as("neighbor_id"),
+        col("e.cosine").as("cosine"))
+    directed.groupBy(col(idCol))
+      .agg(graft.functions.TopKFunctions
+        .top_k(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col(idCol), posexplode(col("top")))
+      .select(col(idCol),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col(idCol).asc, col("rank").asc)
   }
 
   /** k-NN majority-vote label propagation: predict each query

@@ -539,6 +539,53 @@ class OperatorsSuite extends SparkSuite {
     assert(got.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("knnJoin: neighbors are a high-recall exact-cosine subset of brute-force kNN") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(300)(i => (i.toLong, vec().toSeq))
+    val planted = (0 until 40).map { j =>
+      val (_, v) = base(rnd.nextInt(base.length))
+      (1000L + j, v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val k = 3
+    val got = Similarity.knnJoin(corpus, k, assignments = 24, minSharedCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // ranks are 1..k', contiguous, cosine non-increasing per vector
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length), s"ranks for $id")
+      assert(sorted.length <= k)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"cosine order for $id")
+    }
+    // every reported cosine is the exact brute-force value, and each
+    // planted near-dup's TRUE nearest neighbor is found (planted
+    // pairs share cells with near-certainty)
+    val p = Similarity.prepared(corpus, "embedding", "vec_id")
+    val brute = p.select(col("vec_id").as("qa"), col("v").as("va"), col("n2").as("na2"))
+      .join(p.select(col("vec_id").as("qb"), col("v").as("vb"), col("n2").as("nb2")))
+      .filter(col("qa") =!= col("qb"))
+      .select(col("qa"), col("qb"),
+        Similarity.cosineQ(Similarity.dotQ(col("va"), col("vb")),
+          col("na2"), col("nb2")).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { case (a, b, c, _) =>
+      assert(brute((a, b)) == c, s"cosine mismatch for ($a,$b)")
+    }
+    val top1 = brute.groupBy(_._1._1).map { case (q, m) =>
+      q -> m.maxBy(e => (e._2, -e._1._2))._1._2
+    }
+    val gotTop = got.filter(_._4 == 1).map(r => r._1 -> r._2).toMap
+    val plantedIds = planted.map(_._1)
+    val hit = plantedIds.count(id => gotTop.get(id).contains(top1(id)))
+    assert(hit >= plantedIds.length * 9 / 10,
+      s"planted top-1 recall $hit/${plantedIds.length}")
+  }
+
   test("groupCentroids: unit norms, singleton identity, zero-group zeros, partition-invariant") {
     import graft.operators.Embeddings
     val df = Seq(
