@@ -253,6 +253,14 @@ object SparkEntry {
           (sum(Tables.cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour_ts", "event_type")),
 
+    // OHLC resample onto a 15-min grid: open/close via struct
+    // min/max on the total (ts, event_id) order — map-side partial
+    // aggregation, no window (see operators.TimeSeries)
+    "events_resample_ohlc" -> ((s, dir) =>
+      graft.operators.TimeSeries.resampleOhlc(
+        Tables.events(s, dir), bucketNs = 900000000000L,
+        keyCols = Seq("event_type"))),
+
     // Full outer join as explicit API, (user, day) grain: view-only
     // days and purchase-only days survive with nulls on the other
     // side (user-level joins are vacuous here — every user has every
@@ -2332,6 +2340,33 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
+
+    // mirrors TimeSeries.resampleOhlc: the struct-min/max open/close
+    // replayed as first/last row_number over the same (tn, event_id)
+    // total order; cents quantization keeps every value exact
+    "events_resample_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) AS tn, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |b AS (SELECT event_type, (tn - tn % 900000000000) // 1000000000 AS bucket_ts,
+        |             tn, event_id, vc
+        |      FROM e),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY event_type, bucket_ts
+        |                           ORDER BY tn, event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY event_type, bucket_ts
+        |                           ORDER BY tn DESC, event_id DESC) AS rn_d
+        |      FROM b)
+        |SELECT event_type, bucket_ts,
+        |       CAST(max(CASE WHEN rn_a = 1 THEN vc END) AS DOUBLE) / 100 AS open,
+        |       CAST(max(vc) AS DOUBLE) / 100 AS high,
+        |       CAST(min(vc) AS DOUBLE) / 100 AS low,
+        |       CAST(max(CASE WHEN rn_d = 1 THEN vc END) AS DOUBLE) / 100 AS close,
+        |       count(*) AS n,
+        |       CAST(sum(vc) AS DOUBLE) / 100 AS volume
+        |FROM r GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ts""".stripMargin,
 
     "j_full_outer_days" ->
       """WITH v AS (SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,

@@ -539,6 +539,36 @@ class OperatorsSuite extends SparkSuite {
     assert(got.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("resampleOhlc: open/close by (ts, id) total order, exact bars, partition-invariant") {
+    import graft.operators.TimeSeries
+    val ns = 1000000000L // 1 s buckets for the test grid
+    val rows = Seq(
+      // bucket 0 of type a: same-ts tie at t=5 -> id breaks open
+      (0L, 5L, "a", 3.10), (1L, 5L, "a", 1.20), (2L, 900000000L, "a", 9.99),
+      // bucket 1 of type a: single row (open=high=low=close)
+      (3L, 1500000000L, "a", 2.00),
+      // type b straddles the bucket edge: t=999999999 vs t=1000000000
+      (4L, 999999999L, "b", 7.00), (5L, 1000000000L, "b", 4.00))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = TimeSeries.resampleOhlc(rows, ns, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getDouble(7)))
+    assert(got.toSeq == Seq(
+      // a/bucket0: open = id-0 value 3.10 (tie at t=5 broken by id),
+      // high 9.99, low 1.20, close = t=0.9s row
+      ("a", 0L, 3.10, 9.99, 1.20, 9.99, 3L, 14.29),
+      ("a", 1L, 2.00, 2.00, 2.00, 2.00, 1L, 2.00),
+      ("b", 0L, 7.00, 7.00, 7.00, 7.00, 1L, 7.00),
+      ("b", 1L, 4.00, 4.00, 4.00, 4.00, 1L, 4.00)), got.mkString(","))
+    // bit-identical at another parallelism (struct min/max + exact
+    // cents are order-independent)
+    val re = TimeSeries.resampleOhlc(rows.repartition(5), ns, Seq("event_type"))
+      .collect().map(_.toSeq.toList).toList
+    assert(re == got.map(t =>
+      List[Any](t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)).toList)
+  }
+
   test("knnJoin: neighbors are a high-recall exact-cosine subset of brute-force kNN") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(7)
