@@ -305,4 +305,50 @@ class PlanSuite extends SparkSuite {
     assert(kernelCount == 1,
       s"winnow plan has $kernelCount winnowfps subtrees: ${lp.take(3000)}")
   }
+
+  test("ohlc resample aggregates with map-side partials and no window") {
+    // struct min/max open/close must plan as ONE hash aggregate pair
+    // (partial + final) on the bucket shuffle — a rewrite through
+    // first()/last() or row_number would reintroduce a corpus-wide
+    // Window and lose map-side combine
+    val p = plan("events_resample_ohlc")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_min") || p.contains("partial"), p.take(3000))
+    // exactly one data shuffle (the group-by) beneath the final sort
+    val hashEx = "hashpartitioning".r.findAllIn(p.toLowerCase).size
+    assert(hashEx >= 1, p.take(3000))
+  }
+
+  test("knn_join explodes directions exactly once over the scored pairs") {
+    // both neighbor directions come from ONE 2-element explode of the
+    // scored frame: a self-union would re-run the whole candidate +
+    // cosine stage per branch (two Generates / doubled dot kernels)
+    val lp = SparkEntry.queries("knn_join")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Union}
+    val gens = lp.collect { case g: Generate => g }
+    assert(lp.collect { case u: Union => u }.isEmpty,
+      "knn_join regained a self-union over the scored stage")
+    // exactly ONE direction explode (the 2-struct array): a
+    // self-union rewrite would have zero of these and a Union, and
+    // would re-run the candidate + exact-cosine stage per branch (the
+    // assignment stage below keeps its own explodes — the per-
+    // centroid literal dot kernels make a global kernel count
+    // meaningless here)
+    val s = lp.toString.toLowerCase
+    val dirExplodes = "explode\\(array\\(struct\\(src".r.findAllIn(s).size
+    assert(dirExplodes == 1,
+      s"expected 1 direction explode, got $dirExplodes " +
+        s"(${gens.map(_.generator.prettyName)})")
+    spark.catalog.clearCache()
+  }
+
+  test("embedding_pool broadcasts the norm frame and skips the sampling sort") {
+    val p = plan("embedding_pool")
+    // |groups|-row norms broadcast back onto the component sums
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // bounded |groups| x dim output: presentation sort, no range
+    // exchange sampling job
+    assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
+  }
 }
