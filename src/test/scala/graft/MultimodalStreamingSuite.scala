@@ -76,6 +76,41 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming: OHLC bars match batch AND the TimeSeries grid operator") {
+    val dir = sf("sf0.001")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ohlc")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = EventsStream.readEvents(spark, streamDir.toString)
+    val q = EventsStream.ohlcAgg(streamed)
+      .writeStream.format("memory").queryName("ohlc").outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ohlc")
+      .orderBy("event_type", "window_start").collect()
+    // twin 1: the same function over the batch frame
+    val batchEvents = Tables.events(spark, dir)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventsStream.ohlcAgg(batchEvents)
+      .orderBy("event_type", "window_start").collect()
+    assert(got.toSeq == batch.toSeq)
+    assert(got.nonEmpty)
+    // twin 2: the batch grid operator — window(15 min) starts are the
+    // same instants as the epoch-nanos bucket grid, and every bar
+    // value must agree bit-for-bit
+    val grid = graft.operators.TimeSeries.resampleOhlc(
+        Tables.events(spark, dir), 900000000000L, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getDouble(7))).toSeq
+    val fromStream = got.map(r => (r.getString(1),
+      r.getTimestamp(0).toInstant.getEpochSecond,
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getLong(6), r.getDouble(7))).toSeq.sortBy(t => (t._1, t._2))
+    assert(fromStream == grid.sortBy(t => (t._1, t._2)))
+  }
+
   test("streaming: NTZ event_time derivation is session-timezone-free") {
     // mirror of the IoSuite batch pin (Tables.events): the NTZ
     // wall-clock is UTC by convention, so readEvents under a non-UTC
