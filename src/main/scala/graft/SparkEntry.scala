@@ -728,6 +728,19 @@ object SparkEntry {
         assignments = 24, minSharedCells = 2)
         .orderBy("id_a", "id_b")),
 
+    // Incremental-ingest semantic dedup: new vectors (vec_id < 40)
+    // probed against the standing corpus (vec_id >= 40) — centroids
+    // from the corpus's low-id sample, candidates bounded by the
+    // batch, the corpus never self-joins (the embedding twin of
+    // minhash_incremental_pairs)
+    "embedding_incremental_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfNearDupBatch(
+        e.filter(col("vec_id") >= 40), e.filter(col("vec_id") < 40),
+        threshold = 0.3, assignments = 24, minSharedCells = 2)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // Corpus-wide approximate k-NN self-join (IVF cell blocking,
     // same knobs as embedding_neardup_pairs): every vector's 5
     // nearest neighbors — the scale path where broadcast-queries
@@ -1754,6 +1767,37 @@ object SparkEntry {
          |  FROM cand JOIN qn a ON a.vec_id = id_a JOIN qn b ON b.vec_id = id_b)
          |WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors Similarity.ivfNearDupBatch: corpus-only centroid sample
+    // (low ids of vec_id >= 40), both sides multi-assigned against
+    // it, batch x corpus candidates, exact-cosine threshold
+    "embedding_incremental_pairs" ->
+      s"""WITH $QuantCte,
+         |qc AS (SELECT * FROM qn WHERE vec_id >= 40),
+         |qb AS (SELECT * FROM qn WHERE vec_id < 40),
+         |cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM qc
+         |         QUALIFY row_number() OVER (ORDER BY vec_id) <=
+         |           greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM qc) * 16.0)) AS BIGINT))),
+         |mc AS (SELECT vec_id, cent_id FROM (
+         |         SELECT q.vec_id, c.cent_id,
+         |                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |                  ${cosSql("q.v", "c.cv", "q.n2", "c.cn2")} DESC, c.cent_id) AS rk
+         |         FROM qc q CROSS JOIN cent c) WHERE rk <= 24),
+         |mb AS (SELECT vec_id, cent_id FROM (
+         |         SELECT q.vec_id, c.cent_id,
+         |                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |                  ${cosSql("q.v", "c.cv", "q.n2", "c.cn2")} DESC, c.cent_id) AS rk
+         |         FROM qb q CROSS JOIN cent c) WHERE rk <= 24),
+         |cand AS (SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
+         |         FROM mb b JOIN mc c USING (cent_id)
+         |         GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT * FROM (
+         |  SELECT batch_id, corpus_id,
+         |         ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cosine
+         |  FROM cand JOIN qb a ON a.vec_id = batch_id
+         |            JOIN qc b ON b.vec_id = corpus_id)
+         |WHERE cosine >= 0.3
+         |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // mirrors Similarity.knnJoin: the embedding_neardup candidate +
     // exact-cosine CTEs (no threshold), both directions, per-vector

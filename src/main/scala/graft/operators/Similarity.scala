@@ -721,6 +721,53 @@ object Similarity {
         cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
   }
 
+  /** Incremental-ingest embedding near-dup: an incoming `batch` of
+    * vectors probed against the existing `corpus` — the semantic twin
+    * of [[graft.operators.Dedup.incrementalMinHashCandidates]], and
+    * the ingest-time gate of a deduplicated corpus ("is this new
+    * document a near-duplicate of anything we already hold?").
+    *
+    * The corpus NEVER self-joins: centroids derive from the corpus
+    * (its deterministic low-id sample, so results are reproducible
+    * run-to-run), both sides multi-assign to their `assignments`
+    * nearest cells, and candidates are batch x corpus co-occupants
+    * sharing >= `minSharedCells` cells — bounded by the batch, not
+    * the corpus. Bare ids aggregate before vectors join back (the
+    * [[ivfScoredPairs]] shuffle discipline). Pairs with EQUAL ids are
+    * reported too (a re-ingested id is the strongest duplicate);
+    * disjoint id spaces simply never produce them.
+    *
+    * @return (batch_id, corpus_id, cosine) with cosine >= threshold
+    */
+  def ivfNearDupBatch(corpus: DataFrame, batch: DataFrame, threshold: Double,
+      numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cp = prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val bp = prepared(batch, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val cent = {
+      val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
+      centroidSample(cp, c, idCol)
+    }
+    val mc = nearestCentroids(cp, cent, assignments, idCol)
+    val mb = nearestCentroids(bp, cent, assignments, idCol)
+    val cand = mb.select(col("cent_id"), col(idCol).as("batch_id"))
+      .join(mc.select(col("cent_id"), col(idCol).as("corpus_id")), Seq("cent_id"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedCells)
+      .select(col("batch_id"), col("corpus_id"))
+    cand
+      .join(bp.select(col(idCol).as("batch_id"), col("v").as("va"),
+        col("n2").as("na2")), Seq("batch_id"))
+      .join(cp.select(col(idCol).as("corpus_id"), col("v").as("vb"),
+        col("n2").as("nb2")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Corpus-wide approximate k-NN SELF-join: every vector's k
     * cosine-nearest neighbors within the corpus, via the same IVF
     * multi-assign cell blocking as [[ivfNearDupPairs]] — the scale

@@ -539,6 +539,40 @@ class OperatorsSuite extends SparkSuite {
     assert(got.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("ivfNearDupBatch: batch probes corpus only, finds planted cross dups exactly") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val corpusRows = Seq.tabulate(400)(i => (100L + i, vec().toSeq))
+    // batch: 20 noisy copies of corpus vectors + 20 fresh randoms
+    val dups = (0 until 20).map { j =>
+      val (_, v) = corpusRows(rnd.nextInt(corpusRows.length))
+      (j.toLong, v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val fresh = (20 until 40).map(j => (j.toLong, vec().toSeq))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val batch = (dups ++ fresh).toDF("vec_id", "embedding")
+    val got = Similarity.ivfNearDupBatch(corpus, batch, threshold = 0.9,
+      assignments = 24, minSharedCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every reported pair is batch x corpus by id range and above
+    // threshold with the exact cosine
+    assert(got.forall { case (b, c, cos) => b < 100 && c >= 100 && cos >= 0.9 })
+    // exact truth by brute force
+    val bp = Similarity.prepared(batch, "embedding", "vec_id")
+    val cp = Similarity.prepared(corpus, "embedding", "vec_id")
+    val truth = bp.select(col("vec_id").as("b"), col("v").as("va"), col("n2").as("na2"))
+      .join(cp.select(col("vec_id").as("c"), col("v").as("vb"), col("n2").as("nb2")))
+      .filter(Similarity.cosineQ(Similarity.dotQ(col("va"), col("vb")),
+        col("na2"), col("nb2")) >= 0.9)
+      .select("b", "c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 18, s"planting failed: ${truth.size}")
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    assert(gotPairs.subsetOf(truth), (gotPairs -- truth).take(3))
+    val recall = truth.count(gotPairs.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"incremental near-dup recall $recall")
+  }
+
   test("resampleOhlc: open/close by (ts, id) total order, exact bars, partition-invariant") {
     import graft.operators.TimeSeries
     val ns = 1000000000L // 1 s buckets for the test grid
