@@ -348,4 +348,68 @@ class PropertiesSuite extends SparkSuite {
       }
     }
   }
+
+  test("resampleOhlc equals the window-based reference across random data and grids") {
+    import graft.operators.TimeSeries
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.tabulate(600) { i =>
+      // deliberately collide timestamps (ts granularity 100) so the
+      // id tiebreak is exercised, and span several buckets
+      (i.toLong, (rnd.nextInt(50) * 100000000L),
+        s"k${rnd.nextInt(3)}", math.round(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    for (bucketNs <- Seq(500000000L, 1000000000L, 3000000000L)) {
+      val got = TimeSeries.resampleOhlc(rows, bucketNs, Seq("event_type"))
+        .collect().map(_.toSeq.toList).toList
+      // reference: windows ordered by (ts, id), first/last + min/max
+      val b = expr(s"(ts - ts % $bucketNs) div 1000000000").as("bucket_ts")
+      val w = Window.partitionBy(col("event_type"), col("bucket_ts"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val vc = round(col("value") * 100).cast("long")
+      val ref = rows.select(col("event_type"), b, col("ts"), col("event_id"), vc.as("vc"))
+        .withColumn("first_vc", first(col("vc")).over(w))
+        .withColumn("last_vc", last(col("vc")).over(w))
+        .groupBy(col("event_type"), col("bucket_ts"))
+        .agg(
+          (max(col("first_vc")).cast("double") / 100).as("open"),
+          (max(col("vc")).cast("double") / 100).as("high"),
+          (min(col("vc")).cast("double") / 100).as("low"),
+          (max(col("last_vc")).cast("double") / 100).as("close"),
+          count(lit(1)).as("n"),
+          (sum(col("vc")).cast("double") / 100).as("volume"))
+        .orderBy(col("event_type"), col("bucket_ts"))
+        .collect().map(_.toSeq.toList).toList
+      assert(got == ref, s"bucketNs=$bucketNs")
+    }
+  }
+
+  test("groupCentroids tracks the exact float mean direction within quantization error") {
+    import graft.operators.Embeddings
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, s"g${i % 4}"))
+      .toDF("vec_id", "embedding", "grp")
+    val got = Embeddings.groupCentroids(df, "grp")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.sortBy(_._2).map(_._3) }
+    // reference: exact double mean then L2-normalize
+    val ref = df.collect().map(r => (r.getString(2),
+        r.getSeq[Float](1).map(_.toDouble)))
+      .groupBy(_._1).map { case (g, vs) =>
+        val mean = vs.map(_._2.toVector).toVector.transpose
+          .map(c => c.sum / c.length)
+        val norm = math.sqrt(mean.map(x => x * x).sum)
+        g -> mean.map(_ / norm)
+      }
+    for (g <- ref.keys) {
+      val cosSim = got(g).zip(ref(g)).map { case (a, b) => a * b }.sum
+      // both are unit vectors: agreement is their cosine; the 1e-3
+      // quantization grid on ~N(0,1) components keeps it ~1
+      assert(cosSim > 0.999999, s"group $g centroid drifted: $cosSim")
+    }
+  }
 }
