@@ -626,6 +626,13 @@ object SparkEntry {
           col("l_linestatus").asc_nulls_first))),
 
     // Generator/UDTF-style: explode tokens to corpus word frequencies
+    // Tokenizer fit + transform: top-100 frequency vocabulary
+    // (bounded top_k_tag aggregate) then a broadcast-lookup encode of
+    // every document to its token-id sequence, OOV -> 0
+    "vocab_encode" -> ((s, dir) =>
+      graft.operators.Vocab.vocabEncode(
+        Tables.documents(s, dir), vocabSize = 100)),
+
     "word_freq" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -2308,6 +2315,25 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // mirrors Vocab.vocabEncode: top-100 terms by (freq desc, term),
+    // ids 1..100, every token position left-joined, OOV -> 0
+    "vocab_encode" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(tt) AS term,
+         |         unnest(generate_series(0, len(tt) - 1)) AS pos
+         |  FROM (SELECT doc_id,
+         |               list_filter($TokensExpr, x -> x <> '') AS tt
+         |        FROM documents)),
+         |counts AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
+         |vocab AS (SELECT term,
+         |                 CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS token_id
+         |          FROM counts
+         |          QUALIFY row_number() OVER (ORDER BY freq DESC, term) <= 100)
+         |SELECT t.doc_id, CAST(t.pos AS INT) AS pos,
+         |       COALESCE(v.token_id, 0) AS token_id
+         |FROM toks t LEFT JOIN vocab v USING (term)
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "word_freq" ->
       s"""SELECT token, count(*) AS n

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Frequency-vocabulary construction and corpus token-id encoding —
+  * the word-level "tokenizer fit + transform" pair of a training-data
+  * pipeline: learn the top-V terms once, then map every document to
+  * its integer-id sequence (OOV → 0).
+  *
+  * Determinism: vocabulary rank is the total (freq desc, term asc)
+  * order, so ids are identical in any engine at any parallelism;
+  * encoding is then a pure broadcast lookup.
+  *
+  * Scale shape: the vocabulary build is one token-count aggregate
+  * (map-side combined) finished by the bounded
+  * [[graft.functions.TopKAggregate]] — each map task ships at most V
+  * (freq, term) pairs, never the term universe — and the encode pass
+  * is a stateless posexplode + broadcast join: no corpus-sized
+  * shuffle anywhere (the output sort is the presentation contract).
+  * A vocabulary that outgrows the broadcast threshold would switch
+  * to a shuffle join by Spark's own size estimation — correct
+  * either way.
+  */
+object Vocab {
+
+  /** The top `vocabSize` terms by (freq desc, term asc):
+    * (token_id 1..V, term, freq). Id 0 is reserved for OOV.
+    */
+  def buildVocab(docs: DataFrame, vocabSize: Int,
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, s"vocabSize $vocabSize must be positive")
+    docs
+      .select(explode(TextFunctions.tokensNonEmpty(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .agg(graft.functions.TopKFunctions
+        .top_k_tag(col("freq").cast("double"), col("term"), vocabSize).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("token_id"),
+        col("col.tag").as("term"),
+        col("col.score").cast("long").as("freq"))
+  }
+
+  /** Every document as its token-id sequence, one row per position:
+    * (idCol, pos, token_id), OOV terms encoded as 0.
+    */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), posexplode(TextFunctions.tokensNonEmpty(col(textCol))))
+      .withColumnRenamed("col", "term")
+      .join(broadcast(vocab.select(col("term"), col("token_id"))),
+        Seq("term"), "left")
+      .select(col(idCol), col("pos").cast("int").as("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+
+  /** Fit + transform in one call (the registered-query shape). */
+  def vocabEncode(docs: DataFrame, vocabSize: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    encodeTokens(docs, buildVocab(docs, vocabSize, textCol), textCol, idCol)
+      .orderBy(col(idCol).asc, col("pos").asc)
+}

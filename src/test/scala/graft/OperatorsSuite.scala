@@ -539,6 +539,28 @@ class OperatorsSuite extends SparkSuite {
     assert(got.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("vocab build + encode: rank by (freq desc, term), OOV -> 0, positions exact") {
+    import graft.operators.Vocab
+    val docs = Seq(
+      (0L, "b a a c  a"),   // double space: empty tokens filtered
+      (1L, "b b rare c"),
+      (2L, " c a b ")).toDF("doc_id", "text")
+    // freqs: a=4, b=4, c=3, rare=1 -> vocab(3): a=1, b=2, c=3
+    val vocab = Vocab.buildVocab(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(vocab.toSeq == Seq((1, "a", 4L), (2, "b", 4L), (3, "c", 3L)), vocab.mkString(","))
+    val enc = Vocab.vocabEncode(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(enc.filter(_._1 == 0L).map(_._3).toSeq == Seq(2, 1, 1, 3, 1))
+    // OOV encodes as 0 at its exact position
+    assert(enc.filter(_._1 == 1L).map(_._3).toSeq == Seq(2, 2, 0, 3))
+    assert(enc.filter(_._1 == 2L).map(_._3).toSeq == Seq(3, 1, 2))
+    // positions are 0-based contiguous per doc
+    enc.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.sortBy(_._2).map(_._2).toSeq == rs.indices)
+    }
+  }
+
   test("ivfNearDupBatch: batch probes corpus only, finds planted cross dups exactly") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(23)
