@@ -62,4 +62,20 @@ object Vocab {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     encodeTokens(docs, buildVocab(docs, vocabSize, textCol), textCol, idCol)
       .orderBy(col(idCol).asc, col("pos").asc)
+
+  /** [[buildVocab]] behind the metadata-versioned
+    * [[graft.core.IndexStore]] — the tokenizer is a FIT ARTIFACT like
+    * an ANN index: fit once against the corpus fingerprint, then
+    * every encode call (batch or streaming) reads the V-row store
+    * entry and never re-scans the source. Rebuilt only when the
+    * source parquet fingerprint or `vocabSize` changes.
+    */
+  def storedVocab(docs: DataFrame, docsPath: String, vocabSize: Int,
+      textCol: String = "text", force: Boolean = false): DataFrame = {
+    val name = s"vocab-v$vocabSize-$textCol-v1-" +
+      graft.core.IndexStore.md5hex(docsPath)
+    graft.core.IndexStore.readOrBuild(docs.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(docsPath), force)(
+      buildVocab(docs, vocabSize, textCol))
+  }
 }

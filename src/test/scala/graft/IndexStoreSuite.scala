@@ -111,4 +111,26 @@ class IndexStoreSuite extends SparkSuite {
     IndexMeta.validate(bare, "cent_id", "test", "kind" -> "ivf")
     graft.core.OpCaches.release()
   }
+
+  test("storedVocab serves the fitted vocabulary without re-fitting") {
+    import graft.operators.Vocab
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val inline = Vocab.buildVocab(docs, 50).collect().map(_.toSeq).toSeq
+    val stored = Vocab.storedVocab(docs, s"$dir/documents.parquet", 50,
+        force = true)
+      .orderBy("token_id").collect().map(_.toSeq).toSeq
+    assert(stored == inline)
+    // second call: manifest hit, identical content from the store
+    val again = Vocab.storedVocab(docs, s"$dir/documents.parquet", 50)
+      .orderBy("token_id").collect().map(_.toSeq).toSeq
+    assert(again == inline)
+    // the served encode equals the inline fit+transform
+    val viaStore = Vocab.encodeTokens(docs,
+        Vocab.storedVocab(docs, s"$dir/documents.parquet", 50))
+      .orderBy("doc_id", "pos").collect().map(_.toSeq).toSeq
+    val viaInline = Vocab.vocabEncode(docs, 50)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore == viaInline)
+  }
 }

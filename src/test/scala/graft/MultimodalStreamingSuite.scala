@@ -76,6 +76,32 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming: token-id encode against a fitted vocabulary matches batch") {
+    // the vocabulary is a fit artifact; the encode pass is a
+    // stateless stream-static broadcast join, so an ingest stream
+    // encodes identically to the batch path
+    import graft.operators.Vocab
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val vocab = Vocab.buildVocab(docs, 50)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-vocab")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val streamed = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString)
+    val q = Vocab.encodeTokens(streamed, vocab)
+      .writeStream.format("memory").queryName("venc").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("venc").orderBy("doc_id", "pos")
+      .collect().map(_.toSeq).toSeq
+    val batch = Vocab.encodeTokens(docs, vocab)
+      .orderBy("doc_id", "pos").collect().map(_.toSeq).toSeq
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming: OHLC bars match batch AND the TimeSeries grid operator") {
     val dir = sf("sf0.001")
     val streamDir = java.nio.file.Files.createTempDirectory("graft-ohlc")
