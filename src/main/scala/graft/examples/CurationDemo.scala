@@ -21,6 +21,7 @@ import graft.operators.{Chunking, Components, Curation, Dedup, Packing, Sampling
   *     -> quality filter         (top 75% per language by score)
   *     -> token-budget mixing    (per-source cap, best-quality-first)
   *     -> stratified sample      (100 docs per language, hash-ranked)
+  *     -> vocab fit + encode     (top-256 terms, docs to token ids)
   *     -> token-window chunking  (32-token chunks, stride 24)
   *     -> sequence packing       (chunk token counts into 64-token bins)
   *     -> parquet sink
@@ -103,6 +104,13 @@ object CurationDemo {
         (col("doc_id") * 1000 + col("chunk_id")).as("cid")),
       col("n_chunk_tokens"), Seq.empty, "cid", seqLen = 64L)
 
+    // 6b. tokenizer fit + transform: top-256 vocabulary fitted on
+    // the surviving corpus, every doc encoded to token ids (OOV -> 0)
+    val encoded = graft.operators.Vocab.encodeTokens(sampled,
+      graft.operators.Vocab.buildVocab(sampled, 256))
+    val nTok = encoded.count()
+    val nOov = encoded.filter(col("token_id") === 0).count()
+
     // 7. sink + release the operator-held caches in one call
     OpCaches.materializeAndRelease(sampled)
     sampled.write.mode("overwrite").partitionBy("lang").parquet(outDir)
@@ -112,7 +120,7 @@ object CurationDemo {
       .first().getLong(0) + 1
 
     println(s"CURATION_OK in=$n0 gated=$n0b exact_dedup=$n1 near_dedup=$n2 decontaminated=$n2b " +
-      s"quality=$n3 mixed=$n4 sampled=$n5 chunks=$n6 bins=$n7 out=$outDir")
+      s"quality=$n3 mixed=$n4 sampled=$n5 tokens=$nTok oov=$nOov chunks=$n6 bins=$n7 out=$outDir")
     spark.stop()
   }
 }
