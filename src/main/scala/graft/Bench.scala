@@ -162,8 +162,21 @@ object Bench {
       else {
         val rs = ratios.map { case (k, r) => "\"" + k + f"""\":$r%.2f""" }
           .mkString("{", ",", "}")
+        // the gate aggregates, precomputed so the artifact is
+        // self-describing: sum(spark)/sum(duckdb) over the oracled-
+        // and-timed set, raw and with the per-query session floor
+        // subtracted from the spark side
+        val oracled = results.collect {
+          case (k, Some(v)) if baseline.get(k).exists(_ > 0) => (k, v)
+        }
+        val sumSpark = oracled.map(_._2).sum
+        val sumDuck = oracled.map(t => baseline(t._1)).sum
+        val aggRaw = sumSpark / sumDuck
+        val aggAdj = oracled.map(t => math.max(0.0, t._2 - floor)).sum / sumDuck
         f""","ratios":$rs,"over_2x":${ratios.count(_._2 > 2.0)}""" +
-          f""","floor":$floor%.3f,"over_2x_adj":${adjRatios.count(_._2 > 2.0)}"""
+          f""","floor":$floor%.3f,"over_2x_adj":${adjRatios.count(_._2 > 2.0)}""" +
+          f""","agg_ratio":$aggRaw%.3f,"agg_ratio_adj":$aggAdj%.3f""" +
+          f""","agg_spark_sec":$sumSpark%.3f,"agg_duckdb_sec":$sumDuck%.3f"""
       }
     val loadPost = loadAvg()
     val loadJson = f""","reps":$reps,"load_pre":$loadPre%.2f,"load_post":$loadPost%.2f"""
