@@ -43,7 +43,7 @@ object TimeSeries {
     // integer `div`, never `/`: epoch-nanos exceed 2^53, a double
     // division would corrupt the bucket (the Tables.events lesson)
     val bucket =
-      expr(s"($tsCol - $tsCol % $bucketNs) div 1000000000").as("bucket_ts")
+      expr(s"(`$tsCol` - `$tsCol` % $bucketNs) div 1000000000").as("bucket_ts")
     events
       .groupBy(keyCols.map(col) :+ (bucket: Column): _*)
       .agg(
