@@ -138,10 +138,14 @@ object Bench {
       """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
-    val ratios = results.collect {
+    // the oracled-and-timed set, collected ONCE — ratios, adjusted
+    // ratios, and the gate aggregates below all derive from it, so
+    // the baseline guard cannot desynchronize between them
+    val oracled = results.collect {
       case (k, Some(v)) if baseline.get(k).exists(_ > 0) =>
-        k -> v / baseline(k)
+        (k, v, baseline(k))
     }
+    val ratios = oracled.map { case (k, v, base) => k -> v / base }
     // per-query fixed session overhead (planning, job scheduling,
     // shuffle setup) measured as the fastest query of the run — at
     // toy scale it dominates sub-second queries, so alongside the raw
@@ -149,9 +153,8 @@ object Bench {
     // duckdb, i.e. the data-proportional cost the 100 TB target
     // actually amortizes to (see BASELINE.md caveats, SCALING.md)
     val floor = results.flatMap(_._2).minOption.getOrElse(0.0)
-    val adjRatios = results.collect {
-      case (k, Some(v)) if baseline.get(k).exists(_ > 0) =>
-        k -> math.max(0.0, v - floor) / baseline(k)
+    val adjRatios = oracled.map { case (k, v, base) =>
+      k -> math.max(0.0, v - floor) / base
     }
     val detailQs = results.map {
       case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
@@ -166,11 +169,8 @@ object Bench {
         // self-describing: sum(spark)/sum(duckdb) over the oracled-
         // and-timed set, raw and with the per-query session floor
         // subtracted from the spark side
-        val oracled = results.collect {
-          case (k, Some(v)) if baseline.get(k).exists(_ > 0) => (k, v)
-        }
         val sumSpark = oracled.map(_._2).sum
-        val sumDuck = oracled.map(t => baseline(t._1)).sum
+        val sumDuck = oracled.map(_._3).sum
         val aggRaw = sumSpark / sumDuck
         val aggAdj = oracled.map(t => math.max(0.0, t._2 - floor)).sum / sumDuck
         f""","ratios":$rs,"over_2x":${ratios.count(_._2 > 2.0)}""" +

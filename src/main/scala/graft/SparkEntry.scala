@@ -625,7 +625,6 @@ object SparkEntry {
         .transform(boundedSorted(_, col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first))),
 
-    // Generator/UDTF-style: explode tokens to corpus word frequencies
     // Tokenizer fit + transform: top-100 frequency vocabulary
     // (bounded top_k_tag aggregate) then a broadcast-lookup encode of
     // every document to its token-id sequence, OOV -> 0
@@ -633,6 +632,7 @@ object SparkEntry {
       graft.operators.Vocab.vocabEncode(
         Tables.documents(s, dir), vocabSize = 100)),
 
+    // Generator/UDTF-style: explode tokens to corpus word frequencies
     "word_freq" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))

@@ -108,8 +108,14 @@ object CurationDemo {
     // the surviving corpus, every doc encoded to token ids (OOV -> 0)
     val encoded = graft.operators.Vocab.encodeTokens(sampled,
       graft.operators.Vocab.buildVocab(sampled, 256))
-    val nTok = encoded.count()
-    val nOov = encoded.filter(col("token_id") === 0).count()
+    // both counts in ONE action — separate count() calls would each
+    // re-run the vocab fit + encode (and the funnel above them)
+    val tokRow = encoded.agg(
+      count(lit(1)).as("n"),
+      count(org.apache.spark.sql.functions.when(col("token_id") === 0, 1))
+        .as("oov")).first()
+    val nTok = tokRow.getLong(0)
+    val nOov = tokRow.getLong(1)
 
     // 7. sink + release the operator-held caches in one call
     OpCaches.materializeAndRelease(sampled)

@@ -58,34 +58,31 @@ object EventsStream {
 
   /** Tumbling OHLC bars per event type — the streaming twin of
     * [[graft.operators.TimeSeries.resampleOhlc]] on the wall-clock
-    * window grid. Open/close are struct MIN/MAX over the total
-    * (event_time, event_id) order, exactly like the batch operator:
-    * struct min/max merge associatively, so bars stay correct as
-    * micro-batches accumulate state, and the watermark bounds that
-    * state. Works on both static and streaming frames.
+    * window grid. The six aggregate expressions are SHARED with the
+    * batch operator ([[graft.operators.TimeSeries.ohlcAggs]]), so the
+    * tie order, cents grid, and finishes cannot drift; struct min/max
+    * merge associatively, so bars stay correct as micro-batches
+    * accumulate state, and the watermark bounds that state. Works on
+    * both static and streaming frames.
+    *
+    * Resolution note: the (time, id) total order here is over
+    * `event_time`, a MICROSECOND timestamp (readEvents derives it
+    * via `ts div 1000`), where the batch operator orders by the raw
+    * nanos — a feed with sub-microsecond spacing inside one µs could
+    * tie-break open/close differently between the twins. The events
+    * contract is µs-resolution instants (Tables.events), where the
+    * two orders coincide exactly (parity suite-pinned).
     */
   def ohlcAgg(events: DataFrame, windowLen: String = "15 minutes",
       watermark: String = "2 hours"): DataFrame = {
-    val vc = round(col("value") * 100).cast("long")
+    val aggs = graft.operators.TimeSeries.ohlcAggs(
+      col("event_time"), col("event_id"), col("value"))
     events
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
-      .agg(
-        min(struct(col("event_time").as("t"), col("event_id").as("i"),
-          vc.as("v"))).getField("v").as("__open_c"),
-        max(vc).as("__high_c"),
-        min(vc).as("__low_c"),
-        max(struct(col("event_time").as("t"), col("event_id").as("i"),
-          vc.as("v"))).getField("v").as("__close_c"),
-        count(lit(1)).as("n"),
-        sum(vc).as("__vol_c"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        (col("__open_c").cast("double") / 100).as("open"),
-        (col("__high_c").cast("double") / 100).as("high"),
-        (col("__low_c").cast("double") / 100).as("low"),
-        (col("__close_c").cast("double") / 100).as("close"),
-        col("n"),
-        (col("__vol_c").cast("double") / 100).as("volume"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +: col("event_type") +:
+        graft.operators.TimeSeries.ohlcFinish: _*)
   }
 
   /** Streaming exact dedup by key with bounded state: duplicates

@@ -623,6 +623,18 @@ class OperatorsSuite extends SparkSuite {
       .collect().map(_.toSeq.toList).toList
     assert(re == got.map(t =>
       List[Any](t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)).toList)
+    // pre-epoch timestamps FLOOR to their true bucket (pmod, not %):
+    // t=-0.5s belongs to bucket [-1s, 0s), labeled -1
+    val neg = Seq((0L, -500000000L, "a", 1.00), (1L, 500000000L, "a", 2.00))
+      .toDF("event_id", "ts", "event_type", "value")
+    val negOut = TimeSeries.resampleOhlc(neg, ns, Seq("event_type"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(negOut.toSeq == Seq((-1L, 1.00), (0L, 2.00)), negOut.mkString(","))
+    // a sub-second grid would alias distinct buckets onto one epoch-
+    // second label — rejected loudly
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleOhlc(rows, 500000000L, Seq("event_type"))
+    }
   }
 
   test("knnJoin: neighbors are a high-recall exact-cosine subset of brute-force kNN") {

@@ -313,10 +313,14 @@ class PlanSuite extends SparkSuite {
     // Window and lose map-side combine
     val p = plan("events_resample_ohlc")
     assert(!p.contains("Window"), p.take(3000))
-    assert(p.contains("partial_min") || p.contains("partial"), p.take(3000))
-    // exactly one data shuffle (the group-by) beneath the final sort
+    // the struct-min open specifically must partial-aggregate (a
+    // first()/last() rewrite would keep other partial aggs around
+    // while losing exactly this one)
+    assert(p.contains("partial_min"), p.take(3000))
+    // exactly one hash shuffle (the group-by); the final sort is a
+    // range exchange, not a second hash
     val hashEx = "hashpartitioning".r.findAllIn(p.toLowerCase).size
-    assert(hashEx >= 1, p.take(3000))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx: ${p.take(3000)}")
   }
 
   test("knn_join explodes directions exactly once over the scored pairs") {

