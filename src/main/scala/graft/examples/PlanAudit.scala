@@ -6,7 +6,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("quality_topp", "sample_bernoulli", "sample_stratified", "c2_evaluate_sorted")) {
+    for (q <- Seq("quality_topp", "sample_bernoulli", "sample_stratified",
+        "c2_evaluate_sorted", "knn_join", "embedding_incremental_pairs",
+        "events_resample_ohlc", "vocab_encode")) {
       val p = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(p).size
