@@ -111,6 +111,22 @@ class AnnRecallFloorSuite extends SparkSuite {
     assert(r >= 0.45, f"two-level IVF recall@5 regressed: $r%.3f < 0.45")
   }
 
+  test("registered knn_join config (A=24, shared>=2) holds its recall floor") {
+    // the corpus self-join's candidate blocking is the neardup vote
+    // (24 multi-assignments, >= 2 shared cells). Measured 1.000 on
+    // the sf0.01 embeddings at these knobs — a 24-wide assignment
+    // puts genuinely-nearest pairs in shared cells with near
+    // certainty here; the floor sits at 0.9 so a blocking/vote
+    // regression trips while sampling noise does not.
+    val nn = graft.operators.Similarity.knnJoin(e, 5,
+        assignments = 24, minSharedCells = 2)
+      .filter(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"), col("neighbor_id").as("vec_id"))
+    val r = recall(nn)
+    info(f"knn_join recall@5 = $r%.3f")
+    assert(r >= 0.9, f"knn_join recall@5 regressed: $r%.3f < 0.9")
+  }
+
   test("full-probe IVF and full-rerank IVF+PQ are exact (recall = 1.0)") {
     val rIvf = recall(Similarity.ivfTopK(e, queries, 5, numCentroids = 64, nprobe = 64))
     assert(rIvf == 1.0, f"full-probe IVF must be exact, got $rIvf%.3f")
