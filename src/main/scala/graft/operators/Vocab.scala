@@ -57,11 +57,38 @@ object Vocab {
       .select(col(idCol), col("pos").cast("int").as("pos"),
         coalesce(col("token_id"), lit(0)).as("token_id"))
 
-  /** Fit + transform in one call (the registered-query shape). */
+  /** Fit + transform in one call (the registered-query shape).
+    *
+    * Tokenizes the corpus EXACTLY ONCE: the exploded
+    * (id, pos, term) frame is persisted (tracked — the ngram/tfidf
+    * discipline) and feeds the vocabulary count, the encode probe,
+    * AND the final sort's range-sampling pass, where the naive
+    * composition of [[buildVocab]] + [[encodeTokens]] would run the
+    * tokenize three times per call (fit side, encode side, sampling
+    * re-execution). The separate builder/encoder stay as-is for
+    * callers with a prebuilt vocabulary (streams cannot persist).
+    */
   def vocabEncode(docs: DataFrame, vocabSize: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    encodeTokens(docs, buildVocab(docs, vocabSize, textCol), textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize > 0, s"vocabSize $vocabSize must be positive")
+    val toks = docs
+      .select(col(idCol), posexplode(TextFunctions.tokensNonEmpty(col(textCol))))
+      .withColumnRenamed("col", "term")
+      .transform(graft.core.OpCaches.persistTracked)
+    val vocab = toks
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .agg(graft.functions.TopKFunctions
+        .top_k_tag(col("freq").cast("double"), col("term"), vocabSize).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("token_id"),
+        col("col.tag").as("term"))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col(idCol), col("pos").cast("int").as("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
       .orderBy(col(idCol).asc, col("pos").asc)
+  }
 
   /** [[buildVocab]] behind the metadata-versioned
     * [[graft.core.IndexStore]] — the tokenizer is a FIT ARTIFACT like
