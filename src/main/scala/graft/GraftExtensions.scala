@@ -43,6 +43,10 @@ object GraftExtensions {
     fn("md5_pair", 1)(e => Md5Pair(e.head)),
     fn("dot_long", 2)(e => DotLong(e(0), e(1))),
     fn("text_profile", 1)(e => TextProfile(e.head)),
+    // the Gopher-gate kernel: one byte walk -> the 8 repetition/
+    // length counters Curation.gopherGate thresholds
+    fn("repetition_profile", 1)(e =>
+      graft.functions.RepetitionProfile(e.head)),
     fn("lang_id", 1)(e => LangId(e.head)),
     fn("quality_score", 1)(e => QualityScore(e.head)),
     // n must be an integer literal: the shingle width is a plan-time

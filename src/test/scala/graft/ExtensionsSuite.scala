@@ -45,6 +45,19 @@ class ExtensionsSuite extends SparkSuite {
     assert(err.getMessage.contains("INT literal"), err.getMessage)
   }
 
+  test("repetition_profile registers for SQL (the Gopher-gate kernel)") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT repetition_profile('a b\na b') AS p").first().getSeq[Long](0)
+    val direct = Tables.documents(spark, sf("sf0.001")).sparkSession
+      .range(1).select(graft.functions.RepetitionFunctions
+        .repetition_profile(org.apache.spark.sql.functions.lit("a b\na b"))
+        .as("p")).first().getSeq[Long](0)
+    assert(got == direct)
+    // sanity on the counters: 2 lines, both duplicates of one text
+    assert(got.head == 2L, got.mkString(","))
+  }
+
   test("SQL functions work over a table column") {
     GraftExtensions.register(spark)
     Tables.documents(spark, sf("sf0.001")).createOrReplaceTempView("docs")
