@@ -748,6 +748,20 @@ object SparkEntry {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // ...and its serving twin: the corpus's multi-assign index and
+    // centroid sample come PREBUILT from the store — per-batch work
+    // is the batch assignment plus the cell join; the corpus
+    // assignment pass runs zero times per ingest (output-pinned
+    // identical to the inline form by IndexStoreSuite)
+    "embedding_incremental_prebuilt" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfNearDupBatchPrebuilt(
+        e.filter(col("vec_id") >= 40), s"$dir/embeddings.parquet",
+        e.filter(col("vec_id") < 40),
+        threshold = 0.3, assignments = 24, minSharedCells = 2)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // Corpus-wide approximate k-NN self-join (IVF cell blocking,
     // same knobs as embedding_neardup_pairs): every vector's 5
     // nearest neighbors — the scale path where broadcast-queries
@@ -1314,6 +1328,34 @@ object SparkEntry {
     s"list_sum(list_transform(generate_series(1, 64), i -> $va[i] * $vb[i]))" +
       s" / sqrt(CAST($na * $nb AS DOUBLE))"
 
+  private lazy val EmbIncrementalSql =
+    s"""WITH $QuantCte,
+         |qc AS (SELECT * FROM qn WHERE vec_id >= 40),
+         |qb AS (SELECT * FROM qn WHERE vec_id < 40),
+         |cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM qc
+         |         QUALIFY row_number() OVER (ORDER BY vec_id) <=
+         |           greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM qc) * 16.0)) AS BIGINT))),
+         |mc AS (SELECT vec_id, cent_id FROM (
+         |         SELECT q.vec_id, c.cent_id,
+         |                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |                  ${cosSql("q.v", "c.cv", "q.n2", "c.cn2")} DESC, c.cent_id) AS rk
+         |         FROM qc q CROSS JOIN cent c) WHERE rk <= 24),
+         |mb AS (SELECT vec_id, cent_id FROM (
+         |         SELECT q.vec_id, c.cent_id,
+         |                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |                  ${cosSql("q.v", "c.cv", "q.n2", "c.cn2")} DESC, c.cent_id) AS rk
+         |         FROM qb q CROSS JOIN cent c) WHERE rk <= 24),
+         |cand AS (SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
+         |         FROM mb b JOIN mc c USING (cent_id)
+         |         GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT * FROM (
+         |  SELECT batch_id, corpus_id,
+         |         ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cosine
+         |  FROM cand JOIN qb a ON a.vec_id = batch_id
+         |            JOIN qc b ON b.vec_id = corpus_id)
+         |WHERE cosine >= 0.3
+         |ORDER BY batch_id, corpus_id""".stripMargin
+
   private def ivfRanked(where: String): String =
     s"""(SELECT q.vec_id, q.v, q.n2, c.cent_id,
        |        row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1778,33 +1820,13 @@ object SparkEntry {
     // mirrors Similarity.ivfNearDupBatch: corpus-only centroid sample
     // (low ids of vec_id >= 40), both sides multi-assigned against
     // it, batch x corpus candidates, exact-cosine threshold
-    "embedding_incremental_pairs" ->
-      s"""WITH $QuantCte,
-         |qc AS (SELECT * FROM qn WHERE vec_id >= 40),
-         |qb AS (SELECT * FROM qn WHERE vec_id < 40),
-         |cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM qc
-         |         QUALIFY row_number() OVER (ORDER BY vec_id) <=
-         |           greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM qc) * 16.0)) AS BIGINT))),
-         |mc AS (SELECT vec_id, cent_id FROM (
-         |         SELECT q.vec_id, c.cent_id,
-         |                row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |                  ${cosSql("q.v", "c.cv", "q.n2", "c.cn2")} DESC, c.cent_id) AS rk
-         |         FROM qc q CROSS JOIN cent c) WHERE rk <= 24),
-         |mb AS (SELECT vec_id, cent_id FROM (
-         |         SELECT q.vec_id, c.cent_id,
-         |                row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |                  ${cosSql("q.v", "c.cv", "q.n2", "c.cn2")} DESC, c.cent_id) AS rk
-         |         FROM qb q CROSS JOIN cent c) WHERE rk <= 24),
-         |cand AS (SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
-         |         FROM mb b JOIN mc c USING (cent_id)
-         |         GROUP BY 1, 2 HAVING count(*) >= 2)
-         |SELECT * FROM (
-         |  SELECT batch_id, corpus_id,
-         |         ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cosine
-         |  FROM cand JOIN qb a ON a.vec_id = batch_id
-         |            JOIN qc b ON b.vec_id = corpus_id)
-         |WHERE cosine >= 0.3
-         |ORDER BY batch_id, corpus_id""".stripMargin,
+    "embedding_incremental_pairs" -> EmbIncrementalSql,
+
+    // the prebuilt serving twin is output-pinned identical to the
+    // inline form (IndexStoreSuite), so it shares the oracle
+    "embedding_incremental_prebuilt" -> EmbIncrementalSql,
+
+
 
     // mirrors Similarity.knnJoin: the embedding_neardup candidate +
     // exact-cosine CTEs (no threshold), both directions, per-vector

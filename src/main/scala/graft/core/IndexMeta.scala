@@ -34,6 +34,19 @@ object IndexMeta {
     df.withColumn(anchorCol, col(anchorCol).as(anchorCol, merged))
   }
 
+  /** The stamped build parameters of an index frame, if any — lets a
+    * serving path recover build-time RESOLVED values (e.g. an
+    * auto-derived centroid count) without re-deriving them from the
+    * source.
+    */
+  def get(df: DataFrame, anchorCol: String): Option[Map[String, String]] =
+    df.schema.find(_.name == anchorCol).map(_.metadata)
+      .filter(_.contains(Key)).map(_.getString(Key))
+      .map(_.split(";").filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1)
+      }.toMap)
+
   /** Fail loudly when a stamped index frame disagrees with the
     * serving call's knobs; frames without a stamp pass.
     */

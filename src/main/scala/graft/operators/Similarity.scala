@@ -768,6 +768,104 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** The IVF MULTI-assignment index behind the near-dup family:
+    * (idCol, v, n2, cent_id) with `assignments` rows per vector —
+    * what [[ivfNearDupPairs]]/[[ivfNearDupBatch]] derive inline per
+    * call. Stamped with both the passed and the RESOLVED centroid
+    * count so a prebuilt serving path can recover an auto-derived C
+    * without touching the source.
+    */
+  def ivfMultiIndex(corpus: DataFrame, numCentroids: Int = 0,
+      assignments: Int = 8, embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val cp = prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
+    val cent = centroidSample(cp, c, idCol)
+    graft.core.IndexMeta.tag(
+      nearestCentroids(cp, cent, assignments, idCol), "cent_id",
+      "kind" -> "ivfmulti", "numCentroidsArg" -> numCentroids,
+      "numCentroidsResolved" -> c, "assignments" -> assignments,
+      "embCol" -> embCol, "idCol" -> idCol)
+  }
+
+  /** [[ivfMultiIndex]] behind the metadata-versioned store. */
+  def storedIvfMultiIndex(corpus: DataFrame, corpusPath: String,
+      numCentroids: Int = 0, assignments: Int = 8,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      force: Boolean = false): DataFrame = {
+    val name = s"ivfmulti-c$numCentroids-a$assignments-$embCol-$idCol-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      ivfMultiIndex(corpus, numCentroids, assignments, embCol, idCol))
+  }
+
+  /** [[ivfNearDupBatch]] served from the stored multi-assign index —
+    * the steady-state ingest gate: the corpus's assignment pass runs
+    * ZERO times per batch; each call reads index bytes plus the
+    * stored centroid sample, assigns only the BATCH, and candidates
+    * stay batch-bounded. Output-identical to the inline form at the
+    * same knobs (suite-pinned) — the assignment is a deterministic
+    * function of the corpus.
+    *
+    * Corpus vectors for the exact-cosine verify come from the index
+    * rows themselves (each vector's `assignments` rows carry its
+    * (v, n2)), deduplicated AFTER the candidate semi-join so only
+    * candidate ids — batch-bounded — pass through that aggregate,
+    * never the whole index.
+    */
+  def ivfNearDupBatchPrebuilt(corpus: DataFrame, corpusPath: String,
+      batch: DataFrame, threshold: Double,
+      numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      force: Boolean = false): DataFrame = {
+    val index = storedIvfMultiIndex(corpus, corpusPath, numCentroids,
+      assignments, embCol, idCol, force)
+    val stamp = graft.core.IndexMeta.get(index, "cent_id").getOrElse(
+      throw new IllegalStateException(
+        "ivfNearDupBatchPrebuilt: stored index carries no build stamp"))
+    for ((k, v) <- Seq("kind" -> "ivfmulti",
+        "numCentroidsArg" -> numCentroids.toString,
+        "assignments" -> assignments.toString,
+        "embCol" -> embCol, "idCol" -> idCol))
+      require(stamp.get(k).contains(v.toString),
+        s"ivfNearDupBatchPrebuilt: index built with ${stamp.get(k)} for $k, " +
+          s"served with $v — rebuild the index or match the knobs")
+    val resolvedC = stamp("numCentroidsResolved").toInt
+    val cent = storedPreparedSample(corpus, corpusPath, resolvedC,
+        embCol, idCol, force)
+      .select(col(idCol).as("cent_id"), col("v").as("cv"),
+        col("n2").as("cn2"))
+    val bp = prepared(batch, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val mb = nearestCentroids(bp, cent, assignments, idCol)
+    val cand = mb.select(col("cent_id"), col(idCol).as("batch_id"))
+      .join(index.select(col("cent_id"), col(idCol).as("corpus_id")),
+        Seq("cent_id"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedCells)
+      .select(col("batch_id"), col("corpus_id"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val corpusVecs = index
+      .select(col(idCol).as("corpus_id"), col("v").as("vb"),
+        col("n2").as("nb2"))
+      .join(cand.select(col("corpus_id")).distinct(),
+        Seq("corpus_id"), "left_semi")
+      .groupBy(col("corpus_id"))
+      // every duplicate row of a vec carries identical (v, n2) —
+      // first() is content-deterministic here
+      .agg(first(col("vb")).as("vb"), first(col("nb2")).as("nb2"))
+    cand
+      .join(bp.select(col(idCol).as("batch_id"), col("v").as("va"),
+        col("n2").as("na2")), Seq("batch_id"))
+      .join(corpusVecs, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Corpus-wide approximate k-NN SELF-join: every vector's k
     * cosine-nearest neighbors within the corpus, via the same IVF
     * multi-assign cell blocking as [[ivfNearDupPairs]] — the scale

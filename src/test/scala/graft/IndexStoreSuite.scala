@@ -112,6 +112,43 @@ class IndexStoreSuite extends SparkSuite {
     graft.core.OpCaches.release()
   }
 
+  test("prebuilt batch near-dup equals the inline form and validates its stamp") {
+    import graft.operators.Similarity
+    val dir = sf("sf0.001")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 40)
+    val batch = e.filter(col("vec_id") < 40)
+    val inline = Similarity.ivfNearDupBatch(corpus, batch, threshold = 0.3,
+        assignments = 24, minSharedCells = 2)
+      .orderBy("batch_id", "corpus_id").collect().map(_.toSeq).toSeq
+    val prebuilt = Similarity.ivfNearDupBatchPrebuilt(
+        corpus, s"$dir/embeddings.parquet", batch, threshold = 0.3,
+        assignments = 24, minSharedCells = 2, force = true)
+      .orderBy("batch_id", "corpus_id").collect().map(_.toSeq).toSeq
+    assert(prebuilt == inline)
+    assert(prebuilt.nonEmpty)
+    // NOTE: the store entry is keyed by corpusPath but built from the
+    // FILTERED corpus frame — the fingerprint tracks the file, the
+    // caller owns passing the same (frame, path) pair each time
+    // (here: second call reuses the entry, same output)
+    val again = Similarity.ivfNearDupBatchPrebuilt(
+        corpus, s"$dir/embeddings.parquet", batch, threshold = 0.3,
+        assignments = 24, minSharedCells = 2)
+      .orderBy("batch_id", "corpus_id").collect().map(_.toSeq).toSeq
+    assert(again == inline)
+    // the stamp itself: knob mismatch through THIS api is impossible
+    // (the store name is knob-keyed, different knobs build a fresh
+    // entry), so the validation guards hand-held frames and future
+    // name collisions — assert the stamp content round-trips with
+    // the resolved centroid count a serving call reads back
+    val stamp = IndexMeta.get(
+      Similarity.storedIvfMultiIndex(corpus, s"$dir/embeddings.parquet",
+        assignments = 24), "cent_id").get
+    assert(stamp("kind") == "ivfmulti" && stamp("assignments") == "24")
+    assert(stamp("numCentroidsResolved").toInt >= 16)
+    graft.core.OpCaches.release()
+  }
+
   test("storedVocab serves the fitted vocabulary without re-fitting") {
     import graft.operators.Vocab
     val dir = sf("sf0.001")
