@@ -758,7 +758,11 @@ object SparkEntry {
       Similarity.ivfNearDupBatchPrebuilt(
         e.filter(col("vec_id") >= 40), s"$dir/embeddings.parquet",
         e.filter(col("vec_id") < 40),
-        threshold = 0.3, assignments = 24, minSharedCells = 2)
+        threshold = 0.3, assignments = 24, minSharedCells = 2,
+        // the corpus is a SLICE of the source file: the variant key
+        // keeps its index from colliding with the full-corpus knn
+        // entry over the same path
+        variant = "ge40")
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -768,6 +772,14 @@ object SparkEntry {
     // cosineTopK does not apply because the query set IS the corpus
     "knn_join" -> ((s, dir) =>
       Similarity.knnJoin(Tables.embeddings(s, dir), k = 5,
+        assignments = 24, minSharedCells = 2)),
+
+    // ...and its serving twin: assignments AND vectors read from the
+    // stored multi-assign index — the n x C corpus encode runs zero
+    // times per call (output-pinned identical by SimilaritySuite)
+    "knn_join_prebuilt" -> ((s, dir) =>
+      Similarity.knnJoinPrebuilt(Tables.embeddings(s, dir),
+        s"$dir/embeddings.parquet", k = 5,
         assignments = 24, minSharedCells = 2)),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): the
@@ -1356,6 +1368,30 @@ object SparkEntry {
          |WHERE cosine >= 0.3
          |ORDER BY batch_id, corpus_id""".stripMargin
 
+  private lazy val KnnJoinSql =
+    s"""WITH $QuantCte,
+         |${centCte(AutoCentroidsSql)},
+         |multi AS (SELECT vec_id, cent_id FROM ${ivfRanked("")}
+         |          WHERE rk <= 24),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM multi a JOIN multi b USING (cent_id)
+         |         WHERE a.vec_id < b.vec_id
+         |         GROUP BY 1, 2 HAVING count(*) >= 2),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |         list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+         |           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cosine
+         |  FROM cand JOIN qn a ON a.vec_id = id_a JOIN qn b ON b.vec_id = id_b),
+         |directed AS (
+         |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
+         |  UNION ALL
+         |  SELECT id_b, id_a, cosine FROM scored),
+         |rk2 AS (SELECT *, CAST(row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |        FROM directed)
+         |SELECT vec_id, neighbor_id, cosine, rank FROM rk2 WHERE rank <= 5
+         |ORDER BY vec_id, rank""".stripMargin
+
   private def ivfRanked(where: String): String =
     s"""(SELECT q.vec_id, q.v, q.n2, c.cent_id,
        |        row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1831,29 +1867,10 @@ object SparkEntry {
     // mirrors Similarity.knnJoin: the embedding_neardup candidate +
     // exact-cosine CTEs (no threshold), both directions, per-vector
     // top-5 by (cosine desc, neighbor asc)
-    "knn_join" ->
-      s"""WITH $QuantCte,
-         |${centCte(AutoCentroidsSql)},
-         |multi AS (SELECT vec_id, cent_id FROM ${ivfRanked("")}
-         |          WHERE rk <= 24),
-         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM multi a JOIN multi b USING (cent_id)
-         |         WHERE a.vec_id < b.vec_id
-         |         GROUP BY 1, 2 HAVING count(*) >= 2),
-         |scored AS (
-         |  SELECT id_a, id_b,
-         |         list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
-         |           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cosine
-         |  FROM cand JOIN qn a ON a.vec_id = id_a JOIN qn b ON b.vec_id = id_b),
-         |directed AS (
-         |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
-         |  UNION ALL
-         |  SELECT id_b, id_a, cosine FROM scored),
-         |rk2 AS (SELECT *, CAST(row_number() OVER (
-         |          PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-         |        FROM directed)
-         |SELECT vec_id, neighbor_id, cosine, rank FROM rk2 WHERE rank <= 5
-         |ORDER BY vec_id, rank""".stripMargin,
+    "knn_join" -> KnnJoinSql,
+
+    // prebuilt twin is output-pinned identical — shares the oracle
+    "knn_join_prebuilt" -> KnnJoinSql,
 
     // mirrors the semantic_dedup composition: the embedding near-dup
     // pair CTE (same knobs as embedding_neardup_pairs) feeding the

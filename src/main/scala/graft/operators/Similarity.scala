@@ -707,6 +707,16 @@ object Similarity {
       if (superCells > 0)
         nearestCentroidsTwoLevel(cp, cent, assignments, idCol, superCells, superProbes)
       else nearestCentroids(cp, cent, assignments, idCol)
+    ivfScoredPairsFrom(cp, multi, minSharedCells, idCol)
+  }
+
+  /** The cell self-join + exact-cosine verify over an existing
+    * (idCol, v, n2)-vector frame and (idCol, cent_id) multi-assign
+    * frame — shared by the inline [[ivfScoredPairs]] and the
+    * index-served [[knnJoinPrebuilt]].
+    */
+  private def ivfScoredPairsFrom(cp: DataFrame, multi: DataFrame,
+      minSharedCells: Int, idCol: String): DataFrame = {
     val pairs = multi.select(col("cent_id"), col(idCol).as("id_a"))
       .join(multi.select(col("cent_id"), col(idCol).as("id_b")), Seq("cent_id"))
       .filter(col("id_a") < col("id_b"))
@@ -789,12 +799,43 @@ object Similarity {
       "embCol" -> embCol, "idCol" -> idCol)
   }
 
-  /** [[ivfMultiIndex]] behind the metadata-versioned store. */
+  /** Validate a multi-assign index's build stamp against the serving
+    * call's knobs and return the RESOLVED centroid count stored at
+    * build time.
+    */
+  private def multiStampResolvedC(index: DataFrame, what: String,
+      numCentroids: Int, assignments: Int,
+      embCol: String, idCol: String): Int = {
+    val stamp = graft.core.IndexMeta.get(index, "cent_id").getOrElse(
+      throw new IllegalStateException(
+        s"$what: stored index carries no build stamp"))
+    for ((k, v) <- Seq("kind" -> "ivfmulti",
+        "numCentroidsArg" -> numCentroids.toString,
+        "assignments" -> assignments.toString,
+        "embCol" -> embCol, "idCol" -> idCol))
+      require(stamp.get(k).contains(v.toString),
+        s"$what: index built with ${stamp.get(k)} for $k, " +
+          s"served with $v — rebuild the index or match the knobs")
+    stamp("numCentroidsResolved").toInt
+  }
+
+  /** [[ivfMultiIndex]] behind the metadata-versioned store.
+    *
+    * `variant` disambiguates DIFFERENT corpus frames built over the
+    * SAME source path (e.g. a filtered slice vs the full table): the
+    * store entry is keyed by (knobs, variant, path) and fingerprinted
+    * by the path's files, so two frames sharing a path but not a
+    * variant string would silently reuse each other's index — the
+    * collision the r12 sf0.01 verify actually caught between the
+    * incremental gate's `vec_id >= 40` corpus and the knn join's
+    * full corpus.
+    */
   def storedIvfMultiIndex(corpus: DataFrame, corpusPath: String,
       numCentroids: Int = 0, assignments: Int = 8,
       embCol: String = "embedding", idCol: String = "vec_id",
-      force: Boolean = false): DataFrame = {
-    val name = s"ivfmulti-c$numCentroids-a$assignments-$embCol-$idCol-v1-" +
+      variant: String = "", force: Boolean = false): DataFrame = {
+    val name = s"ivfmulti-c$numCentroids-a$assignments-$embCol-$idCol" +
+      (if (variant.isEmpty) "" else s"-$variant") + "-v2-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
@@ -819,20 +860,11 @@ object Similarity {
       batch: DataFrame, threshold: Double,
       numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
       embCol: String = "embedding", idCol: String = "vec_id",
-      force: Boolean = false): DataFrame = {
+      variant: String = "", force: Boolean = false): DataFrame = {
     val index = storedIvfMultiIndex(corpus, corpusPath, numCentroids,
-      assignments, embCol, idCol, force)
-    val stamp = graft.core.IndexMeta.get(index, "cent_id").getOrElse(
-      throw new IllegalStateException(
-        "ivfNearDupBatchPrebuilt: stored index carries no build stamp"))
-    for ((k, v) <- Seq("kind" -> "ivfmulti",
-        "numCentroidsArg" -> numCentroids.toString,
-        "assignments" -> assignments.toString,
-        "embCol" -> embCol, "idCol" -> idCol))
-      require(stamp.get(k).contains(v.toString),
-        s"ivfNearDupBatchPrebuilt: index built with ${stamp.get(k)} for $k, " +
-          s"served with $v — rebuild the index or match the knobs")
-    val resolvedC = stamp("numCentroidsResolved").toInt
+      assignments, embCol, idCol, variant, force)
+    val resolvedC = multiStampResolvedC(index, "ivfNearDupBatchPrebuilt",
+      numCentroids, assignments, embCol, idCol)
     val cent = storedPreparedSample(corpus, corpusPath, resolvedC,
         embCol, idCol, force)
       .select(col(idCol).as("cent_id"), col("v").as("cv"),
@@ -893,10 +925,46 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       superCells: Int = 0, superProbes: Int = 2): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val scored = ivfScoredPairs(corpus, numCentroids, assignments,
-      minSharedCells, embCol, idCol, centroids, superCells, superProbes)
-    // both directions in ONE pass over the scored pairs (a self-union
-    // would re-run the whole candidate + score stage per branch)
+    knnFinish(ivfScoredPairs(corpus, numCentroids, assignments,
+      minSharedCells, embCol, idCol, centroids, superCells, superProbes),
+      k, idCol)
+  }
+
+  /** [[knnJoin]] served from the stored multi-assign index: the
+    * n × C corpus assignment pass (the encode half of the cost) runs
+    * ZERO times per call — vectors AND cell assignments both read
+    * from index bytes (one narrow dedup aggregate rebuilds the
+    * (id, v, n2) frame from the index's duplicated rows); the cell
+    * self-join, vote, exact-cosine verify, and bounded top-k are the
+    * per-call work. Output-identical to the inline form at the same
+    * knobs (suite-pinned).
+    */
+  def knnJoinPrebuilt(corpus: DataFrame, corpusPath: String, k: Int,
+      numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      variant: String = "", force: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val index = storedIvfMultiIndex(corpus, corpusPath, numCentroids,
+      assignments, embCol, idCol, variant, force)
+    multiStampResolvedC(index, "knnJoinPrebuilt",
+      numCentroids, assignments, embCol, idCol)
+    val cpFromIndex = index
+      .groupBy(col(idCol))
+      // duplicate rows of a vec carry identical (v, n2) — first() is
+      // content-deterministic here
+      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val multi = index.select(col(idCol), col("cent_id"))
+    knnFinish(ivfScoredPairsFrom(cpFromIndex, multi, minSharedCells, idCol),
+      k, idCol)
+  }
+
+  /** The per-vector top-k finish over undirected scored pairs: both
+    * directions in ONE pass (a self-union would re-run the whole
+    * candidate + score stage per branch), bounded top-k aggregate,
+    * (id, rank) presentation sort.
+    */
+  private def knnFinish(scored: DataFrame, k: Int, idCol: String): DataFrame = {
     val directed = scored.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst"), col("cosine")),
         struct(col("id_b").as("src"), col("id_a").as("dst"), col("cosine"))))

@@ -123,17 +123,19 @@ class IndexStoreSuite extends SparkSuite {
       .orderBy("batch_id", "corpus_id").collect().map(_.toSeq).toSeq
     val prebuilt = Similarity.ivfNearDupBatchPrebuilt(
         corpus, s"$dir/embeddings.parquet", batch, threshold = 0.3,
-        assignments = 24, minSharedCells = 2, force = true)
+        assignments = 24, minSharedCells = 2, variant = "ge40",
+        force = true)
       .orderBy("batch_id", "corpus_id").collect().map(_.toSeq).toSeq
     assert(prebuilt == inline)
     assert(prebuilt.nonEmpty)
-    // NOTE: the store entry is keyed by corpusPath but built from the
-    // FILTERED corpus frame — the fingerprint tracks the file, the
-    // caller owns passing the same (frame, path) pair each time
-    // (here: second call reuses the entry, same output)
+    // the store entry is keyed by (knobs, variant, path); the variant
+    // string disambiguates this FILTERED corpus from other frames
+    // over the same file (the knn prebuilt uses the full table) —
+    // without it the two entries collide, which the sf0.01 verify
+    // caught as a 200-row diff
     val again = Similarity.ivfNearDupBatchPrebuilt(
         corpus, s"$dir/embeddings.parquet", batch, threshold = 0.3,
-        assignments = 24, minSharedCells = 2)
+        assignments = 24, minSharedCells = 2, variant = "ge40")
       .orderBy("batch_id", "corpus_id").collect().map(_.toSeq).toSeq
     assert(again == inline)
     // the stamp itself: knob mismatch through THIS api is impossible
@@ -143,9 +145,23 @@ class IndexStoreSuite extends SparkSuite {
     // the resolved centroid count a serving call reads back
     val stamp = IndexMeta.get(
       Similarity.storedIvfMultiIndex(corpus, s"$dir/embeddings.parquet",
-        assignments = 24), "cent_id").get
+        assignments = 24, variant = "ge40"), "cent_id").get
     assert(stamp("kind") == "ivfmulti" && stamp("assignments") == "24")
     assert(stamp("numCentroidsResolved").toInt >= 16)
+    graft.core.OpCaches.release()
+  }
+
+  test("prebuilt knn self-join equals the inline form from index bytes alone") {
+    import graft.operators.Similarity
+    val dir = sf("sf0.001")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val inline = Similarity.knnJoin(e, 3, assignments = 24, minSharedCells = 2)
+      .collect().map(_.toSeq).toSeq
+    val prebuilt = Similarity.knnJoinPrebuilt(e, s"$dir/embeddings.parquet",
+        3, assignments = 24, minSharedCells = 2, force = true)
+      .collect().map(_.toSeq).toSeq
+    assert(prebuilt == inline)
+    assert(prebuilt.nonEmpty)
     graft.core.OpCaches.release()
   }
 
