@@ -241,6 +241,44 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5-shaped star join: 5 tables, the three dims collapse
+    // into one broadcast chain onto the fact side (region -> nation
+    // -> customer all broadcast; lineitem streams once through the
+    // orders join) — the multi-way join-planning exercise the
+    // two-table queries don't cover. Revenue exact in cents.
+    "q5_star_join" -> ((s, dir) => {
+      val r = Tables.table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val dims = c.join(broadcast(n.join(broadcast(r),
+          n("n_regionkey") === r("r_regionkey"))),
+          c("c_nationkey") === n("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(dims), o("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(Tables.cents(col("l_extendedprice")) *
+          Tables.cents(lit(1) - col("l_discount"))).cast("double") / 10000)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // lag/lead analytics: per-user inter-event gaps (the analytic
+    // window family beyond running sums/ranks) — gap to the previous
+    // event in ms, first event per user has no predecessor (null)
+    "event_gaps" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").as("t_ms"))
+        .withColumn("prev_ms", lag(col("t_ms"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("t_ms").asc, col("event_id").asc)))
+        .withColumn("gap_ms", col("t_ms") - col("prev_ms"))
+        .orderBy(col("user_id").asc, col("t_ms").asc, col("event_id").asc)),
+
     // Time-series batch aggregation over the events table. `ts` is raw
     // nanos (see Tables.events); hour bucket via exact long arithmetic.
     "events_hourly_agg" -> ((s, dir) =>
@@ -2449,6 +2487,29 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "q5_star_join" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "event_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS t_ms
+        |           FROM events)
+        |SELECT user_id, event_id, t_ms,
+        |       lag(t_ms) OVER w AS prev_ms,
+        |       t_ms - lag(t_ms) OVER w AS gap_ms
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+        |ORDER BY user_id, t_ms, event_id""".stripMargin,
 
     // mirrors TimeSeries.resampleOhlc: the struct-min/max open/close
     // replayed as first/last row_number over the same (tn, event_id)

@@ -306,6 +306,16 @@ class PlanSuite extends SparkSuite {
       s"winnow plan has $kernelCount winnowfps subtrees: ${lp.take(3000)}")
   }
 
+  test("q5 star join broadcasts the whole dim chain; the fact side never hash-exchanges for a join") {
+    val p = plan("q5_star_join")
+    // region -> nation -> customer all collapse into broadcasts
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"expected a broadcast dim chain, got $bhj BHJs: ${p.take(3000)}")
+    // lineitem reads only the join/measure columns
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"), p.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("ohlc resample aggregates with map-side partials and no window") {
     // struct min/max open/close must plan as ONE hash aggregate pair
     // (partial + final) on the bucket shuffle — a rewrite through
