@@ -272,7 +272,9 @@ object SparkEntry {
     "event_gaps" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000000").as("t_ms"))
+          // floor division (pmod), matching DuckDB's `//` for
+          // pre-epoch timestamps too — `div` truncates toward zero
+          expr("(ts - pmod(ts, 1000000)) div 1000000").as("t_ms"))
         .withColumn("prev_ms", lag(col("t_ms"), 1).over(
           Window.partitionBy(col("user_id"))
             .orderBy(col("t_ms").asc, col("event_id").asc)))

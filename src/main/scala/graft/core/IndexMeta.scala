@@ -22,8 +22,20 @@ import org.apache.spark.sql.types.MetadataBuilder
 object IndexMeta {
   private val Key = "graft_index_params"
 
-  private def canonical(params: Seq[(String, Any)]): String =
+  private def canonical(params: Seq[(String, Any)]): String = {
+    // [[get]] splits the stamp on ';' and the first '=' — reject
+    // values that would alias under that framing at TAG time (an
+    // exotic column name containing ';' would otherwise parse into
+    // garbage keys at serve time while validate(), which compares
+    // whole strings, kept passing)
+    params.foreach { case (k, v) =>
+      require(!k.contains(";") && !k.contains("="),
+        s"index param name '$k' may not contain ';' or '='")
+      require(!v.toString.contains(";"),
+        s"index param $k='$v' may not contain ';'")
+    }
     params.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+  }
 
   /** Stamp `params` into `anchorCol`'s column metadata. */
   def tag(df: DataFrame, anchorCol: String, params: (String, Any)*): DataFrame = {

@@ -9,6 +9,7 @@ object PlanAudit {
     for (q <- Seq("quality_topp", "sample_bernoulli", "sample_stratified",
         "c2_evaluate_sorted", "knn_join", "embedding_incremental_pairs",
         "events_resample_ohlc", "vocab_encode")) {
+      graft.core.OpCaches.release()
       val p = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(p).size

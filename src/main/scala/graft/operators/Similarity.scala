@@ -554,13 +554,18 @@ object Similarity {
     * touch from the serving paths — a prebuilt top-k reads index
     * bytes plus this n-row frame and never scans the source again.
     * Keyed by n alone (plus columns), so families sharing a sample
-    * size share the entry.
+    * size share the entry. `variant` disambiguates different corpus
+    * FRAMES over the same source path (the storedIvfMultiIndex
+    * collision class): a filtered slice's low-id sample differs from
+    * the full table's, and a shared entry would silently serve
+    * whichever built first.
     */
   private[operators] def storedPreparedSample(corpus: DataFrame,
       corpusPath: String, n: Int,
       embCol: String = "embedding", idCol: String = "vec_id",
-      force: Boolean = false): DataFrame = {
-    val name = s"sample-n$n-$embCol-$idCol-v1-" +
+      variant: String = "", force: Boolean = false): DataFrame = {
+    val name = s"sample-n$n-$embCol-$idCol" +
+      (if (variant.isEmpty) "" else s"-$variant") + "-v1-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
@@ -866,7 +871,7 @@ object Similarity {
     val resolvedC = multiStampResolvedC(index, "ivfNearDupBatchPrebuilt",
       numCentroids, assignments, embCol, idCol)
     val cent = storedPreparedSample(corpus, corpusPath, resolvedC,
-        embCol, idCol, force)
+        embCol, idCol, variant, force)
       .select(col(idCol).as("cent_id"), col("v").as("cv"),
         col("n2").as("cn2"))
     val bp = prepared(batch, embCol, idCol)

@@ -26,14 +26,15 @@ import graft.functions.TextFunctions
   */
 object Vocab {
 
-  /** The top `vocabSize` terms by (freq desc, term asc):
-    * (token_id 1..V, term, freq). Id 0 is reserved for OOV.
+  /** The vocabulary-identity contract, in ONE place: top `vocabSize`
+    * terms of a bare `term` frame by (freq desc, term asc), ids 1..V
+    * — shared by [[buildVocab]] and the fused [[vocabEncode]], so
+    * the rank-to-id convention cannot drift between the stored-fit
+    * streaming path and the registered batch query.
     */
-  def buildVocab(docs: DataFrame, vocabSize: Int,
-      textCol: String = "text"): DataFrame = {
+  private def vocabFromTerms(terms: DataFrame, vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize $vocabSize must be positive")
-    docs
-      .select(explode(TextFunctions.tokensNonEmpty(col(textCol))).as("term"))
+    terms
       .groupBy(col("term"))
       .agg(count(lit(1)).as("freq"))
       .agg(graft.functions.TopKFunctions
@@ -43,6 +44,15 @@ object Vocab {
         col("col.tag").as("term"),
         col("col.score").cast("long").as("freq"))
   }
+
+  /** The top `vocabSize` terms by (freq desc, term asc):
+    * (token_id 1..V, term, freq). Id 0 is reserved for OOV.
+    */
+  def buildVocab(docs: DataFrame, vocabSize: Int,
+      textCol: String = "text"): DataFrame =
+    vocabFromTerms(
+      docs.select(explode(TextFunctions.tokensNonEmpty(col(textCol))).as("term")),
+      vocabSize)
 
   /** Every document as its token-id sequence, one row per position:
     * (idCol, pos, token_id), OOV terms encoded as 0.
@@ -75,14 +85,8 @@ object Vocab {
       .select(col(idCol), posexplode(TextFunctions.tokensNonEmpty(col(textCol))))
       .withColumnRenamed("col", "term")
       .transform(graft.core.OpCaches.persistTracked)
-    val vocab = toks
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("freq"))
-      .agg(graft.functions.TopKFunctions
-        .top_k_tag(col("freq").cast("double"), col("term"), vocabSize).as("top"))
-      .select(posexplode(col("top")))
-      .select((col("pos") + 1).cast("int").as("token_id"),
-        col("col.tag").as("term"))
+    val vocab = vocabFromTerms(toks.select(col("term")), vocabSize)
+      .select(col("term"), col("token_id"))
     toks
       .join(broadcast(vocab), Seq("term"), "left")
       .select(col(idCol), col("pos").cast("int").as("pos"),

@@ -49,7 +49,7 @@ class ExtensionsSuite extends SparkSuite {
     GraftExtensions.register(spark)
     val got = spark.sql(
       "SELECT repetition_profile('a b\na b') AS p").first().getSeq[Long](0)
-    val direct = Tables.documents(spark, sf("sf0.001")).sparkSession
+    val direct = spark
       .range(1).select(graft.functions.RepetitionFunctions
         .repetition_profile(org.apache.spark.sql.functions.lit("a b\na b"))
         .as("p")).first().getSeq[Long](0)
