@@ -42,7 +42,19 @@ object CurationDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val counts = funnel(spark, sfDir, outDir)
+    println("CURATION_OK " +
+      counts.map { case (k, v) => s"$k=$v" }.mkString(" ") + s" out=$outDir")
+    spark.stop()
+  }
 
+  /** The full gate-to-pack funnel, returning each stage's count in
+    * order — exposed (rather than inlined in main) so the golden
+    * suite can pin the COMPOSITION of the curation operators on the
+    * fixed sf0.001 corpus, not just each operator alone.
+    */
+  def funnel(spark: SparkSession, sfDir: String,
+      outDir: String): Seq[(String, Long)] = {
     val docs = Tables.documents(spark, sfDir)
     val n0 = docs.count()
 
@@ -125,8 +137,9 @@ object CurationDemo {
     val n7 = packed.agg(org.apache.spark.sql.functions.max(col("bin_id")))
       .first().getLong(0) + 1
 
-    println(s"CURATION_OK in=$n0 gated=$n0b exact_dedup=$n1 near_dedup=$n2 decontaminated=$n2b " +
-      s"quality=$n3 mixed=$n4 sampled=$n5 tokens=$nTok oov=$nOov chunks=$n6 bins=$n7 out=$outDir")
-    spark.stop()
+    Seq("in" -> n0, "gated" -> n0b, "exact_dedup" -> n1,
+      "near_dedup" -> n2, "decontaminated" -> n2b, "quality" -> n3,
+      "mixed" -> n4, "sampled" -> n5, "tokens" -> nTok, "oov" -> nOov,
+      "chunks" -> n6, "bins" -> n7)
   }
 }

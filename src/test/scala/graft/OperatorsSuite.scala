@@ -539,6 +539,23 @@ class OperatorsSuite extends SparkSuite {
     assert(got.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("curation funnel golden: the full gate-to-pack composition pins its stage counts") {
+    // every stage is deterministic (content hashes, exact rank cuts,
+    // integer cumsums), so the funnel counts on the fixed sf0.001
+    // corpus are a golden pin of the operators COMPOSED — a change
+    // in any stage's semantics (gate rules, tie order, hash salt,
+    // budget arithmetic) moves a count and fails here even if the
+    // stage's own unit test still passes
+    val out = java.nio.file.Files.createTempDirectory("graft-funnel")
+    val counts = graft.examples.CurationDemo
+      .funnel(spark, sf("sf0.001"), out.resolve("o").toString).toMap
+    assert(counts == Map(
+      "in" -> 500L, "gated" -> 420L, "exact_dedup" -> 420L,
+      "near_dedup" -> 382L, "decontaminated" -> 376L, "quality" -> 284L,
+      "mixed" -> 105L, "sampled" -> 105L, "tokens" -> 9177L, "oov" -> 0L,
+      "chunks" -> 399L, "bins" -> 181L), counts)
+  }
+
   test("vocab build + encode: rank by (freq desc, term), OOV -> 0, positions exact") {
     import graft.operators.Vocab
     val docs = Seq(
