@@ -665,6 +665,17 @@ object SparkEntry {
         .transform(boundedSorted(_, col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first))),
 
+    // Exact heavy hitters at sketch cost: a Misra-Gries nominate
+    // pass (<= k counters per task; no true hitter can be missed)
+    // then an exact recount of the bounded candidate set — the
+    // output equals brute force at any parallelism while the item
+    // universe never crosses a shuffle
+    "heavy_hitters" -> ((s, dir) =>
+      graft.operators.ApproxAgg.heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(TextFunctions.tokensNonEmpty(col("text"))).as("tok")),
+        col("tok"), supportNum = 1L, supportDen = 30L)),
+
     // Tokenizer fit + transform: top-100 frequency vocabulary
     // (bounded top_k_tag aggregate) then a broadcast-lookup encode of
     // every document to its token-id sequence, OOV -> 0
@@ -2394,6 +2405,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // mirrors ApproxAgg.heavyHitters' CONTRACT (exact heavy hitters):
+    // the MG nominate pass is invisible in the output by design, so
+    // the oracle is the plain exact form
+    "heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter($TokensExpr, x -> x <> '')) AS item
+         |  FROM documents),
+         |c AS (SELECT item, count(*) AS cnt FROM toks GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM toks)
+         |SELECT item, cnt FROM c, n
+         |WHERE cnt * 30 > n * 1
+         |ORDER BY cnt DESC, item""".stripMargin,
 
     // mirrors Vocab.vocabEncode: top-100 terms by (freq desc, term),
     // ids 1..100, every token position left-joined, OOV -> 0

@@ -54,4 +54,82 @@ object ApproxAgg {
       approx_count_distinct(col(c), rsd).as(s"${c}_approx"))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Misra-Gries frequent-items summary (Misra & Gries 1982; merge
+    * rule per Agarwal et al., "Mergeable Summaries", PODS 2012):
+    * at most `k` counters; any item with true frequency > n/(k+1)
+    * is GUARANTEED present after any sequence of reduces and merges.
+    * Counts are lower bounds and merge-order-dependent — which is
+    * why [[heavyHitters]] uses the summary only to NOMINATE.
+    */
+  private[operators] class MisraGries(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Seq[String]] {
+    require(k > 0, s"k must be positive, got $k")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      b.get(item) match {
+        case Some(c) => b.updated(item, c + 1)
+        case None if b.size < k => b.updated(item, 1L)
+        case None => // decrement-all, drop zeros (the MG step)
+          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (m, (item, c)) =>
+        m.updated(item, m.getOrElse(item, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from all, keep > 0 —
+        // the mergeable-summaries rule that preserves the n/(k+1)
+        // presence guarantee across arbitrary merge trees
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+      }
+    }
+    def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** EXACT heavy hitters at sketch cost: all items whose frequency
+    * exceeds `supportNum/supportDen` of the total, found by a
+    * Misra-Gries NOMINATE pass (bounded ≤ k counters per task, the
+    * total item count ridden on the same aggregate) followed by an
+    * exact recount of only the ≤ k candidates. The MG presence
+    * guarantee means no true heavy hitter can be missed, and the
+    * exact recount discards sketch noise — so the output equals the
+    * brute-force `HAVING cnt * den > n * num` answer at ANY
+    * parallelism (the merge-order-dependent sketch counts never
+    * reach the output), while the full item universe never crosses
+    * a shuffle: the wire carries one ≤ k-entry summary per task plus
+    * the candidate recount.
+    *
+    * The support threshold is an exact-integer cross-multiplication
+    * (`cnt * den > n * num`) — no float anywhere, the house rule.
+    */
+  def heavyHitters(df: DataFrame, itemCol: Column,
+      supportNum: Long, supportDen: Long): DataFrame = {
+    require(supportNum > 0 && supportNum < supportDen,
+      s"support $supportNum/$supportDen must be in (0, 1)")
+    // capacity: k >= den/num guarantees presence at the threshold
+    val k = (supportDen / supportNum + 1).toInt
+    val items = df.select(itemCol.cast("string").as("item"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val spark = items.sparkSession
+    import spark.implicits._
+    val mg = new MisraGries(k).toColumn
+    // the driver holds ≤ k candidate STRINGS — bounded by the knob,
+    // never by the data (the gated-collect discipline); the total
+    // count reads the same tracked persist
+    val cands = items.as[String].select(mg).first()
+    val n = items.count()
+    items.filter(col("item").isin(cands: _*))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * supportDen > lit(n) * supportNum)
+      .orderBy(col("cnt").desc, col("item").asc)
+  }
 }

@@ -9,6 +9,7 @@ import graft.operators.ApproxAgg
   * across engines, so a DuckDB hash oracle cannot see these).
   */
 class ApproxAggSuite extends SparkSuite {
+  import spark.implicits._
 
   test("approx_percentile within rank-error bound of exact percentile") {
     val li = Tables.lineitem(spark, sf("sf0.01"))
@@ -60,5 +61,35 @@ class ApproxAggSuite extends SparkSuite {
     val p2 = ApproxAgg.approxDistinct(li, Seq("l_returnflag"), Seq("l_suppkey"))
       .queryExecution.executedPlan.toString
     assert(p2.contains("partial_approx_count_distinct"), p2.take(2000))
+  }
+
+  test("heavyHitters: exact answer at sketch cost, any skew, any parallelism") {
+    import org.apache.spark.sql.functions._
+    // adversarial mix: two true heavy items (30% and 15%), a band of
+    // 5% items straddling the 10% threshold, and a long noise tail
+    val rnd = new scala.util.Random(31)
+    val rows = (Seq.fill(3000)("hot1") ++ Seq.fill(1500)("hot2") ++
+      (1 to 8).flatMap(i => Seq.fill(500)(s"mid$i")) ++
+      (1 to 1500).map(i => s"noise$i"))
+    val df = rnd.shuffle(rows).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "item")
+    val total = rows.length.toLong
+    def brute(num: Long, den: Long) =
+      df.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * den > lit(total) * num)
+        .orderBy(col("cnt").desc, col("item").asc)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    for ((num, den) <- Seq((1L, 10L), (1L, 5L), (1L, 25L))) {
+      val got = ApproxAgg.heavyHitters(df, col("item"), num, den)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == brute(num, den), s"support $num/$den")
+      graft.core.OpCaches.release()
+    }
+    // identical at a different parallelism: the merge-order-dependent
+    // sketch never reaches the output
+    val re = ApproxAgg.heavyHitters(df.repartition(13), col("item"), 1L, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(re == brute(1L, 10L))
+    graft.core.OpCaches.release()
   }
 }
