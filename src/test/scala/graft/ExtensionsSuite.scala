@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
+
 import graft.functions.HashKernels
 
 class ExtensionsSuite extends SparkSuite {
@@ -43,6 +45,21 @@ class ExtensionsSuite extends SparkSuite {
     val err = intercept[Exception](
       spark.sql("SELECT winnow_fps('a b c', 3, length('abcd'))").first())
     assert(err.getMessage.contains("INT literal"), err.getMessage)
+  }
+
+  test("text-profile natives register for SQL: lang_id, quality_score, text_profile") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT lang_id('the cat and the dog went to the house') AS lid,
+        |       quality_score('A normal, well formed sentence is here.') AS q,
+        |       text_profile('a b c') AS tp""".stripMargin).first()
+    val direct = spark.range(1).select(
+      graft.functions.TextFunctions.langId(
+        lit("the cat and the dog went to the house")).as("lid"),
+      graft.functions.TextFunctions.qualityScore(
+        lit("A normal, well formed sentence is here.")).as("q"),
+      graft.functions.TextFunctions.textProfile(lit("a b c")).as("tp")).first()
+    assert(row.toSeq == direct.toSeq)
   }
 
   test("repetition_profile registers for SQL (the Gopher-gate kernel)") {
