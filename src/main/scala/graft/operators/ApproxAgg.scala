@@ -64,33 +64,42 @@ object ApproxAgg {
     */
   private[operators] class MisraGries(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        String, Map[String, Long], Seq[String]] {
+        String, (Map[String, Long], Long), (Seq[String], Long)] {
     require(k > 0, s"k must be positive, got $k")
-    def zero: Map[String, Long] = Map.empty
-    def reduce(b: Map[String, Long], item: String): Map[String, Long] =
-      b.get(item) match {
-        case Some(c) => b.updated(item, c + 1)
-        case None if b.size < k => b.updated(item, 1L)
+    // the buffer rides the TOTAL item count beside the summary, so
+    // one pass yields both the candidates and n
+    def zero: (Map[String, Long], Long) = (Map.empty, 0L)
+    def reduce(b: (Map[String, Long], Long),
+        item: String): (Map[String, Long], Long) = {
+      val m = b._1.get(item) match {
+        case Some(c) => b._1.updated(item, c + 1)
+        case None if b._1.size < k => b._1.updated(item, 1L)
         case None => // decrement-all, drop zeros (the MG step)
-          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+          b._1.view.mapValues(_ - 1).filter(_._2 > 0).toMap
       }
-    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
-      val sum = y.foldLeft(x) { case (m, (item, c)) =>
+      (m, b._2 + 1)
+    }
+    def merge(x: (Map[String, Long], Long),
+        y: (Map[String, Long], Long)): (Map[String, Long], Long) = {
+      val sum = y._1.foldLeft(x._1) { case (m, (item, c)) =>
         m.updated(item, m.getOrElse(item, 0L) + c)
       }
-      if (sum.size <= k) sum
-      else {
-        // subtract the (k+1)-th largest count from all, keep > 0 —
-        // the mergeable-summaries rule that preserves the n/(k+1)
-        // presence guarantee across arbitrary merge trees
-        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
-      }
+      val merged =
+        if (sum.size <= k) sum
+        else {
+          // subtract the (k+1)-th largest count from all, keep > 0 —
+          // the mergeable-summaries rule that preserves the n/(k+1)
+          // presence guarantee across arbitrary merge trees
+          val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+        }
+      (merged, x._2 + y._2)
     }
-    def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
-    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+    def finish(b: (Map[String, Long], Long)): (Seq[String], Long) =
+      (b._1.keys.toSeq.sorted, b._2)
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Map[String, Long], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+    def outputEncoder: org.apache.spark.sql.Encoder[(Seq[String], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
@@ -114,18 +123,28 @@ object ApproxAgg {
       supportNum: Long, supportDen: Long): DataFrame = {
     require(supportNum > 0 && supportNum < supportDen,
       s"support $supportNum/$supportDen must be in (0, 1)")
-    // capacity: k >= den/num guarantees presence at the threshold
+    // capacity: k >= den/num guarantees presence at the threshold.
+    // The cap bounds BOTH the per-task summary and the driver's
+    // candidate collect; it also forecloses the Int wrap a den/num
+    // past 2^31 would silently produce.
+    require(supportDen / supportNum < 1000000,
+      s"support $supportNum/$supportDen needs ~${supportDen / supportNum} " +
+        "counters per task and on the driver — too small to be a " +
+        "heavy-hitter question; use a plain aggregate")
     val k = (supportDen / supportNum + 1).toInt
+    // NULL items are excluded by contract (frequency-of-NULL is not
+    // a heavy-hitter question, and three-valued isin() could not
+    // recount it anyway) — filter upstream if a null group matters
     val items = df.select(itemCol.cast("string").as("item"))
+      .filter(col("item").isNotNull)
       .transform(graft.core.OpCaches.persistTracked)
     val spark = items.sparkSession
     import spark.implicits._
     val mg = new MisraGries(k).toColumn
-    // the driver holds ≤ k candidate STRINGS — bounded by the knob,
-    // never by the data (the gated-collect discipline); the total
-    // count reads the same tracked persist
-    val cands = items.as[String].select(mg).first()
-    val n = items.count()
+    // ONE nominate pass yields the ≤ k candidate strings AND the
+    // total n (ridden in the aggregator buffer); the driver holds
+    // only the bounded candidate set (the gated-collect discipline)
+    val (cands, n) = items.as[String].select(mg).first()
     items.filter(col("item").isin(cands: _*))
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
