@@ -390,6 +390,36 @@ class PropertiesSuite extends SparkSuite {
     }
   }
 
+  test("heavyHitters equals brute force across random Zipf-ish draws and supports") {
+    import graft.operators.ApproxAgg
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      // Zipf-ish: item i drawn with weight ~ 1/(i+1); heavy mass up
+      // front, a genuine tail — the regime MG exists for
+      val universe = 200
+      val weights = (0 until universe).map(i => 1.0 / (i + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      val rows = Seq.fill(4000) {
+        val r = rnd.nextDouble() * total
+        s"item${cum.indexWhere(r <= _)}"
+      }
+      val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "item")
+      val n = rows.length.toLong
+      for ((num, den) <- Seq((1L, 15L), (1L, 40L), (3L, 100L))) {
+        val brute = df.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * den > lit(n) * num)
+          .orderBy(col("cnt").desc, col("item").asc)
+          .collect().map(_.toSeq).toSeq
+        val got = ApproxAgg.heavyHitters(df, col("item"), num, den)
+          .collect().map(_.toSeq).toSeq
+        assert(got == brute, s"trial $trial support $num/$den")
+        graft.core.OpCaches.release()
+      }
+    }
+  }
+
   test("groupCentroids tracks the exact float mean direction within quantization error") {
     import graft.operators.Embeddings
     val rnd = new scala.util.Random(17)
