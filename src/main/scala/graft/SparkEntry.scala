@@ -895,26 +895,16 @@ object SparkEntry {
         .transform(topkSorted)
     }),
 
-    // PQ scan over FITTED k-means sub-codebooks (the quality path):
-    // rows-only BY DESIGN — a seeded k-means|| fit is deterministic
-    // and engine-reproducible but not practically SQL-replayable, so
-    // no hash oracle can exist; SimilaritySuite pins the driver fit
-    // == the distributed loop bit-for-bit and the codebook contract
+    // PQ scan over FITTED k-means sub-codebooks (the quality path),
+    // registered in its store-pinned serving form: the fitted
+    // codebook is a build artifact (PinnedCodebook.FittedPq) both
+    // engines consume literally — Spark through the codebooks
+    // override, DuckDB through a generated VALUES table — so the
+    // fitted-codebook ADC top-k is fully hash-checked. The live
+    // in-call k-means fit stays as the suite-pinned twin
+    // (SimilaritySuite pins driver fit == distributed loop
+    // bit-for-bit; ann_pq_fitted_bounds audits its distortion).
     "ann_pq_fitted_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val cb = graft.operators.Pq.kmeansCodebook(e, m = 4, ksub = 16)
-      graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5,
-        codebooks = Some(cb))
-        .transform(topkSorted)
-    }),
-
-    // The fitted codebook as a PINNED fit artifact
-    // (PinnedCodebook.FittedPq): both engines consume the same
-    // literal entries — Spark through the codebooks override, DuckDB
-    // through a generated VALUES table — so the fitted-codebook ADC
-    // top-k is fully hash-checked where ann_pq_fitted_topk (live
-    // in-call fit) is rows-only by design
-    "ann_pq_fitted_pinned" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5,
         codebooks = Some(PinnedCodebook.FittedPq))
@@ -1623,7 +1613,7 @@ object SparkEntry {
     * EntrySuite asserts this set is exactly the no-oracle remainder.
     */
   val rowsOnlyQueries: Set[String] =
-    Set("approx_agg_sketches", "ann_pq_fitted_topk")
+    Set("approx_agg_sketches")
 
   def oracleSql: Map[String, String] = Map(
     "c8_select_buckets" -> c8OracleSql,
@@ -1783,7 +1773,7 @@ object SparkEntry {
          |SELECT query_id, CAST(r AS INT) AS rank, vec_id, pq_dist
          |FROM rk WHERE r <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "ann_pq_fitted_pinned" ->
+    "ann_pq_fitted_topk" ->
       s"""WITH $QuantCte,
          |$pinnedCbCte,
          |$PqEncDtabCtes,
@@ -2539,13 +2529,18 @@ object SparkEntry {
 
     // mirrors TimeSeries.resampleOhlc: the struct-min/max open/close
     // replayed as first/last row_number over the same (tn, event_id)
-    // total order; cents quantization keeps every value exact
+    // total order; cents quantization keeps every value exact. The
+    // bucket start uses a FLOOR-mod form (((tn % b) + b) % b) to
+    // match the operator's documented pmod floor semantics for
+    // pre-epoch (negative) timestamps — DuckDB's bare % truncates
+    // toward zero, which would shift negative tn up a bucket
     "events_resample_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, epoch_ns(ts) AS tn, event_id,
         |         CAST(round(value * 100) AS BIGINT) AS vc
         |  FROM events),
-        |b AS (SELECT event_type, (tn - tn % 900000000000) // 1000000000 AS bucket_ts,
+        |b AS (SELECT event_type,
+        |             (tn - ((tn % 900000000000) + 900000000000) % 900000000000) // 1000000000 AS bucket_ts,
         |             tn, event_id, vc
         |      FROM e),
         |r AS (SELECT *,

@@ -111,9 +111,12 @@ object CurationDemo {
     // 6. chunk the surviving docs into overlapping context windows,
     // then pack chunk token counts into fixed training bins
     val chunks = Chunking.chunkByTokens(sampled, window = 32, stride = 24)
+    // collision-free chunk id: a (doc_id, chunk_id) struct orders
+    // lexicographically — an arithmetic doc_id * K + chunk_id would
+    // collide for any doc with >= K chunks
     val packed = Packing.packSequences(
       chunks.select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
-        (col("doc_id") * 1000 + col("chunk_id")).as("cid")),
+        struct(col("doc_id"), col("chunk_id")).as("cid")),
       col("n_chunk_tokens"), Seq.empty, "cid", seqLen = 64L)
 
     // 6b. tokenizer fit + transform: top-256 vocabulary fitted on
@@ -134,8 +137,11 @@ object CurationDemo {
     sampled.write.mode("overwrite").partitionBy("lang").parquet(outDir)
     val n5 = spark.read.parquet(outDir).count()
     val n6 = chunks.count()
-    val n7 = packed.agg(org.apache.spark.sql.functions.max(col("bin_id")))
-      .first().getLong(0) + 1
+    // countDistinct is null-safe where max(bin_id)+1 would NPE on an
+    // empty packed frame; bin ids are dense 0..B-1, so the counts agree
+    val n7 = packed.agg(
+      org.apache.spark.sql.functions.countDistinct(col("bin_id")))
+      .first().getLong(0)
 
     Seq("in" -> n0, "gated" -> n0b, "exact_dedup" -> n1,
       "near_dedup" -> n2, "decontaminated" -> n2b, "quality" -> n3,

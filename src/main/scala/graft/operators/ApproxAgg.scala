@@ -126,8 +126,13 @@ object ApproxAgg {
     // capacity: k >= den/num guarantees presence at the threshold.
     // The cap bounds BOTH the per-task summary and the driver's
     // candidate collect; it also forecloses the Int wrap a den/num
-    // past 2^31 would silently produce.
-    require(supportDen / supportNum < 1000000,
+    // past 2^31 would silently produce. 100k (not 1e6): the MG
+    // decrement-all step rebuilds the immutable counter map (one
+    // O(k) pass per event), so a tail-heavy stream can approach
+    // O(n*k) per partition near the cap — at k <= 1e5 that worst
+    // case stays tractable; raising the cap would first need a
+    // mutable offset-compacted buffer.
+    require(supportDen / supportNum < 100000,
       s"support $supportNum/$supportDen needs ~${supportDen / supportNum} " +
         "counters per task and on the driver — too small to be a " +
         "heavy-hitter question; use a plain aggregate")

@@ -20,9 +20,11 @@ import graft.functions.TextFunctions
   * (freq, term) pairs, never the term universe — and the encode pass
   * is a stateless posexplode + broadcast join: no corpus-sized
   * shuffle anywhere (the output sort is the presentation contract).
-  * A vocabulary that outgrows the broadcast threshold would switch
-  * to a shuffle join by Spark's own size estimation — correct
-  * either way.
+  * The encode join carries an explicit broadcast() hint — safe
+  * because V is builder-bounded (the vocabulary is at most
+  * `vocabSize` rows by construction); a deployment wanting
+  * million-term vocabularies should drop the hint and let Spark's
+  * size estimation pick the join side.
   */
 object Vocab {
 
