@@ -77,10 +77,23 @@ object SparkEntry {
     * frame (category-set aggregates, rollup/cube matrices, the
     * queries x shards selection frame): the caller's keys must form a
     * unique grouping key, so the order is total and deterministic.
+    *
+    * coalesce(1), not repartition(1): the narrow merge reaches the
+    * single partition without a shuffle, which under AQE is one
+    * fewer query-stage round per query (~20-45 ms each at toy scale;
+    * CoalesceSortProbe round 13). The price is that the whole
+    * post-last-exchange segment runs as ONE task — every caller here
+    * feeds a final aggregation over a bounded group count (|Q| x k
+    * lists, category matrices), so that segment is single-task-sized
+    * by contract while the map side keeps full parallelism behind
+    * the aggregation's own exchange. Do NOT use this under a segment
+    * holding corpus-proportional work (the c2 arrival walk keeps
+    * repartition(1) for exactly that reason — see
+    * SelectiveSearch.sortedMatrix).
     */
   private def boundedSorted(df: org.apache.spark.sql.DataFrame,
       keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
-    df.repartition(1).sortWithinPartitions(keys: _*)
+    df.coalesce(1).sortWithinPartitions(keys: _*)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 + P1 + P2: parquet scan with filter/projection pushdown
@@ -109,19 +122,22 @@ object SparkEntry {
     // re-scans it saves; the plain two-scan form stays. SCALING.md
     // round 12.)
     "c6_select" -> ((s, dir) =>
-      SelectiveSearch.select(Tables.selection(s, dir), Tables.results(s, dir), 2)),
+      SelectiveSearch.select(Tables.selection(s, dir), Tables.results(s, dir), 2,
+        queryDomain = Some(Tables.NumQueries))),
 
     // C7 = A3 -> F1 -> P4 lookup join -> J1 -> P2 col-vs-col -> P5 -> T1
     "c7_select_decay" -> ((s, dir) =>
       SelectiveSearch.selectWithDecay(
-        Tables.selection(s, dir), Tables.results(s, dir), 3, 0.5)),
+        Tables.selection(s, dir), Tables.results(s, dir), 3, 0.5,
+        queryDomain = Some(Tables.NumQueries))),
 
     // C8 = F3 greedy resolution -> J2 -> T1. The sequential greedy is
     // oracle-checked via an unrolled 8-step CTE chain (see
     // C8OracleSql) — golden unit tests pin it as well.
     "c8_select_buckets" -> ((s, dir) =>
       SelectiveSearch.selectBuckets(
-        Tables.bucketSelection(s, dir), Tables.results(s, dir), 5)),
+        Tables.bucketSelection(s, dir), Tables.results(s, dir), 5,
+        queryDomain = Some(Tables.NumQueries))),
 
     // C2/C1 + A1/A2: full evaluation sweep, single-pass step
     // attribution. arranged=true: evalResults just came through the
@@ -193,13 +209,17 @@ object SparkEntry {
           col("score").desc, col("gdocid")))
     }),
 
-    // U1: union-all of tagged slices
+    // U1: union-all of tagged slices. The final total order leads on
+    // the dense query id, so the known-domain direct-routed sort
+    // replaces the sampling range sort (StaticRange).
     "u1_union_all" -> ((s, dir) => {
       val r = Tables.results(s, dir)
-      r.filter(col("score") >= 50000).withColumn("slice", lit("hi"))
-        .unionByName(
-          r.filter(col("score") < 1000).withColumn("slice", lit("lo")))
-        .orderBy("query", "gdocid", "slice")
+      graft.core.StaticRange.sortByKnownDomain(
+        r.filter(col("score") >= 50000).withColumn("slice", lit("hi"))
+          .unionByName(
+            r.filter(col("score") < 1000).withColumn("slice", lit("lo"))),
+        col("query"), Tables.NumQueries,
+        Seq(col("query").asc, col("gdocid").asc, col("slice").asc))
     }),
 
     // J5: positional column bind as arithmetic-position equi-join

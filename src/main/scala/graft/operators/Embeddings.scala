@@ -50,7 +50,11 @@ object Embeddings {
         when(col("ssq") === 0, lit(0.0))
           .otherwise(col("qsum").cast("double") / sqrt(col("ssq").cast("double")))
           .as("value"))
-      .repartition(1)
+      // narrow single-partition presentation sort: the segment above
+      // the (group, pos) aggregation exchange is |groups| x dims rows
+      // by contract, so the one-task merge is free and skips the
+      // shuffle round a repartition(1) would add (CoalesceSortProbe)
+      .coalesce(1)
       .sortWithinPartitions(col(groupCol), col("pos"))
   }
 }

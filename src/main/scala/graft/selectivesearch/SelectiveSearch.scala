@@ -27,11 +27,26 @@ object SelectiveSearch {
     * pipelines (reference: dataproc/selectivesearch.py:128,157,190),
     * with (shard, bucket) appended as the deterministic stand-in for
     * pandas' stable input order.
+    *
+    * `queryDomain = Some(nq)` is the caller's statement that `query`
+    * ids are dense integers in [0, nq) — true for every loader in
+    * this module, whose selection frames are built over an explicit
+    * query list. The sort then routes rows by query id directly
+    * ([[graft.core.StaticRange]]) instead of planning a range
+    * exchange whose RangePartitioner samples — and thereby
+    * re-executes — the whole join pipeline beneath the sort once per
+    * action. `None` keeps the sampling sort for arbitrary id spaces.
     */
-  private def sortedByQueryScore(df: DataFrame): DataFrame = {
+  private def sortedByQueryScore(df: DataFrame,
+      queryDomain: Option[Int] = None): DataFrame = {
     val tiebreak = Seq("shard", "bucket", "gdocid")
       .filter(df.columns.contains).map(col(_).asc)
-    df.orderBy(col("query").asc +: col("score").desc +: tiebreak: _*)
+    val sortCols = col("query").asc +: col("score").desc +: tiebreak
+    queryDomain match {
+      case Some(nq) =>
+        graft.core.StaticRange.sortByKnownDomain(df, col("query"), nq, sortCols)
+      case None => df.orderBy(sortCols: _*)
+    }
   }
 
   /** Final (query, step) sort of an evaluation MATRIX. The matrix is
@@ -57,12 +72,14 @@ object SelectiveSearch {
     * The selection frame is (queries x shards)-sized — broadcast; the
     * results side streams through a broadcast hash join unshuffled.
     */
-  def select(selection: DataFrame, results: DataFrame, t: Int): DataFrame = {
+  def select(selection: DataFrame, results: DataFrame, t: Int,
+      queryDomain: Option[Int] = None): DataFrame = {
     ensureHasColumns(selection, Seq("rank", "query", "shard"))
     ensureHasColumns(results, Seq("score", "query", "shard"))
     val top = selection.filter(col("rank") < lit(t)).select("query", "shard")
     sortedByQueryScore(
-      results.join(broadcast(top), Seq("query", "shard"), "inner"))
+      results.join(broadcast(top), Seq("query", "shard"), "inner"),
+      queryDomain)
   }
 
   /** Per-shard-rank bucket budgets under geometric decay
@@ -88,8 +105,8 @@ object SelectiveSearch {
     * becomes an immutable broadcast lookup join rank -> buckets.
     */
   def selectWithDecay(selection: DataFrame, results: DataFrame, t: Int,
-      decayFactor: Double): DataFrame = {
-    if (decayFactor == 1) return select(selection, results, t)
+      decayFactor: Double, queryDomain: Option[Int] = None): DataFrame = {
+    if (decayFactor == 1) return select(selection, results, t, queryDomain)
     require(0 < decayFactor && decayFactor <= 1,
       s"decay factor must be in (0, 1], got $decayFactor")
     ensureHasColumns(selection, Seq("rank", "query", "shard"))
@@ -115,41 +132,58 @@ object SelectiveSearch {
           lit("selectWithDecay: empty results frame (max(bucket) undefined)"))
           .cast("double"))
         .as("__nb"))
-    val lookup = decayBudgetLookup(spark, nb, t, decayFactor)
+    // budgets computed DIRECTLY on the filtered selection rows from
+    // the one-row nb broadcast — a separate rank -> budget lookup
+    // frame would be one more broadcast materialization round in the
+    // chain (nb -> lookup -> sel -> join; JobGapProbe round 13
+    // counted each round at 40-95 ms of driver gap at toy scale).
+    // The fold expression is shared with [[decayBudgetLookup]], which
+    // PropertiesSuite pins against the driver recurrence.
     val sel = selection.filter(col("rank") < lit(t))
-      .join(broadcast(lookup), Seq("rank"), "inner")
-      .select("query", "shard", "buckets")
+      .crossJoin(broadcast(nb))
+      .select(col("query"), col("shard"),
+        decayBudgetExpr(decayFactor).as("buckets"))
     val joined = results.join(broadcast(sel), Seq("query", "shard"), "inner")
     sortedByQueryScore(
-      joined.filter(col("bucket") < col("buckets")).drop("buckets"))
+      joined.filter(col("bucket") < col("buckets")).drop("buckets"),
+      queryDomain)
   }
 
-  /** The in-plan rank -> budget lookup: `nb` is a one-row frame with
-    * `__nb` = numBuckets as double; the fold replays
-    * [[decayedBuckets]]' repeated multiplication in the same order.
-    * Factored out so PropertiesSuite pins THIS expression (not a
+  /** rank -> budget as ONE expression over a frame carrying `rank`
+    * and the one-row-broadcast `__nb`: the fold replays
+    * [[decayedBuckets]]' repeated multiplication in the same order —
+    * same float ops, so budgets cannot diverge from the driver form.
+    */
+  private def decayBudgetExpr(decayFactor: Double): Column =
+    ceil(expr(
+      s"aggregate(array_repeat(1, CAST(rank AS INT)), __nb, (acc, x) -> acc * ${decayFactor})"))
+      .cast("int")
+
+  /** The in-plan rank -> budget lookup over ranks 0..t-1. Kept as the
+    * property-suite surface: PropertiesSuite pins THIS expression
+    * (shared with [[selectWithDecay]] via [[decayBudgetExpr]], not a
     * copy) against the driver recurrence.
     */
   private[graft] def decayBudgetLookup(spark: SparkSession,
       nb: DataFrame, t: Int, decayFactor: Double): DataFrame =
     spark.range(0, t).toDF("rank").crossJoin(broadcast(nb))
       .select(col("rank").cast("int").as("rank"),
-        ceil(expr(
-          s"aggregate(array_repeat(1, CAST(rank AS INT)), __nb, (acc, x) -> acc * ${decayFactor})"))
-          .cast("int").as("buckets"))
+        decayBudgetExpr(decayFactor).as("buckets"))
 
   /** Bucket-level selection under a total bucket budget
     * (reference: dataproc/selectivesearch.py:183-191). The greedy
     * budget resolution is the one non-relational algorithm — see
     * [[BucketResolver]].
     */
-  def selectBuckets(selection: DataFrame, results: DataFrame, t: Int): DataFrame = {
+  def selectBuckets(selection: DataFrame, results: DataFrame, t: Int,
+      queryDomain: Option[Int] = None): DataFrame = {
     ensureHasColumns(selection, Seq("rank", "query", "shard", "bucket"))
     ensureHasColumns(results, Seq("score", "query", "shard", "bucket"))
     val resolved = BucketResolver.resolveBucketSelection(selection, t)
       .select("query", "shard", "bucket")
     sortedByQueryScore(
-      results.join(broadcast(resolved), Seq("query", "shard", "bucket"), "inner"))
+      results.join(broadcast(resolved), Seq("query", "shard", "bucket"), "inner"),
+      queryDomain)
   }
 
   // ---------------------------------------------------------------------
@@ -351,6 +385,19 @@ object SelectiveSearch {
       }
     }
 
+  /** Walk encoders derived ONCE at object init: the per-call
+    * `import spark.implicits._` derivation re-runs ScalaReflection
+    * over the tuple types on EVERY evaluate call — a fixed driver
+    * cost (part of the ~0.25 s pre-first-job planning gap JobGapProbe
+    * measured on c2_evaluate) that caching here removes. Encoders are
+    * session-independent expression bundles; sharing one instance
+    * across sessions is the documented Encoder contract.
+    */
+  private implicit val walkInEnc: org.apache.spark.sql.Encoder[(Long, Long, Double, Int)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  private implicit val walkOutEnc: org.apache.spark.sql.Encoder[(Long, Array[Double], Int)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
   def evaluateArrival(shards: DataFrame, results: DataFrame, measures: Seq[Measure],
       numShards: Int, sort: Boolean = false, numBuckets: Option[Int] = None,
       arranged: Boolean = false): DataFrame = {
@@ -382,8 +429,6 @@ object SelectiveSearch {
       .filter(col("rank") < numSteps)
       .select(col("query").cast("long"), col("global_rank").cast("long"),
         col(relCols.head).cast("double"), col("rank").cast("int"))
-    val spark = results.sparkSession
-    import spark.implicits._
     val kDepths = ks.map(_._1)
     // ONE shuffle: hash partition by query, secondary-sort by
     // (query, global_rank) within partitions — queries arrive as

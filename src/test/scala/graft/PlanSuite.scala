@@ -256,12 +256,20 @@ class PlanSuite extends SparkSuite {
       assert(!p.toLowerCase.contains("rangepartitioning"),
         s"$name regained a range sort: ${p.take(3000)}")
     }
-    // corpus-sized outputs: the scalable range sort is the right plan
-    // at 100 TB — losing it to a single partition IS the scale bug
+    // corpus-sized outputs: a DISTRIBUTED total-order exchange is the
+    // right plan at 100 TB — losing it to a single partition IS the
+    // scale bug. Since round 13 the selection family routes on the
+    // known query domain (shufflepartitionidpassthrough, StaticRange:
+    // same multi-partition shuffle + local sort, no sampling job);
+    // a sampled rangepartitioning would also be acceptable, a
+    // single-partition sort would not.
     for (name <- Seq("c6_select", "u1_union_all")) {
-      val p = plan(name)
-      assert(p.toLowerCase.contains("rangepartitioning"),
-        s"$name lost its range sort: ${p.take(3000)}")
+      val p = plan(name).toLowerCase
+      assert(p.contains("rangepartitioning") ||
+          p.contains("shufflepartitionidpassthrough"),
+        s"$name lost its distributed total-order sort: ${p.take(3000)}")
+      assert(!p.contains("singlepartition"),
+        s"$name collapsed to a single-partition sort: ${p.take(3000)}")
     }
     spark.catalog.clearCache()
   }
