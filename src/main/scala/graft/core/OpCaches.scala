@@ -41,6 +41,26 @@ object OpCaches {
     df
   }
 
+  /** [[persistTracked]] + an immediate materialization of the cache.
+    *
+    * A LAZY persist consumed by several downstream branches of one
+    * query triple-pays under AQE: the exchange stages of the
+    * consuming branches materialize CONCURRENTLY, all race the still-
+    * cold cache, and each computes every partition of the cached plan
+    * from source (cache population is per-partition first-writer;
+    * concurrent full scans mostly miss each other). JobGapProbe on
+    * ngram_jaccard_pairs (round 13): three overlapping ~1 s jobs for
+    * a posting build whose single pass costs ~0.4 s. Paying one
+    * cheap count() job up front pins every consumer to cache reads.
+    * Use for frames with MULTIPLE concurrent consumers; keep the lazy
+    * form when consumers run strictly in sequence.
+    */
+  private[graft] def persistTrackedEager(df: DataFrame): DataFrame = {
+    val cached = persistTracked(df)
+    cached.count(): Unit
+    cached
+  }
+
   /** Number of currently tracked cached frames (diagnostics/tests). */
   def trackedCount: Int = synchronized(tracked.size)
 

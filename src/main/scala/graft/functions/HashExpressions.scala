@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for content hashing. Both stay inside
@@ -119,6 +119,47 @@ object HashKernels {
     h
   }
 
+  /** 64-bit perceptual signature over an opaque BINARY payload:
+    * per-bit +1/-1 majority vote over the [[md5Long64]] of every
+    * SLIDING 4-byte gram (offsets 0..len-4). The locality contract
+    * of a real perceptual hash (pHash DCT bits: similar media ->
+    * nearby signatures) expressed at the byte level — payloads
+    * sharing most of their content share most grams, so their
+    * signatures land within small Hamming distance, while the MD5
+    * gram hash keeps every bit SQL-replayable
+    * (`('0x' || substr(md5(substr(payload, i, 4)), 1, 16))::UBIGINT`
+    * on ASCII-representable payloads). Payloads shorter than 4 bytes
+    * have no grams and sign to 0L. A real build swaps the gram
+    * stream for decoded frame/spectral coefficients; the banding,
+    * verify, and SQL mirror are unchanged.
+    */
+  def perceptualHash64(bytes: Array[Byte]): Long = {
+    val counts = new Array[Int](64)
+    val md = md5Local.get()
+    var i = 0
+    while (i + 4 <= bytes.length) {
+      md.reset()
+      md.update(bytes, i, 4)
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash with MD5 token hashes: whitespace tokens, per-bit
     * +1/-1 majority vote over each token's [[md5Long64]]. Unlike the
     * FNV variant ([[simHash64]]) every building block (whitespace
@@ -224,6 +265,26 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
 }
 
+/** `perceptual_hash64(payload)`: 64-bit perceptual signature of an
+  * opaque BINARY payload (sliding 4-byte MD5 grams, per-bit majority
+  * vote — [[HashKernels.perceptualHash64]]), the oracle-expressible
+  * media near-dup signature.
+  */
+case class PerceptualHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"perceptual_hash64 needs BINARY, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.perceptualHash64(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.perceptualHash64($c)")
+  override protected def withNewChildInternal(c: Expression): PerceptualHash64 = copy(c)
+}
+
 /** `simhash_md5(text)`: 64-bit near-duplicate signature with MD5 token
   * hashes — the oracle-expressible simhash variant.
   */
@@ -263,6 +324,7 @@ object HashFunctions {
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def simhash_md5(c: Column): Column = column(SimHashMd5(expression(c)))
+  def perceptual_hash64(c: Column): Column = column(PerceptualHash64(expression(c)))
   def md5_pair(c: Column): Column = column(Md5Pair(expression(c)))
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
   private def bit_count(c: Column): Column =

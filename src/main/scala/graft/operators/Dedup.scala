@@ -370,17 +370,36 @@ object Dedup {
     val posts = maxDocFreq.fold(posts0)(cap =>
         posts0.filter(size(col("ids")) <= cap))
       .select(col("ids"))
-      // consumed twice (pair expansion + per-doc counts); one row per
-      // DISTINCT shingle — far smaller than the exploded stream
-      .transform(graft.core.OpCaches.persistTracked)
-    val counts = posts.select(explode(col("ids")).as(idCol))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // ONE pass over the posting lists feeds BOTH aggregates: each
+    // list explodes to its i<j pairs PLUS one (id, NULL) count
+    // marker per member, and a single (id_a, id_b) shuffle counts
+    // them together — real pairs become n_inter, NULL-marked rows
+    // become each doc's surviving-shingle total n_sh. (The earlier
+    // three-branch shape — pair expansion + two count joins, all
+    // reading a lazily persisted posts — triple-computed the shingle
+    // aggregation when AQE materialized the consumer exchanges
+    // concurrently against the cold cache, and still paid three
+    // stage rounds warm; JobGapProbe round 13. Fusing leaves posts
+    // with ONE consumer, so no cache at all.)
     val pairCombos = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
         y => struct(x.as("id_a"), y.as("id_b")))))
-    val inter = posts.select(explode(pairCombos).as("p"))
+    val markers = transform(col("ids"),
+      x => struct(x.as("id_a"), lit(null).cast("long").as("id_b")))
+    val agg = posts
+      .select(explode(concat(pairCombos, markers)).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .agg(count(lit(1)).as("cnt"))
+      // consumed by the pair stream AND both count joins; the frame
+      // is pairs + docs sized (FAR smaller than the posting stream)
+      // and the three consumers would otherwise race the whole
+      // pipeline three ways under AQE's concurrent stage
+      // materialization — eager, so exactly one pass computes it
+      .transform(graft.core.OpCaches.persistTrackedEager)
+    val inter = agg.filter(col("id_b").isNotNull)
+      .select(col("id_a"), col("id_b"), col("cnt").as("n_inter"))
+    val counts = agg.filter(col("id_b").isNull)
+      .select(col("id_a").as(idCol), col("cnt").as("n_sh"))
     // counts is one row per doc — small here but corpus-sized at
     // scale, so no broadcast hint: AQE picks broadcast when it fits
     inter

@@ -133,4 +133,40 @@ object Multimodal {
   def featureEmbeddings(media: Dataset[MediaRow]): DataFrame =
     extractFeatures(media)
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+
+  /** Perceptual near-duplicate pairs over opaque media payloads —
+    * the dedup path for the binary column type: 64-bit perceptual
+    * signature per payload (sliding-byte-gram MD5 simhash,
+    * [[graft.functions.PerceptualHash64]] — the codegen'd stand-in
+    * for pHash DCT bits; a real build swaps the gram stream for
+    * decoded coefficients and keeps everything downstream), 4x16-bit
+    * band blocking, exact Hamming verify. Same scale discipline and
+    * recall guarantee as [[Dedup.simHashPairs]]: the band self-join
+    * never ships signatures, each pair verifies once, and any pair
+    * within Hamming distance `maxHamming <= 3` must agree on a band
+    * (pigeonhole), so the banded result EXACTLY equals the all-pairs
+    * filter — never an all-pairs join.
+    *
+    * Returns (id_a, id_b, hamming). Cache lifecycle: the (id, sig)
+    * projection registers with [[graft.core.OpCaches]]; callers
+    * release after materializing.
+    */
+  def mediaNearDupPairs(media: DataFrame, payloadCol: String = "payload",
+      idCol: String = "media_id", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming $maxHamming > 3 breaks the 4x16-band recall guarantee")
+    import graft.functions.HashFunctions.{hamming64, perceptual_hash64}
+    val signed = media
+      .select(col(idCol), perceptual_hash64(col(payloadCol)).as("sig"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val banded = signed.select(col(idCol),
+      posexplode(array((0 until 4).map(b =>
+        (col("sig").bitwiseAND(lit(0xffffL << (16 * b)))).cast("long")): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    Dedup.bandedCandidatePairs(banded, signed, idCol, "band_val")
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

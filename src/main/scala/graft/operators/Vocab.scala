@@ -86,7 +86,12 @@ object Vocab {
     val toks = docs
       .select(col(idCol), posexplode(TextFunctions.tokensNonEmpty(col(textCol))))
       .withColumnRenamed("col", "term")
-      .transform(graft.core.OpCaches.persistTracked)
+      // EAGER: the vocabulary broadcast build and the final sort's
+      // sampling job both consume toks and start concurrently — a
+      // lazy persist let them race the cold cache and tokenize the
+      // corpus twice (JobGapProbe round 13: two overlapping ~0.24 s
+      // jobs at sf0.1)
+      .transform(graft.core.OpCaches.persistTrackedEager)
     val vocab = vocabFromTerms(toks.select(col("term")), vocabSize)
       .select(col("term"), col("token_id"))
     toks
