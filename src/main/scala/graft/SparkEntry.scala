@@ -1058,6 +1058,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal dedup: perceptual-hash band-blocked near-dup pairs
+    // over the binary payload column — the dedup path for the one
+    // column type that had features but no dedup. The media corpus
+    // is carved from documents (payload = raw text bytes, ASCII by
+    // fixture contract — byte grams == SQL substr grams), so the
+    // planted near-dup structure carries over and the oracle can
+    // replay the sliding-gram MD5 signature bit-for-bit.
+    "media_neardup_pairs" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"))
+      graft.operators.Multimodal.mediaNearDupPairs(media, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Analytic windows beyond row_number: running sum + lag
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -2138,6 +2153,31 @@ object SparkEntry {
         |cnt AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
         |        FROM h, generate_series(0, 63) g(b) GROUP BY 1, 2),
         |allb AS (SELECT doc_id, b FROM documents, generate_series(0, 63) g(b)),
+        |bitv AS (SELECT a.doc_id, a.b,
+        |                CASE WHEN coalesce(cnt.c, 0) > 0 THEN 1 ELSE 0 END AS bit
+        |         FROM allb a LEFT JOIN cnt ON a.doc_id = cnt.doc_id AND a.b = cnt.b),
+        |sig AS (SELECT doc_id, list(bit ORDER BY b) AS bits FROM bitv GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_filter(generate_series(1, 64), i -> a.bits[i] <> b.bits[i])) AS INT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors Multimodal.mediaNearDupPairs: payload = text bytes
+    // (single-byte by fixture contract, so char-positioned substr
+    // grams equal the kernel's byte grams), per-gram 64-bit MD5
+    // prefixes voted per bit exactly like the simhash_pairs oracle;
+    // docs shorter than 4 bytes sign to all-zero bits
+    "media_neardup_pairs" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 3)) AS i
+        |  FROM documents WHERE length(text) >= 4),
+        |g AS (SELECT doc_id, substr(text, CAST(i AS INT), 4) AS t FROM g0),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM g),
+        |cnt AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |        FROM h, generate_series(0, 63) g2(b) GROUP BY 1, 2),
+        |allb AS (SELECT doc_id, b FROM documents, generate_series(0, 63) g3(b)),
         |bitv AS (SELECT a.doc_id, a.b,
         |                CASE WHEN coalesce(cnt.c, 0) > 0 THEN 1 ELSE 0 END AS bit
         |         FROM allb a LEFT JOIN cnt ON a.doc_id = cnt.doc_id AND a.b = cnt.b),

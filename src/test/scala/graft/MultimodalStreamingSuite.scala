@@ -44,6 +44,41 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(counts(8L) == math.ceil(2800 / 500.0).toLong)
   }
 
+  test("multimodal: perceptual near-dup finds planted byte-level dups, banded == all-pairs") {
+    import graft.functions.HashFunctions.{hamming64, perceptual_hash64}
+    // base payloads + one exact dup + one small byte mutation + one
+    // unrelated payload: the mutated pair must surface at small
+    // hamming, the banded result must EQUAL the all-pairs filter
+    val base = (0L until 40L).map { i =>
+      val body = Array.tabulate[Char](120)(j => ('a' + (i * 17 + j * 3) % 26).toChar)
+      (i, new String(body))
+    }
+    val planted = base ++ Seq(
+      (100L, base(7)._2),                       // exact dup of 7
+      (101L, base(9)._2.updated(5, 'Z').updated(60, 'Q')), // near-dup of 9
+      (102L, "zz"))                             // sub-gram payload -> sig 0
+    val media = planted.toDF("media_id", "txt")
+      .select(col("media_id"), col("txt").cast("binary").as("payload"))
+    val got = Multimodal.mediaNearDupPairs(media, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect()
+    graft.core.OpCaches.release()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(gotPairs.exists { case (a, b, h) => a == 7L && b == 100L && h == 0 },
+      s"exact dup not found: ${gotPairs.mkString(" ")}")
+    // all-pairs reference: same signature, brute-force hamming filter
+    val signed = media.select(col("media_id"),
+      perceptual_hash64(col("payload")).as("sig"))
+    val all = signed.as("a").crossJoin(signed.as("b"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(gotPairs.toSeq == all.toSeq,
+      "banded result must exactly equal the all-pairs hamming filter")
+  }
+
   test("multimodal features compose with similarity search") {
     val emb = Multimodal.featureEmbeddings(Multimodal.syntheticMedia(spark, 50))
     val topk = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 2), 3)
