@@ -2167,27 +2167,38 @@ object SparkEntry {
     // mirrors Multimodal.mediaNearDupPairs: payload = text bytes
     // (single-byte by fixture contract, so char-positioned substr
     // grams equal the kernel's byte grams), per-gram 64-bit MD5
-    // prefixes voted per bit exactly like the simhash_pairs oracle;
-    // docs shorter than 4 bytes sign to all-zero bits
-    "media_neardup_pairs" ->
-      """WITH g0 AS (
-        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 3)) AS i
-        |  FROM documents WHERE length(text) >= 4),
-        |g AS (SELECT doc_id, substr(text, CAST(i AS INT), 4) AS t FROM g0),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM g),
-        |cnt AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
-        |        FROM h, generate_series(0, 63) g2(b) GROUP BY 1, 2),
-        |allb AS (SELECT doc_id, b FROM documents, generate_series(0, 63) g3(b)),
-        |bitv AS (SELECT a.doc_id, a.b,
-        |                CASE WHEN coalesce(cnt.c, 0) > 0 THEN 1 ELSE 0 END AS bit
-        |         FROM allb a LEFT JOIN cnt ON a.doc_id = cnt.doc_id AND a.b = cnt.b),
-        |sig AS (SELECT doc_id, list(bit ORDER BY b) AS bits FROM bitv GROUP BY doc_id)
-        |SELECT * FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         CAST(len(list_filter(generate_series(1, 64), i -> a.bits[i] <> b.bits[i])) AS INT) AS hamming
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
-        |WHERE hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    // prefixes voted per bit like the simhash_pairs oracle — but the
+    // 64 votes run as one-pass aggregate COLUMNS and the signature
+    // packs into a UBIGINT (bit_count(xor) hamming), not a 64x
+    // row-expansion grouping: same bits, ~10x cheaper to evaluate,
+    // so the proxy baseline measures the work, not a lists-of-bits
+    // encoding. Docs shorter than 4 bytes sign to 0.
+    "media_neardup_pairs" -> {
+      val votes = (0 until 64).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+        .mkString(",\n        ")
+      val sig = (0 until 64).map(b =>
+        s"(CASE WHEN c$b > 0 THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END)")
+        .mkString(" + ")
+      s"""WITH g0 AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 3)) AS i
+         |  FROM documents WHERE length(text) >= 4),
+         |h AS (SELECT doc_id,
+         |        ('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 16))::UBIGINT AS h
+         |      FROM g0),
+         |v AS (SELECT doc_id,
+         |        $votes
+         |      FROM h GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, $sig AS sig FROM v),
+         |alls AS (SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+         |         FROM documents d LEFT JOIN sigs s USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |  FROM alls a JOIN alls b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // reconstructs Multimodal.syntheticMedia's ASCII payloads and
     // replays the decodeStub: f_k = first 48 MD5 bits of
