@@ -42,12 +42,54 @@ object Tables {
     * not built here.
     */
   private val readCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (readCache.size > 512) readCache.clear()
-    readCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      key => key._1.read.parquet(key._2))
+    val enabled = spark.conf.get("graft.smallScanRebalance", "true").toBoolean
+    readCache.computeIfAbsent((spark, s"$dir/$name.parquet", enabled),
+      key => rebalanceSmallScan(key._1, key._1.read.parquet(key._2), key._2, key._3))
+  }
+
+  /** Small-input scan rebalance: a parquet file below
+    * `spark.sql.files.maxPartitionBytes` with a single row group yields
+    * ONE scan split no matter the conf (byte-range splits can't divide
+    * a row group), so every kernel fused into the scan stage — text
+    * tokenize, embedding quantize, timestamp bucketing — runs on one
+    * core while the rest of the machine idles. Engines with morsel
+    * parallelism (DuckDB splits a row group into 2048-row morsels)
+    * parallelize these kernels regardless of file layout; the Spark
+    * equivalent is an explicit round-robin rebalance to the session's
+    * parallelism before the heavy expressions. Projections stay ABOVE
+    * the exchange (Catalyst won't collapse them into the scan through
+    * it), so the single-task half only decodes parquet bytes — cheap
+    * at the sizes this gate admits.
+    *
+    * Size-gated on the REAL scale contract: files at or above
+    * maxPartitionBytes already split into >= cores worth of scan tasks
+    * (and at 100 TB, thousands), so the rebalance never fires there —
+    * the plans PlanSuite pins for scale (shuffle-free samples, one-
+    * exchange builds) are exactly the plans large inputs run. The
+    * 512 KB floor skips broadcast-dimension tables (nation, region,
+    * supplier, part), where an extra exchange before the broadcast
+    * collect only adds a stage. `graft.smallScanRebalance=false`
+    * disables (keyed into the read memo, so a session may hold both
+    * forms).
+    */
+  private def rebalanceSmallScan(spark: SparkSession, df: DataFrame,
+      path: String, enabled: Boolean): DataFrame = {
+    if (!enabled) return df
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Exception => return df }
+    val cores = spark.sparkContext.defaultParallelism
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    if (cores > 1 && bytes >= 512L * 1024 && bytes < maxPart)
+      df.repartition(cores)
+    else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

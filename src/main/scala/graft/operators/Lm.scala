@@ -63,6 +63,13 @@ object Lm {
   private def uniAndLm(reference: DataFrame, textCol: String,
       topM: Int): (DataFrame, DataFrame) = {
     val nonBlank = reference.filter(length(btrim(col(textCol))) > 0)
+    // lazy persist, deliberately: the model join and the vocabulary-
+    // size subtree (bigramLmPlan) do race this cache when they
+    // broadcast-materialize concurrently, but the duplicated pass is
+    // a parallel reference-slice tokenize (cheap after the loader's
+    // small-scan rebalance) and an eager count() would serialize the
+    // whole model build behind it (round-13 JobGapProbe measured the
+    // eager form slower end-to-end)
     val uni = nonBlank
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c_a"))

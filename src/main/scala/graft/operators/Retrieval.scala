@@ -26,7 +26,9 @@ import graft.functions.{TextFunctions, TopKFunctions}
   *    groupBy(term) aggregate (|terms| rows) broadcast back onto the
   *    pruned (doc, term) counts — never a per-term window, whose
   *    single-task partitions would be corpus-sized for a high-df
-  *    term; the cached tf keeps the corpus pass at one;
+  *    term; ReuseExchange keeps the corpus tokenize pass at one (both
+  *    tf consumers share one exchange), and the document length rides
+  *    the tf grouping key so no per-doc-length join exists;
   *  - per-term weights are computed row-local and quantized to an
   *    exact integer (floor(w * 1e9)), so the per-document sum is
   *    order-independent — byte-identical at any parallelism, and
@@ -53,30 +55,43 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text",
       queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
-    // dl is referenced twice (the per-doc join and the corpus-stats
-    // row) — a tracked cache keeps its corpus pass at one; (doc_id,
-    // dl) is two machine words per document, safely cacheable at any
-    // corpus size (release via OpCaches.release() after the action)
-    val dl = graft.core.OpCaches.persistTracked(
-      docs.select(col(idCol).as("doc_id"),
-        TextFunctions.tokenCount(col(textCol)).as("dl")))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // corpus stats as ONE self-contained aggregate pass (count + exact
+    // integer token-count sum): a broadcast subtree that runs
+    // concurrently with the tf pass inside one job — no shared `dl`
+    // frame, no cache to race (round-13 JobGapProbe: the former lazy
+    // dl/tf persists were raced by their concurrent consumers into
+    // four overlapping duplicate tokenize jobs, and eager counts just
+    // serialized them; this shape has neither)
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
-    // tf is referenced twice (df aggregate + the weighted join) — the
-    // tracked cache keeps the tokenize pass at one. df as a tiny
-    // groupBy(term) aggregate broadcast back onto tf, NOT a window
-    // partitioned by term: the window would route every (doc, term)
-    // row of one term to a single task, and a stopword-like high-df
-    // query term makes that partition corpus-sized. The aggregate is
-    // map-side combined (|terms| rows cross the wire) and the join
-    // side is at most |query terms| rows.
-    val tf = graft.core.OpCaches.persistTracked(docs
+    // ONE corpus tokenize pass carries the document length with it:
+    // dl = size(tokens) rides the explode (equal to tokenCount for
+    // every document that can appear here — a blank document's only
+    // token is the empty string, which matches no query term) and
+    // lands in the grouping key, so the per-doc-length join is gone.
+    // df as a tiny groupBy(term) aggregate broadcast back onto tf,
+    // NOT a window partitioned by term: the window would route every
+    // (doc, term) row of one term to a single task, and a
+    // stopword-like high-df query term makes that partition
+    // corpus-sized. The aggregate is map-side combined (|terms| rows
+    // cross the wire). tf is consumed twice (df aggregate + weighted
+    // join) but both consumers sit above the IDENTICAL
+    // groupBy(doc_id, dl, term) exchange, which ReuseExchange dedupes
+    // — the tokenize pass runs once with no cache at all (the
+    // tfidfTopTerms lesson: block-store materialization measured pure
+    // overhead next to a reused exchange).
+    val tf = docs
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+        TextFunctions.tokens(col(textCol)).as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).as("dl"),
+        explode(col("__ws")).as("term"))
       .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // all floating steps mirror the oracle SQL token-for-token:
     // left-associative, constants pre-folded in Scala and printed via
@@ -89,7 +104,6 @@ object Retrieval {
         lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
     val w = tf
       .join(broadcast(dfCounts), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .join(broadcast(q), Seq("term"))
       .select(col("query_id"), col("doc_id"),
