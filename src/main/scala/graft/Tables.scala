@@ -46,35 +46,29 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (readCache.size > 512) readCache.clear()
-    val enabled = spark.conf.get("graft.smallScanRebalance", "true").toBoolean
+    val enabled = spark.conf.get("graft.smallScanRebalance", "false").toBoolean
     readCache.computeIfAbsent((spark, s"$dir/$name.parquet", enabled),
       key => rebalanceSmallScan(key._1, key._1.read.parquet(key._2), key._2, key._3))
   }
 
-  /** Small-input scan rebalance: a parquet file below
-    * `spark.sql.files.maxPartitionBytes` with a single row group yields
-    * ONE scan split no matter the conf (byte-range splits can't divide
-    * a row group), so every kernel fused into the scan stage — text
-    * tokenize, embedding quantize, timestamp bucketing — runs on one
-    * core while the rest of the machine idles. Engines with morsel
-    * parallelism (DuckDB splits a row group into 2048-row morsels)
-    * parallelize these kernels regardless of file layout; the Spark
-    * equivalent is an explicit round-robin rebalance to the session's
-    * parallelism before the heavy expressions. Projections stay ABOVE
-    * the exchange (Catalyst won't collapse them into the scan through
-    * it), so the single-task half only decodes parquet bytes — cheap
-    * at the sizes this gate admits.
-    *
-    * Size-gated on the REAL scale contract: files at or above
-    * maxPartitionBytes already split into >= cores worth of scan tasks
-    * (and at 100 TB, thousands), so the rebalance never fires there —
-    * the plans PlanSuite pins for scale (shuffle-free samples, one-
-    * exchange builds) are exactly the plans large inputs run. The
-    * 512 KB floor skips broadcast-dimension tables (nation, region,
-    * supplier, part), where an extra exchange before the broadcast
-    * collect only adds a stage. `graft.smallScanRebalance=false`
-    * disables (keyed into the read memo, so a session may hold both
-    * forms).
+  /** Small-input scan rebalance — MEASURED OFF by default. A parquet
+    * file below `spark.sql.files.maxPartitionBytes` with a single row
+    * group yields ONE scan split no matter the conf (byte-range splits
+    * can't divide a row group), so every kernel fused into the scan
+    * stage — text tokenize, embedding quantize — runs on one core.
+    * The tempting fix is a round-robin rebalance to the session's
+    * parallelism before the heavy expressions (the Spark analog of
+    * DuckDB's intra-row-group morsel parallelism). The interleaved
+    * A/B (RebalanceProbe, sf0.1, round 13) measured it a LOSS on
+    * every query shape tried — text-kernel rows included (lm 0.80 →
+    * 1.53 s, text_stats 0.38 → 0.80 s, c2 0.65 → 1.43 s): the extra
+    * exchange's single-task serialize-and-write of the raw rows plus
+    * one more stage round costs more than the scan-stage kernels it
+    * parallelizes at any sub-maxPartitionBytes size. Kept as an
+    * opt-in knob (`graft.smallScanRebalance=true`, keyed into the
+    * read memo) for genuinely compute-bound scan kernels; the size
+    * gate (>= 512 KB, < maxPartitionBytes) keeps it off broadcast
+    * dims and off large inputs, which split naturally.
     */
   private def rebalanceSmallScan(spark: SparkSession, df: DataFrame,
       path: String, enabled: Boolean): DataFrame = {
