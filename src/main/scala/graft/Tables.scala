@@ -144,6 +144,73 @@ object Tables {
     li.withColumn("global_rank", row_number().over(w).cast("int"))
   }
 
+  /** [[evalResults]] pruned to the rank prefix `evaluate` can see —
+    * identical measures, a fraction of the window cost.
+    *
+    * The full fixture's per-query `global_rank` window shuffles and
+    * sorts EVERY result row into at most |queries| busy tasks — at
+    * sf0.1 that is 600 k rows sorted 8 ways, the dominant cost of the
+    * whole c2 family (C2Probe round 13: the fixture window alone is
+    * ~60% of c2_evaluate's wall). But a precision sweep at depths
+    * ≤ `depth` can only ever COUNT a row that ranks among the first
+    * `depth` of some step's shard union, and a row with `depth`
+    * same-(grain) predecessors (same query + shard [+ bucket], higher
+    * score or equal score with lower gdocid) can never be that row:
+    * those predecessors are in every union its own unit belongs to,
+    * so they exhaust the count budget first —
+    *
+    *  - any counted row (`__mrn <= k <= depth`) is kept: fewer than
+    *    `depth` union predecessors implies fewer than `depth`
+    *    same-unit predecessors;
+    *  - conversely a pruned row's `depth` same-unit predecessors are
+    *    each kept (each has < depth same-unit predecessors), so after
+    *    pruning every row that follows the pruned one still has
+    *    >= depth predecessors in the union — ordinals at or below
+    *    `depth` and the count saturation at `depth` are unchanged.
+    *
+    * So: a bounded [[graft.functions.TopKFunctions.top_k]] heap per
+    * (query, shard[, bucket]) — map-side combined, <= depth rows per
+    * unit per task cross the wire, never a corpus-wide sort — then
+    * the same per-query ordinal window over the <= units x depth
+    * survivors. `global_rank` VALUES differ from the full fixture's
+    * (ordinals among survivors), but `evaluate` consumes the column
+    * only as an ordering, so every measure matrix is row-identical
+    * (EvaluateSuite pins all three registered forms against the full
+    * fixture; the DuckDB oracles replay the full-frame derivation).
+    * This is the 100 TB shape for a rank sweep: the corpus-sized
+    * results frame reduces BEFORE anything query-keyed shuffles.
+    *
+    * `rel` rides the heap inside the id: gdocid is unique per row, so
+    * `gdocid * 2 + rel` preserves the (score desc, gdocid asc)
+    * tiebreak order and decodes exactly.
+    */
+  def evalResultsPruned(spark: SparkSession, dir: String, depth: Int,
+      withBuckets: Boolean = false): DataFrame = {
+    require(depth >= 1, s"depth must be positive, got $depth")
+    val li = lineitem(spark, dir).select(
+      (col("l_orderkey") % NumQueries).cast("int").as("query"),
+      (col("l_suppkey") % NumShards).cast("int").as("shard"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("gdocid"),
+      col("l_extendedprice").as("score"),
+      when(col("l_partkey") % 7 === 0, 1).otherwise(0).cast("int").as("rel"))
+    val unit = (Seq(col("query"), col("shard")) ++
+      (if (withBuckets) Seq((col("gdocid") % NumBuckets).cast("int").as("bucket"))
+       else Nil))
+    val unitNames = Seq("query", "shard") ++ (if (withBuckets) Seq("bucket") else Nil)
+    val kept = li
+      .groupBy(unit: _*)
+      .agg(graft.functions.TopKFunctions.top_k(col("score"),
+        col("gdocid") * 2 + col("rel"), depth).as("__top"))
+      .select(unitNames.map(col) :+ explode(col("__top")).as("e"): _*)
+      .select(unitNames.map(col) ++ Seq(
+        shiftright(col("e.id"), 1).as("gdocid"),
+        col("e.score").as("score"),
+        col("e.id").bitwiseAND(1).cast("int").as("rel")): _*)
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("score").desc, col("gdocid").asc)
+    kept.withColumn("global_rank", row_number().over(w).cast("int"))
+  }
+
   /** Shard selection analog: one row per (query, shard), ranked by
     * total quantity mass descending (exact integer-valued sum — the
     * same rank in any engine), shard ascending as tiebreak.

@@ -192,4 +192,44 @@ class EvaluateSuite extends SparkSuite {
     val aggAll = SelectiveSearch.trecFrameTopK(r, 1000).collect()
     assert(aggAll.toSeq == winAll.toSeq)
   }
+
+  test("pruned results fixture yields the full fixture's measures (all three c2 forms)") {
+    // the rank-prefix equivalence proof at Tables.evalResultsPruned,
+    // pinned on real testdata for every registered sweep shape; the
+    // registered rows run the pruned frame while the DuckDB oracles
+    // replay the full derivation
+    val dir = sf("sf0.001")
+    def sortedRows(df: DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val full = Tables.evalResults(spark, dir)
+    val fullB = full.withColumn("bucket",
+      ($"gdocid" % Tables.NumBuckets).cast("int"))
+    val pruned = Tables.evalResultsPruned(spark, dir, 10)
+    val prunedB = Tables.evalResultsPruned(spark, dir, 10, withBuckets = true)
+    val ms = Seq(precisionAt(10), precisionAt(5))
+    assert(sortedRows(SelectiveSearch.evaluate(
+        Tables.selection(spark, dir), pruned, ms, Tables.NumShards,
+        arranged = true)) ==
+      sortedRows(SelectiveSearch.evaluate(
+        Tables.selection(spark, dir), full, ms, Tables.NumShards,
+        arranged = true)))
+    assert(sortedRows(SelectiveSearch.evaluate(
+        Tables.shardScores(spark, dir), pruned, ms, Tables.NumShards,
+        sort = true, arranged = true)) ==
+      sortedRows(SelectiveSearch.evaluate(
+        Tables.shardScores(spark, dir), full, ms, Tables.NumShards,
+        sort = true, arranged = true)))
+    assert(sortedRows(SelectiveSearch.evaluate(
+        Tables.bucketSelection(spark, dir), prunedB, Seq(precisionAt(10)),
+        Tables.NumShards, numBuckets = Some(Tables.NumBuckets),
+        arranged = true)) ==
+      sortedRows(SelectiveSearch.evaluate(
+        Tables.bucketSelection(spark, dir), fullB, Seq(precisionAt(10)),
+        Tables.NumShards, numBuckets = Some(Tables.NumBuckets),
+        arranged = true)))
+    // and the pruned frame really is a subset at the unit grain
+    val keptCount = pruned.count()
+    assert(keptCount <= 10L * Tables.NumQueries * Tables.NumShards)
+    assert(keptCount < full.count())
+  }
 }
