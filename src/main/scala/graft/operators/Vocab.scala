@@ -71,14 +71,36 @@ object Vocab {
 
   /** Fit + transform in one call (the registered-query shape).
     *
-    * Tokenizes the corpus EXACTLY ONCE: the exploded
-    * (id, pos, term) frame is persisted (tracked — the ngram/tfidf
-    * discipline) and feeds the vocabulary count, the encode probe,
-    * AND the final sort's range-sampling pass, where the naive
-    * composition of [[buildVocab]] + [[encodeTokens]] would run the
-    * tokenize three times per call (fit side, encode side, sampling
-    * re-execution). The separate builder/encoder stay as-is for
-    * callers with a prebuilt vocabulary (streams cannot persist).
+    * Three cost decisions, each probed interleaved (VocabProbe,
+    * sf0.1, round 13; warm medians):
+    *
+    *  - NO operator cache: the vocabulary count and the encode pass
+    *    each tokenize the corpus, CONCURRENTLY (broadcast subtree +
+    *    main stage of one job). Every cached form measured slower —
+    *    the exploded-row cache pays a corpus-sized block-store write
+    *    (0.82 s), the token-array cache still pays an eager count()
+    *    that serializes the whole pipeline behind one single-task
+    *    tokenize (0.95 s) — while the duplicated pass runs on
+    *    otherwise-idle cores (0.60 s). Two passes is also the honest
+    *    100 TB shape: a corpus-sized token cache is infeasible there,
+    *    a second scan is routine;
+    *  - the encode is a MAP LOOKUP, not a join: the fitted
+    *    vocabulary folds into one `map_from_entries` row that rides a
+    *    broadcast cross join, and `element_at` replaces the
+    *    broadcast-hash-join probe — no join build, one fewer operator
+    *    in the corpus stage (a V-row map broadcasts exactly like a
+    *    V-row hash relation at any vocabulary size);
+    *  - the presentation sort routes through
+    *    [[graft.core.StaticRange.sortByKnownDomain]] with range
+    *    bounds from a one-row min/max probe over the column-pruned id
+    *    scan (no tokenize), instead of `orderBy`'s sampling job
+    *    re-executing the whole encode chain (0.70 s → 0.60 s). Bounds assume non-negative
+    *    integral ids; sparse or skewed ids only unbalance the final
+    *    single-stage sort, never break its total order. Non-integral
+    *    or negative ids fall back to the sampling sort.
+    *
+    * The separate builder/encoder stay as-is for callers with a
+    * prebuilt vocabulary (streams cannot persist).
     */
   def vocabEncode(docs: DataFrame, vocabSize: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -86,19 +108,40 @@ object Vocab {
     val toks = docs
       .select(col(idCol), posexplode(TextFunctions.tokensNonEmpty(col(textCol))))
       .withColumnRenamed("col", "term")
-      // EAGER: the vocabulary broadcast build and the final sort's
-      // sampling job both consume toks and start concurrently — a
-      // lazy persist let them race the cold cache and tokenize the
-      // corpus twice (JobGapProbe round 13: two overlapping ~0.24 s
-      // jobs at sf0.1)
-      .transform(graft.core.OpCaches.persistTrackedEager)
-    val vocab = vocabFromTerms(toks.select(col("term")), vocabSize)
-      .select(col("term"), col("token_id"))
-    toks
-      .join(broadcast(vocab), Seq("term"), "left")
+    val vmap = vocabFromTerms(toks.select(col("term")), vocabSize)
+      .agg(map_from_entries(collect_list(struct(col("term"), col("token_id"))))
+        .as("__vm"))
+    val encoded = toks
+      .crossJoin(broadcast(vmap))
       .select(col(idCol), col("pos").cast("int").as("pos"),
-        coalesce(col("token_id"), lit(0)).as("token_id"))
-      .orderBy(col(idCol).asc, col("pos").asc)
+        coalesce(element_at(col("__vm"), col("term")), lit(0)).as("token_id"))
+    val integralId = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val bounds =
+      if (integralId)
+        docs.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long")))
+          .head() match {
+          case r if r.isNullAt(0) || r.getLong(0) < 0 => None
+          case r => Some((r.getLong(0), r.getLong(1)))
+        }
+      else None
+    bounds match {
+      case Some((_, maxId)) =>
+        val parts = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+        // ceil-width division: pid < parts for every id <= maxId, no
+        // multiply overflow, monotone in the id
+        val width = (maxId + 1 + parts - 1) / parts
+        graft.core.StaticRange.sortByKnownDomain(encoded,
+          (col(idCol).cast("long") / lit(math.max(1L, width))).cast("int"),
+          parts, Seq(col(idCol).asc, col("pos").asc))
+      case None =>
+        encoded.orderBy(col(idCol).asc, col("pos").asc)
+    }
   }
 
   /** [[buildVocab]] behind the metadata-versioned
