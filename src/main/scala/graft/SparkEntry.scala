@@ -95,6 +95,15 @@ object SparkEntry {
       keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
     df.coalesce(1).sortWithinPartitions(keys: _*)
 
+  /** Run a registration under the AQE-off child session — for the ANN
+    * family, whose plans are all explicit broadcasts + bounded top-k
+    * exchanges with nothing for AQE to re-optimize (see
+    * [[graft.core.SessionTuning.boundedPlan]] for the measurement).
+    */
+  private def boundedPlan(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => fn(graft.core.SessionTuning.boundedPlan(s), dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 + P1 + P2: parquet scan with filter/projection pushdown
     "s1_scan_filter_project" -> ((s, dir) =>
@@ -759,7 +768,7 @@ object SparkEntry {
 
     // ANN baseline: brute-force cosine top-k (exact integer-quantized
     // dot products -> engine-portable doubles)
-    "ann_cosine_topk" -> ((s, dir) => {
+    "ann_cosine_topk" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.cosineTopK(e, e.filter(col("vec_id") < 8), 5)
         .transform(topkSorted)
@@ -778,7 +787,7 @@ object SparkEntry {
     // by construction, unlike fixed sign-LSH cells), queries probe
     // their nprobe nearest cells. nprobe=40/64 measures recall@5 =
     // 0.93 on this corpus (see SCALING.md for the full knob curve).
-    "ann_ivf_topk" -> ((s, dir) => {
+    "ann_ivf_topk" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), 5,
         numCentroids = 64, nprobe = 40)
@@ -789,7 +798,7 @@ object SparkEntry {
     // oracle — the assignment is a deterministic function of the
     // corpus, so the served output is pinned identical to the inline
     // build+query row; SimilaritySuite asserts it)
-    "ann_ivf_prebuilt_topk" -> ((s, dir) => {
+    "ann_ivf_prebuilt_topk" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopKPrebuilt(e, s"$dir/embeddings.parquet",
         e.filter(col("vec_id") < 8), 5, numCentroids = 64, nprobe = 40)
@@ -895,7 +904,7 @@ object SparkEntry {
     // super-cells' centroids (~2 sqrt(C) dots per vector instead of
     // C). The oracle replays both levels with the same
     // (cosine DESC, id) tiebreaks.
-    "ann_ivf_twolevel" -> ((s, dir) => {
+    "ann_ivf_twolevel" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), 5,
         numCentroids = 64, nprobe = 8, superCells = 8, superProbes = 2)
@@ -905,7 +914,7 @@ object SparkEntry {
     // Product quantization (memory-side ANN scale path): 4 subspaces
     // x 16-entry sample codebooks, documents stored as 4 small codes,
     // queries score via exact-integer ADC table lookups
-    "ann_pq_topk" -> ((s, dir) => {
+    "ann_pq_topk" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5)
         .transform(topkSorted)
@@ -915,7 +924,7 @@ object SparkEntry {
     // frame, same oracle — the sample codebook and codes are
     // deterministic functions of the corpus; SimilaritySuite pins
     // served == inline)
-    "ann_pq_prebuilt_topk" -> ((s, dir) => {
+    "ann_pq_prebuilt_topk" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.pqTopKPrebuilt(e, s"$dir/embeddings.parquet",
         e.filter(col("vec_id") < 8), 5)
@@ -931,7 +940,7 @@ object SparkEntry {
     // in-call k-means fit stays as the suite-pinned twin
     // (SimilaritySuite pins driver fit == distributed loop
     // bit-for-bit; ann_pq_fitted_bounds audits its distortion).
-    "ann_pq_fitted_topk" -> ((s, dir) => {
+    "ann_pq_fitted_topk" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5,
         codebooks = Some(PinnedCodebook.FittedPq))
@@ -953,7 +962,7 @@ object SparkEntry {
     // deterministic, so the boolean is hash-stable against the
     // trivially-true oracle — the audit row for the rows-only
     // ann_pq_fitted_topk.
-    "ann_pq_fitted_bounds" -> ((s, dir) => {
+    "ann_pq_fitted_bounds" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val sampleCb = graft.operators.Pq.codebook(e, m = 4, ksub = 16)
       val fittedCb = graft.operators.Pq.kmeansCodebook(e, m = 4, ksub = 16)
@@ -965,7 +974,7 @@ object SparkEntry {
 
     // IVF+PQ: ADC scan restricted to each query's probed IVF cells —
     // IVF cuts the scanned fraction, PQ the bytes per scanned vector
-    "ann_ivfpq_topk" -> ((s, dir) => {
+    "ann_ivfpq_topk" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 8), 5,
         numCentroids = 64, nprobe = 8)
@@ -975,7 +984,7 @@ object SparkEntry {
     // IVF+PQ with exact re-ranking: the ADC scan nominates 50
     // candidates per query, only those fetch raw vectors for the
     // exact cosine — the full production ANN shape
-    "ann_ivfpq_rerank" -> ((s, dir) => {
+    "ann_ivfpq_rerank" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.ivfPqRerankTopK(e, e.filter(col("vec_id") < 8), 5,
         numCentroids = 64, nprobe = 8, rerank = 50)
@@ -988,7 +997,7 @@ object SparkEntry {
     // so this row always records the honest build cost. The frame is
     // the exploded (scalar-typed) index itself, so the oracle replays
     // the encode+assign relationally.
-    "ann_ivfpq_build" -> ((s, dir) => {
+    "ann_ivfpq_build" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.storedIvfPqIndex(e, s"$dir/embeddings.parquet",
         numCentroids = 64, m = 4, ksub = 16, force = true)
@@ -1008,13 +1017,13 @@ object SparkEntry {
     // oracle still re-derives the codes relationally — it has no
     // store — so the bench ratio for these rows compares Spark
     // serving against a DuckDB build+serve; SCALING.md states this.)
-    "ann_ivfpq_prebuilt_topk" -> ((s, dir) => {
+    "ann_ivfpq_prebuilt_topk" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.ivfPqTopKPrebuilt(e, s"$dir/embeddings.parquet",
         e.filter(col("vec_id") < 8), 5, numCentroids = 64, nprobe = 8)
         .transform(topkSorted)
     }),
-    "ann_ivfpq_prebuilt_rerank" -> ((s, dir) => {
+    "ann_ivfpq_prebuilt_rerank" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.operators.Pq.ivfPqRerankTopKPrebuilt(e, s"$dir/embeddings.parquet",
         e.filter(col("vec_id") < 8), 5, numCentroids = 64, nprobe = 8,
