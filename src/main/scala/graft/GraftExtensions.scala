@@ -49,6 +49,11 @@ object GraftExtensions {
       graft.functions.RepetitionProfile(e.head)),
     fn("lang_id", 1)(e => LangId(e.head)),
     fn("quality_score", 1)(e => QualityScore(e.head)),
+    // native whitespace tokenizers (byte-walk twins of
+    // split(btrim(c), '\\s+') and its filtered/counted forms)
+    fn("ws_tokens", 1)(e => graft.functions.WsTokens(e.head)),
+    fn("ws_tokens_nonempty", 1)(e => graft.functions.WsTokensNonEmpty(e.head)),
+    fn("ws_token_count", 1)(e => graft.functions.WsTokenCount(e.head)),
     // n must be an integer literal: the shingle width is a plan-time
     // constant baked into the generated code
     fn("word_shingles", 2)(e =>

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of trimmed text. */
-  def tokens(c: Column): Column = split(btrim(c), "\\s+")
+  /** Whitespace tokens of trimmed text — the native byte-walk twin of
+    * `split(btrim(c), "\\s+")` (bit-identical semantics pinned by a
+    * randomized property; see [[TokenizeKernels]] for why the regex
+    * form is a per-row recompile).
+    */
+  def tokens(c: Column): Column = TokenizeFunctions.ws_tokens(c)
 
   /** [[tokens]] with empty tokens removed — the full-whitespace-trim
     * tokenization ([[tokens]] alone leaves a leading/trailing EMPTY
@@ -22,12 +26,12 @@ object TextFunctions {
     * `list_filter(regexp_split_to_array(trim(text), ...), x -> x <> '')`
     * — the repetition-stats convention.
     */
-  def tokensNonEmpty(c: Column): Column =
-    filter(tokens(c), t => t =!= lit(""))
+  def tokensNonEmpty(c: Column): Column = TokenizeFunctions.ws_tokens_nonempty(c)
 
-  /** Whitespace token count; 0 for blank text (split of "" yields [""]). */
-  def tokenCount(c: Column): Column =
-    when(length(btrim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+  /** Whitespace token count; 0 for blank text (split of "" yields
+    * [""]); native — no token array materializes.
+    */
+  def tokenCount(c: Column): Column = TokenizeFunctions.ws_token_count(c)
 
   /** BPE-ish subword-token estimate: alpha runs, digit runs, and
     * single non-alphanumeric marks each count as one token.

@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native whitespace tokenizers — the byte-walk form of the
+  * repo-wide `split(btrim(text), "\\s+")` convention.
+  *
+  * The declarative form routes through `StringSplit`, whose
+  * evaluation recompiles the regex and round-trips the UTF8String
+  * through java.lang.String ON EVERY ROW — measured as the dominant
+  * kernel cost of the text family (the round-13 bm25/lm probes put
+  * each corpus tokenize pass at ~0.4 s single-task at sf0.1, most of
+  * it regex machinery, the same finding that motivated
+  * [[ShingleKernels]]). These kernels do one byte walk per row, stay
+  * inside whole-stage codegen, and are semantically BIT-IDENTICAL to
+  * the declarative forms (PropertiesSuite pins each against its regex
+  * original on randomized mixed-whitespace strings):
+  *
+  *  - [[TokenizeKernels.wsTokens]] == `split(btrim(c), "\\s+")`:
+  *    btrim strips ASCII 0x20 only; tokens split on maximal runs of
+  *    Java-regex `\s` = [ \t\n\x0B\f\r]; a leading/trailing run
+  *    yields a leading/trailing EMPTY token (Pattern.split, limit
+  *    -1); empty input yields one empty token;
+  *  - [[TokenizeKernels.wsTokensNonEmpty]] == `filter(tokens(c),
+  *    t => t <> '')` (empties occur only at the edges);
+  *  - [[TokenizeKernels.wsTokenCount]] == `when(length(btrim(c)) = 0,
+  *    0).otherwise(size(tokens(c)))` — no array materializes at all.
+  */
+object TokenizeKernels {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** (lo, hi) after trimming ASCII spaces. */
+  @inline private def trimmed(bytes: Array[Byte]): (Int, Int) = {
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    (lo, hi)
+  }
+
+  def wsTokens(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val (lo, hi) = trimmed(bytes)
+    val out = new java.util.ArrayList[Any]()
+    var i = lo
+    var tokStart = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) {
+        out.add(UTF8String.fromBytes(bytes, tokStart, i - tokStart))
+        while (i < hi && isWs(bytes(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    out.add(UTF8String.fromBytes(bytes, tokStart, hi - tokStart))
+    new GenericArrayData(out.toArray)
+  }
+
+  def wsTokensNonEmpty(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val (lo, hi) = trimmed(bytes)
+    val out = new java.util.ArrayList[Any]()
+    var i = lo
+    var tokStart = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) {
+        if (i > tokStart)
+          out.add(UTF8String.fromBytes(bytes, tokStart, i - tokStart))
+        while (i < hi && isWs(bytes(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    if (hi > tokStart)
+      out.add(UTF8String.fromBytes(bytes, tokStart, hi - tokStart))
+    new GenericArrayData(out.toArray)
+  }
+
+  def wsTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val (lo, hi) = trimmed(bytes)
+    if (lo == hi) return 0
+    var n = 1
+    var i = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) {
+        n += 1
+        while (i < hi && isWs(bytes(i))) i += 1
+      } else i += 1
+    }
+    n
+  }
+}
+
+/** `ws_tokens(text)` == `split(btrim(text), "\\s+")`, one byte walk. */
+case class WsTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"ws_tokens needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernels.wsTokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenizeKernels.wsTokens($c)")
+  override protected def withNewChildInternal(c: Expression): WsTokens =
+    copy(child = c)
+}
+
+/** `ws_tokens_nonempty(text)`: [[WsTokens]] minus the edge empties. */
+case class WsTokensNonEmpty(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"ws_tokens_nonempty needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernels.wsTokensNonEmpty(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenizeKernels.wsTokensNonEmpty($c)")
+  override protected def withNewChildInternal(c: Expression): WsTokensNonEmpty =
+    copy(child = c)
+}
+
+/** `ws_token_count(text)`: token count, 0 for blank, no array. */
+case class WsTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"ws_token_count needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernels.wsTokenCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenizeKernels.wsTokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): WsTokenCount =
+    copy(child = c)
+}
+
+object TokenizeFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  def ws_tokens(c: Column): Column = column(WsTokens(expression(c)))
+  def ws_tokens_nonempty(c: Column): Column =
+    column(WsTokensNonEmpty(expression(c)))
+  def ws_token_count(c: Column): Column = column(WsTokenCount(expression(c)))
+}

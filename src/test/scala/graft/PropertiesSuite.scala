@@ -107,6 +107,42 @@ class PropertiesSuite extends SparkSuite {
     }
   }
 
+  test("ws_tokens family equals the regex split forms (randomized)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // same whitespace-heavy alphabet as the shingle pin: multi-byte
+    // UTF-8, every Java-regex \s separator, leading/trailing runs,
+    // empties — the edge cases where Pattern.split semantics bite
+    val piece = Gen.oneOf("a", "bb", "ccc", "Ω≈", "x1", " ", "  ",
+      "\t", "\n", "", "\f", "\r", "\r\n", "", "")
+    val genText = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, piece).map(_.mkString))
+    val params = Gen.Parameters.default
+    val texts = (0 until 500).flatMap(i =>
+      genText.apply(params, Seed(1913L + i)))
+    val df = texts.toDF("text")
+    val declTokens = split(btrim(col("text")), "\\s+")
+    val diff = df.select(col("text"),
+        graft.functions.TokenizeFunctions.ws_tokens(col("text")).as("kt"),
+        declTokens.as("dt"),
+        graft.functions.TokenizeFunctions.ws_tokens_nonempty(col("text")).as("kn"),
+        filter(declTokens, t => t =!= lit("")).as("dn"),
+        graft.functions.TokenizeFunctions.ws_token_count(col("text")).as("kc"),
+        when(length(btrim(col("text"))) === 0, lit(0))
+          .otherwise(size(declTokens)).as("dc"))
+      .filter(not(col("kt") === col("dt")) ||
+        not(col("kn") === col("dn")) || not(col("kc") === col("dc")))
+      .collect()
+    assert(diff.isEmpty,
+      s"native != regex for: ${diff.take(5).mkString("; ")}")
+    // null propagates like the declarative forms
+    val nulls = Seq[(Integer, String)]((1, null)).toDF("i", "text")
+      .select(graft.functions.TokenizeFunctions.ws_tokens(col("text")),
+        graft.functions.TokenizeFunctions.ws_token_count(col("text")))
+      .collect()
+    assert(nulls.head.isNullAt(0) && nulls.head.isNullAt(1))
+  }
+
   test("text-profile kernel: langId/qualityScore/counts equal the declarative forms (randomized)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
