@@ -1302,6 +1302,48 @@ object SparkEntry {
         Tables.documents(s, dir), k = 3, w = 4, minShared = 2)
         .orderBy("id_a", "id_b")),
 
+    // Exact duplicated-substring spans (Lee et al. 2022 substring
+    // dedup, token-window form): maximal token runs covered by a
+    // 20-token window occurring >= 2 times anywhere in the corpus —
+    // flags the duplicated REGIONS (boilerplate, licence blocks)
+    // rather than whole near-dup documents
+    "dup_spans" -> ((s, dir) =>
+      graft.operators.SubstringDedup.duplicateSpans(
+        Tables.documents(s, dir), windowTokens = 20)
+        .orderBy("doc_id", "span_start")),
+
+    // ...and its per-document summary: duplicated-token share — the
+    // "drop mostly-boilerplate documents" filter input
+    "dup_stats" -> ((s, dir) =>
+      graft.operators.SubstringDedup.duplicationStats(
+        Tables.documents(s, dir), windowTokens = 20)
+        .orderBy("doc_id")),
+
+    // DSIR-style hashed n-gram importance weights (Xie et al. 2023):
+    // every document scored by ln-likelihood-ratio of its hashed
+    // unigram+bigram features under the English slice vs the raw
+    // pool — exact integer-quantized log terms, order-free sums
+    "dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dsir.importanceWeights(
+        docs, docs.filter(col("lang") === "en"))
+        .orderBy("doc_id")
+    }),
+
+    // ...and the resampling step as a composition: keep the 25% most
+    // target-like documents per source (importanceWeights piped
+    // through the existing Curation.topFraction)
+    "dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.operators.Dsir.importanceWeights(
+        docs, docs.filter(col("lang") === "en"))
+      graft.operators.Curation.topFraction(
+        w.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        col("logweight"), Seq("source"), "doc_id", 0.25)
+        .select(col("doc_id"), col("source"), col("logweight"))
+        .orderBy("doc_id")
+    }),
+
     // Keyword extraction: top-3 TF-IDF terms per document. The final
     // frame is corpus-proportional (3 rows per doc) — range sort, not
     // the single-partition presentation sort.
@@ -2935,6 +2977,128 @@ object SparkEntry {
          |          GROUP BY 1, 2)
          |SELECT id_a, id_b, n_shared FROM inter WHERE n_shared >= 2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors SubstringDedup.duplicateSpans(windowTokens=20): every
+    // 20-token window keyed by its 96-bit MD5 (both 48-bit halves
+    // replayed from the hex form), >=2-occurrence keys, then the
+    // running-max interval merge into maximal covered runs
+    "dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
+         |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS s,
+         |                ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 1, 12))::BIGINT AS h1,
+         |                ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 13, 12))::BIGINT AS h2
+         |         FROM t, unnest(generate_series(1, len(ws) - 19)) AS u(i)
+         |         WHERE len(ws) >= 20),
+         |d AS (SELECT h1, h2 FROM wins GROUP BY h1, h2 HAVING count(*) >= 2),
+         |dw AS (SELECT doc_id, s, s + 19 AS e FROM wins JOIN d USING (h1, h2)),
+         |pm AS (SELECT doc_id, s, e,
+         |              max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |       FROM dw),
+         |g AS (SELECT doc_id, s, e,
+         |             sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY doc_id ORDER BY s) AS gid
+         |      FROM pm)
+         |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+         |       max(e) - min(s) + 1 AS span_tokens
+         |FROM g GROUP BY doc_id, gid ORDER BY doc_id, span_start""".stripMargin,
+
+    // mirrors SubstringDedup.duplicationStats(windowTokens=20): the
+    // dup_spans CTE chain summed per document, zero-filled over every
+    // document long enough to have a window
+    "dup_stats" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
+         |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS s,
+         |                ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 1, 12))::BIGINT AS h1,
+         |                ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 13, 12))::BIGINT AS h2
+         |         FROM t, unnest(generate_series(1, len(ws) - 19)) AS u(i)
+         |         WHERE len(ws) >= 20),
+         |d AS (SELECT h1, h2 FROM wins GROUP BY h1, h2 HAVING count(*) >= 2),
+         |dw AS (SELECT doc_id, s, s + 19 AS e FROM wins JOIN d USING (h1, h2)),
+         |pm AS (SELECT doc_id, s, e,
+         |              max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |       FROM dw),
+         |g AS (SELECT doc_id, s, e,
+         |             sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY doc_id ORDER BY s) AS gid
+         |      FROM pm),
+         |sp AS (SELECT doc_id, max(e) - min(s) + 1 AS span_tokens
+         |       FROM g GROUP BY doc_id, gid),
+         |agg AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+         |        FROM sp GROUP BY doc_id),
+         |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t
+         |         WHERE len(ws) >= 20)
+         |SELECT b.doc_id, b.n_tokens, COALESCE(a.dup_tokens, 0) AS dup_tokens,
+         |       CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_ratio
+         |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dsir.importanceWeights(buckets=8192, target = lang='en'):
+    // hashed unigram+bigram features (md5 first-48-bits mod 8192,
+    // always non-negative), Laplace-smoothed bucket distributions,
+    // per-occurrence floor(1e9*ln(pT/pR)) quantized terms — the float
+    // expression mirrors the Spark column token-for-token
+    "dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
+         |feats AS (
+         |  SELECT doc_id, lang, unnest(ws) AS f FROM t
+         |  UNION ALL
+         |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i+1])) AS f FROM t),
+         |fb AS (SELECT doc_id, lang,
+         |              ('0x' || substr(md5(f), 1, 12))::BIGINT % 8192 AS bucket
+         |       FROM feats),
+         |tc AS (SELECT bucket, count(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY bucket),
+         |tt AS (SELECT COALESCE(sum(c_t), 0) AS n_t FROM tc),
+         |rc AS (SELECT bucket, count(*) AS c_r FROM fb GROUP BY bucket),
+         |rt AS (SELECT COALESCE(sum(c_r), 0) AS n_r FROM rc),
+         |q AS (SELECT fb.doc_id,
+         |        CAST(floor(1e9 * ln(
+         |          (CAST(COALESCE(tc.c_t, 0) + 1 AS DOUBLE) / CAST(tt.n_t + 8192 AS DOUBLE)) /
+         |          (CAST(rc.c_r + 1 AS DOUBLE) / CAST(rt.n_r + 8192 AS DOUBLE)))) AS BIGINT) AS q
+         |      FROM fb JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+         |           CROSS JOIN tt CROSS JOIN rt)
+         |SELECT doc_id, count(*) AS n_feats,
+         |       CAST(sum(q) AS DOUBLE) / 1e9 AS logweight
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors the dsir_select composition: dsir_weights ranked within
+    // source by (logweight DESC, doc_id ASC), keep rank <= ceil(n/4)
+    // (Curation.topFraction's ceil(n * 0.25) on an exact count)
+    "dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
+         |feats AS (
+         |  SELECT doc_id, lang, unnest(ws) AS f FROM t
+         |  UNION ALL
+         |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i+1])) AS f FROM t),
+         |fb AS (SELECT doc_id, lang,
+         |              ('0x' || substr(md5(f), 1, 12))::BIGINT % 8192 AS bucket
+         |       FROM feats),
+         |tc AS (SELECT bucket, count(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY bucket),
+         |tt AS (SELECT COALESCE(sum(c_t), 0) AS n_t FROM tc),
+         |rc AS (SELECT bucket, count(*) AS c_r FROM fb GROUP BY bucket),
+         |rt AS (SELECT COALESCE(sum(c_r), 0) AS n_r FROM rc),
+         |q AS (SELECT fb.doc_id,
+         |        CAST(floor(1e9 * ln(
+         |          (CAST(COALESCE(tc.c_t, 0) + 1 AS DOUBLE) / CAST(tt.n_t + 8192 AS DOUBLE)) /
+         |          (CAST(rc.c_r + 1 AS DOUBLE) / CAST(rt.n_r + 8192 AS DOUBLE)))) AS BIGINT) AS q
+         |      FROM fb JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+         |           CROSS JOIN tt CROSS JOIN rt),
+         |w AS (SELECT doc_id, CAST(sum(q) AS DOUBLE) / 1e9 AS logweight
+         |      FROM q GROUP BY doc_id),
+         |ws2 AS (SELECT w.doc_id, d.source, w.logweight
+         |        FROM w JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |               ORDER BY logweight DESC, doc_id ASC) AS rnk,
+         |             count(*) OVER (PARTITION BY source) AS n
+         |      FROM ws2)
+         |SELECT doc_id, source, logweight FROM r
+         |WHERE rnk <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin,
 
     // mirrors Retrieval.tfidfTopTerms(topK=3): raw-count tf, df from
     // the distinct (doc, term) rows, score = tf * N / df as the SAME

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextFunctions}
+
+/** Exact duplicated-substring spans — the token-window form of the
+  * suffix-array substring dedup of Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better" (ACL 2022): find every
+  * maximal run of tokens covered by a w-token window that occurs at
+  * least twice in the corpus (across documents or repeated within
+  * one). Where MinHash/SimHash/winnowing flag whole near-duplicate
+  * DOCUMENTS, this flags the duplicated REGIONS themselves — the
+  * boilerplate headers, licence blocks, and templated paragraphs a
+  * pretraining pipeline excises from otherwise-unique pages.
+  *
+  * Relational shape (suffix arrays are pointer-machine; this is the
+  * same predicate — "this w-token substring appears ≥2 times" — as
+  * joins and windows):
+  *
+  *  1. one tokenize pass emits every w-token window as a 96-bit MD5
+  *     key (two exact 48-bit halves — the [[HashFunctions.md5_pair]]
+  *     native, SQL-replayable as substr(md5(s), 1|13, 12));
+  *  2. duplicated keys reduce via a map-side-combined
+  *     groupBy(h1, h2) count — |distinct windows| rows cross the
+  *     wire, never the corpus text;
+  *  3. a left-semi join marks each document's duplicated windows
+  *     (output ≤ the window stream; no pair expansion, so a window
+  *     repeated a million times costs its count, not its square);
+  *  4. overlapping-or-adjacent duplicated windows merge into maximal
+  *     spans with the classic running-max interval merge — a per-doc
+  *     analytic window over only the DUPLICATED windows (bounded by
+  *     dup density, not document length).
+  *
+  * Scale: the only corpus-sized shuffle is step 2/3's (h1, h2) key
+  * exchange, O(total tokens) rows of ~28 bytes — the standard dedup
+  * wire budget; everything after is proportional to the duplicated
+  * subset. No all-pairs, no per-term windows, no driver state.
+  *
+  * Span positions are 1-based token indices, inclusive; a token
+  * position is "duplicated" when ≥1 duplicated window covers it, and
+  * output spans are the maximal covered runs. Two windows whose
+  * spans merely touch ([s, s+w-1], [s+w, ...]) merge — coverage runs,
+  * not substring extents.
+  */
+object SubstringDedup {
+
+  /** Maximal duplicated-token spans per document:
+    * (idCol, span_start, span_end, span_tokens), ordered output left
+    * to the caller. Documents shorter than `windowTokens` have no
+    * windows and cannot appear.
+    */
+  def duplicateSpans(docs: DataFrame, windowTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2,
+      s"windowTokens $windowTokens must be >= 2 (a 1-token window is word_freq)")
+    val w = windowTokens
+    // every w-token window, keyed by the 96-bit MD5 of its joined
+    // text: (doc, start, h1, h2). slice+concat_ws materializes each
+    // window string once on the map side; only the 96-bit key and the
+    // position cross the wire.
+    val wins = docs
+      .select(col(idCol), TextFunctions.tokensNonEmpty(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("ws")) - w + 1),
+        i => HashFunctions.md5_pair(concat_ws(" ", slice(col("ws"), i, lit(w)))))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("s"),
+        col("col").getItem(0).as("h1"), col("col").getItem(1).as("h2"))
+    // a window is duplicated when its key occurs >= 2 times anywhere
+    // (another document OR a repeat within the same one)
+    val dupKeys = wins.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("h1"), col("h2"))
+    val dw = wins.join(dupKeys, Seq("h1", "h2"), "left_semi")
+      .select(col(idCol), col("s"), (col("s") + lit(w.toLong) - 1L).as("e"))
+    // interval merge: a window starts a new span iff it begins past
+    // the running max end of all earlier windows + 1 (strictly after
+    // any covered-or-adjacent position)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = dw.select(col(idCol), col("s"), col("e"),
+      when(prevMax.isNull || col("s") > prevMax + 1, 1L).otherwise(0L).as("ns"))
+    val grouped = marked.select(col(idCol), col("s"), col("e"),
+      sum(col("ns")).over(byDoc).as("gid"))
+    grouped.groupBy(col(idCol), col("gid"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** Per-document duplication summary over [[duplicateSpans]]:
+    * (idCol, n_tokens, dup_tokens, dup_ratio) for every document
+    * long enough to have a window — the "drop documents that are
+    * mostly boilerplate" filter input. dup_ratio is the one double,
+    * computed at the output edge from two exact integers.
+    */
+  def duplicationStats(docs: DataFrame, windowTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, windowTokens, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_tokens")).as("dup_tokens"))
+    docs
+      .select(col(idCol),
+        size(TextFunctions.tokensNonEmpty(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .filter(col("n_tokens") >= windowTokens)
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .select(col(idCol), col("n_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_ratio"))
+  }
+}
