@@ -135,10 +135,17 @@ object Bench {
         case (k, Some(v)) => "\"" + k + f"""\":$v%.2f"""
         case (k, None) => "\"" + k + "\":null"
       }
-    val kept = scala.collection.mutable.ArrayBuffer[String]()
-    var qsLen = 2 // braces
-    for (e <- entriesByTime if qsLen + e.length + 1 <= qsBudget) {
-      kept += e; qsLen += e.length + 1
+    // STOP at the first entry that does not fit (not a filter): the
+    // kept set must be a true slowest-first prefix, so q_omitted
+    // counts exactly the fastest tail — a filter would re-admit
+    // later short entries after the budget first overflowed
+    val kept = {
+      var qsLen = 2 // braces
+      entriesByTime.takeWhile { e =>
+        val fits = qsLen + e.length + 1 <= qsBudget
+        if (fits) qsLen += e.length + 1
+        fits
+      }
     }
     val qs = kept.mkString("{", ",", "}")
     val qOmitted = entriesByTime.length - kept.length

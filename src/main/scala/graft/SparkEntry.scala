@@ -508,9 +508,13 @@ object SparkEntry {
 
     // Quality curation: keep the top 25% of documents per language by
     // quality score — deterministic rank cut (score desc, doc_id asc;
-    // exact ceil(0.25 * n) per stratum)
+    // exact ceil(0.25 * n) per stratum). Registered on the SKEW-SAFE
+    // bounded form: per-stratum counts + bounded top-k heaps + a
+    // semi-join, never a full-stratum window — a handful of strata at
+    // 100x scale must not serialize each stratum through one task
+    // (row-for-row equal to the window form; OperatorsSuite pins it)
     "quality_topp" -> ((s, dir) =>
-      graft.operators.Curation.topFraction(
+      graft.operators.Curation.topFractionBounded(
         Tables.documents(s, dir),
         TextFunctions.qualityScore(col("text")), Seq("lang"), "doc_id", 0.25)
         .select(col("doc_id"), col("lang"))
@@ -1331,15 +1335,22 @@ object SparkEntry {
     }),
 
     // ...and the resampling step as a composition: keep the 25% most
-    // target-like documents per source (importanceWeights piped
-    // through the existing Curation.topFraction)
+    // target-like documents per source — importanceWeights piped
+    // through the SKEW-SAFE Curation.topFractionBounded (counts +
+    // bounded heaps + semi-join; no full-stratum window to serialize
+    // a hot source through one task at scale). The weights frame is
+    // cached (narrow: 4 columns, one row per doc — the materialized
+    // score table any DSIR deployment keeps between score and
+    // resample) so the bounded form's three consumers share ONE
+    // feature-explode pass instead of re-tokenizing the corpus
     "dsir_select" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val w = graft.operators.Dsir.importanceWeights(
         docs, docs.filter(col("lang") === "en"))
-      graft.operators.Curation.topFraction(
-        w.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
-        col("logweight"), Seq("source"), "doc_id", 0.25)
+      val scored = graft.core.OpCaches.persistTracked(
+        w.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
+      graft.operators.Curation.topFractionBounded(
+        scored, col("logweight"), Seq("source"), "doc_id", 0.25)
         .select(col("doc_id"), col("source"), col("logweight"))
         .orderBy("doc_id")
     }),
@@ -2104,9 +2115,11 @@ object SparkEntry {
          |       + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
 
-    // mirrors Curation.topFraction over TextFunctions.qualityScore:
-    // same quality expression as the quality_score oracle, ranked
-    // (quality DESC, doc_id) per lang, exact ceil(n * 0.25) cut
+    // mirrors the topFraction(Bounded) rank-cut contract over
+    // TextFunctions.qualityScore: same quality expression as the
+    // quality_score oracle, ranked (quality DESC, doc_id) per lang,
+    // exact ceil(n * 0.25) cut (the oracle keeps DuckDB's natural
+    // window form; the bounded heap form is row-identical by pin)
     "quality_topp" ->
       s"""WITH t AS (SELECT doc_id, lang, text,
          |             $NTokensExpr AS n_tok,
@@ -3067,7 +3080,8 @@ object SparkEntry {
 
     // mirrors the dsir_select composition: dsir_weights ranked within
     // source by (logweight DESC, doc_id ASC), keep rank <= ceil(n/4)
-    // (Curation.topFraction's ceil(n * 0.25) on an exact count)
+    // — the topFraction(Bounded) ceil(n * 0.25) cut on an exact count
+    // (window form here; the registered bounded heap is row-identical)
     "dsir_select" ->
       s"""WITH t AS (SELECT doc_id, lang, source, list_filter($TokensExpr, x -> x <> '') AS ws
          |           FROM documents),

@@ -35,13 +35,31 @@ object SessionTuning {
   private val boundedCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
-  /** The AQE-off child of `s` (cached per parent session). */
+  /** The AQE-off child of `s` (cached per parent session).
+    *
+    * `newSession()` snapshots the SQL conf once at creation, so
+    * RUNTIME `conf.set` calls on the parent would never reach the
+    * cached child — an A/B toggling e.g. `graft.smallScanRebalance`
+    * at runtime would silently measure the stale value on every
+    * query routed through here. Every lookup therefore re-syncs the
+    * parent's `graft.*` runtime knobs (set AND unset) into the
+    * child; Spark's own confs keep creation-time snapshot semantics
+    * on purpose (the child exists precisely to hold AQE off).
+    */
   def boundedPlan(s: SparkSession): SparkSession = {
     if (boundedCache.size > 64) boundedCache.clear()
-    boundedCache.computeIfAbsent(s, { base =>
-      val child = base.newSession()
-      child.conf.set("spark.sql.adaptive.enabled", "false")
-      child
+    val child = boundedCache.computeIfAbsent(s, { base =>
+      val c = base.newSession()
+      c.conf.set("spark.sql.adaptive.enabled", "false")
+      c
     })
+    val parentKnobs = s.conf.getAll.filter(_._1.startsWith("graft."))
+    child.conf.getAll.keysIterator
+      .filter(k => k.startsWith("graft.") && !parentKnobs.contains(k))
+      .foreach(child.conf.unset)
+    parentKnobs.foreach { case (k, v) =>
+      if (!child.conf.getOption(k).contains(v)) child.conf.set(k, v)
+    }
+    child
   }
 }

@@ -58,8 +58,19 @@ object Curation {
       strataCols: Seq[String], idCol: String, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction $fraction not in (0,1]")
     val strata = strataCols.map(col)
-    val narrow = df.select(
+    // the narrow frame is consumed by BOTH the counts pass (whose
+    // maxK head() below is a synchronous driver action) and the heap
+    // pass — cache it so an expensive upstream (e.g. the DSIR weights
+    // pipeline) computes once, with the head() action populating the
+    // cache for free. Skip when the caller already cached df: a
+    // narrow select over a cached frame is a cheap scan, and a second
+    // block-store copy would buy nothing.
+    val narrowRaw = df.select(
       strata :+ scoreCol.cast("double").as("__score") :+ col(idCol): _*)
+    val narrow =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.core.OpCaches.persistTracked(narrowRaw)
+      else narrowRaw
     val counts = narrow.groupBy(strata: _*)
       .agg(ceil(count(lit(1)) * fraction).cast("int").as("__k"))
     val maxK = counts.agg(max(col("__k"))).head().getInt(0)

@@ -84,12 +84,17 @@ object Vocab {
     *    otherwise-idle cores (0.60 s). Two passes is also the honest
     *    100 TB shape: a corpus-sized token cache is infeasible there,
     *    a second scan is routine;
-    *  - the encode is a MAP LOOKUP, not a join: the fitted
-    *    vocabulary folds into one `map_from_entries` row that rides a
-    *    broadcast cross join, and `element_at` replaces the
+    *  - the encode is a MAP LOOKUP for SMALL vocabularies only: the
+    *    fitted vocabulary folds into one `map_from_entries` row that
+    *    rides a broadcast cross join, and `element_at` replaces the
     *    broadcast-hash-join probe — no join build, one fewer operator
-    *    in the corpus stage (a V-row map broadcasts exactly like a
-    *    V-row hash relation at any vocabulary size);
+    *    in the corpus stage. The catch: Catalyst's GetMapValue probes
+    *    ArrayBasedMapData LINEARLY, so each token pays O(V) — fine at
+    *    the bench's V=100, quadratic blow-up at realistic sizes
+    *    (LmProbe, round 13: 16 s vs 0.8 s at a 40k-entry map). The
+    *    lookup form is therefore gated at
+    *    [[MapLookupMaxVocab]] (1024) and larger vocabularies take
+    *    the O(1)-probe broadcast hash join instead;
     *  - the presentation sort routes through
     *    [[graft.core.StaticRange.sortByKnownDomain]] with range
     *    bounds from a one-row min/max probe over the column-pruned id
@@ -102,19 +107,39 @@ object Vocab {
     * The separate builder/encoder stay as-is for callers with a
     * prebuilt vocabulary (streams cannot persist).
     */
+  /** Largest vocabulary the `map_from_entries`/`element_at` encode
+    * path accepts: GetMapValue's probe is a linear scan of the map's
+    * key array, so per-token cost is O(V) — a win over the hash
+    * join's build+probe only while V stays small (interleaved probes:
+    * faster at V=100, 20x SLOWER at V=40k). Above this bound
+    * [[vocabEncode]] uses the broadcast hash join, whose probe is
+    * O(1) at any V.
+    */
+  val MapLookupMaxVocab: Int = 1024
+
   def vocabEncode(docs: DataFrame, vocabSize: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(vocabSize > 0, s"vocabSize $vocabSize must be positive")
     val toks = docs
       .select(col(idCol), posexplode(TextFunctions.tokensNonEmpty(col(textCol))))
       .withColumnRenamed("col", "term")
-    val vmap = vocabFromTerms(toks.select(col("term")), vocabSize)
-      .agg(map_from_entries(collect_list(struct(col("term"), col("token_id"))))
-        .as("__vm"))
-    val encoded = toks
-      .crossJoin(broadcast(vmap))
-      .select(col(idCol), col("pos").cast("int").as("pos"),
-        coalesce(element_at(col("__vm"), col("term")), lit(0)).as("token_id"))
+    val vocab = vocabFromTerms(toks.select(col("term")), vocabSize)
+    val encoded =
+      if (vocabSize <= MapLookupMaxVocab) {
+        val vmap = vocab
+          .agg(map_from_entries(collect_list(struct(col("term"), col("token_id"))))
+            .as("__vm"))
+        toks
+          .crossJoin(broadcast(vmap))
+          .select(col(idCol), col("pos").cast("int").as("pos"),
+            coalesce(element_at(col("__vm"), col("term")), lit(0)).as("token_id"))
+      } else {
+        toks
+          .join(broadcast(vocab.select(col("term"), col("token_id"))),
+            Seq("term"), "left")
+          .select(col(idCol), col("pos").cast("int").as("pos"),
+            coalesce(col("token_id"), lit(0)).as("token_id"))
+      }
     val integralId = docs.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |

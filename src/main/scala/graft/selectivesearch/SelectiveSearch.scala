@@ -139,7 +139,13 @@ object SelectiveSearch {
     // counted each round at 40-95 ms of driver gap at toy scale).
     // The fold expression is shared with [[decayBudgetLookup]], which
     // PropertiesSuite pins against the driver recurrence.
-    val sel = selection.filter(col("rank") < lit(t))
+    // rank domain is [0, t): the pre-inline form inner-joined against
+    // a ranks-0..t-1 lookup, so an out-of-domain rank (negative, from
+    // a malformed selection frame) was silently EXCLUDED — a bare
+    // `rank < t` would instead feed the fold an empty repeat array
+    // and hand such rows the full ceil(nb) budget. Keep the join-era
+    // domain semantics explicit.
+    val sel = selection.filter(col("rank").between(lit(0), lit(t - 1)))
       .crossJoin(broadcast(nb))
       .select(col("query"), col("shard"),
         decayBudgetExpr(decayFactor).as("buckets"))

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dsir, SubstringDedup}
+
+/** Unit coverage for the two round-13 snapshot operators, pinned
+  * against driver-side brute forces (the suites the oracle rows
+  * cannot replace: tiny corpora with PLANTED structure, edge shapes
+  * the sf tables never hit).
+  */
+class DsirSubstringSuite extends SparkSuite {
+  import spark.implicits._
+
+  /** First 48 bits of MD5(s), big-endian — HashKernels.md5Pair's h1,
+    * re-derived independently (digest bytes, not the kernel).
+    */
+  private def h1(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    (0 until 6).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+  }
+
+  /** DSIR feature stream of one text: unigrams + bigrams ("a b"),
+    * WITH multiplicity — Dsir.featuresOf re-derived on the driver.
+    */
+  private def feats(text: String): Seq[String] = {
+    val ws = text.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+    ws ++ (if (ws.size >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq
+           else Seq.empty)
+  }
+
+  /** Brute-force importance weights: per-bucket Laplace-smoothed
+    * frequencies, floor(1e9 ln ratio) quantized per occurrence,
+    * summed per doc — the operator's documented math, computed with
+    * plain Scala collections.
+    */
+  private def bruteWeights(raw: Seq[(Long, String)], target: Seq[String],
+      buckets: Int): Map[Long, (Long, Double)] = {
+    def bucketsOf(text: String): Seq[Long] =
+      feats(text).map(f => h1(f) % buckets)
+    val tCounts = target.flatMap(bucketsOf)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nT = tCounts.values.sum
+    val rOcc = raw.map { case (id, t) => id -> bucketsOf(t) }
+    val rCounts = rOcc.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nR = rCounts.values.sum
+    rOcc.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val qsum = bs.map { b =>
+        val pT = (tCounts.getOrElse(b, 0L) + 1.0) / (nT + buckets)
+        val pR = (rCounts(b) + 1.0) / (nR + buckets)
+        math.floor(1e9 * math.log(pT / pR)).toLong
+      }.sum
+      id -> (bs.size.toLong, qsum.toDouble / 1e9)
+    }.toMap
+  }
+
+  test("dsir importance weights match a driver-side brute force (collision-heavy buckets)") {
+    // B=64 forces bucket collisions, so the test exercises the
+    // aggregated-count path, not one-feature-per-bucket
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the log"),
+      (3L, "en", "cat dog cat dog cat"),
+      (4L, "de", "der hund sitzt auf dem baum"),
+      (5L, "de", "die katze schläft auf dem sofa"),
+      (6L, "de", "the cat the cat the cat"), // target-like text, raw-only stratum
+      (7L, "de", "einwort"), // one token: 1 unigram, 0 bigrams
+      (8L, "de", " ")) // zero tokens: must be ABSENT from the output
+      .toDF("doc_id", "lang", "text")
+    val got = Dsir.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = bruteWeights(
+      Seq(1L -> "the cat sat on the mat", 2L -> "the dog sat on the log",
+        3L -> "cat dog cat dog cat", 4L -> "der hund sitzt auf dem baum",
+        5L -> "die katze schläft auf dem sofa", 6L -> "the cat the cat the cat",
+        7L -> "einwort", 8L -> " "),
+      Seq("the cat sat on the mat", "the dog sat on the log",
+        "cat dog cat dog cat"),
+      buckets = 64)
+    assert(got.keySet == want.keySet, s"${got.keySet} != ${want.keySet}")
+    assert(!got.contains(8L), "zero-token doc must not appear")
+    want.foreach { case (id, (nf, lw)) =>
+      assert(got(id)._1 == nf, s"doc $id n_feats ${got(id)._1} != $nf")
+      assert(got(id)._2 == lw, s"doc $id logweight ${got(id)._2} != $lw")
+    }
+    // direction sanity (relative, not absolute: at B=64 a repetitive
+    // doc's own occurrences inflate its raw-side counts, so even a
+    // target-like doc can score below zero): the target-vocabulary
+    // doc must still rank above both clearly off-target German docs
+    assert(got(6L)._2 > got(4L)._2 && got(6L)._2 > got(5L)._2,
+      (got(6L)._2, got(4L)._2, got(5L)._2))
+  }
+
+  test("dsir smoothing: buckets the target never hit score through the +1 prior") {
+    // default B=8192 with a handful of features: the off-target doc's
+    // buckets are (almost surely) unseen by the target — c_t = 0 must
+    // flow through coalesce + Laplace, not drop the rows. The exact
+    // value is pinned by the brute force (which uses getOrElse(0)).
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "xx", "zebra quark xylophone")).toDF("doc_id", "lang", "text")
+    val got = Dsir.importanceWeights(
+        docs, docs.filter(col("lang") === "en"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = bruteWeights(
+      Seq(1L -> "alpha beta gamma", 2L -> "zebra quark xylophone"),
+      Seq("alpha beta gamma"), buckets = 8192)
+    assert(got == want, s"$got != $want")
+    // the unseen-bucket doc must score BELOW the in-target doc and
+    // still be present with all 5 features (3 unigrams + 2 bigrams)
+    assert(got(2L)._1 == 5L && got(2L)._2 < got(1L)._2, got)
+  }
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("substring dedup recovers a planted cross-document duplicated region exactly") {
+    // docs 1 and 2 share the 7-token run D1..D7; every other token is
+    // unique to its doc, so no straddling window can be duplicated
+    val docs = Seq(
+      (1L, "a1 a2 a3 D1 D2 D3 D4 D5 D6 D7 a4 a5"),
+      (2L, "b1 b2 D1 D2 D3 D4 D5 D6 D7 b3"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    val got = spansOf(SubstringDedup.duplicateSpans(docs, windowTokens = 3))
+    // doc 1: run starts at token 4 (1-based) -> [4, 10]; doc 2: [3, 9]
+    assert(got == Set((1L, 4L, 10L, 7L), (2L, 3L, 9L, 7L)), got)
+  }
+
+  test("substring dedup merges adjacent duplicated windows into one span") {
+    // in doc 4 the duplicated windows X1X2X3 ([2,4]) and Y1Y2Y3 ([5,7])
+    // touch (5 = 4+1) and must merge; the straddling windows carry
+    // doc-4-only context and stay unique
+    val docs = Seq(
+      (4L, "f1 X1 X2 X3 Y1 Y2 Y3 f2"),
+      (5L, "g1 X1 X2 X3 g2"),
+      (6L, "h1 Y1 Y2 Y3 h2")).toDF("doc_id", "text")
+    val got = spansOf(SubstringDedup.duplicateSpans(docs, windowTokens = 3))
+    assert(got == Set(
+      (4L, 2L, 7L, 6L), (5L, 2L, 4L, 3L), (6L, 2L, 4L, 3L)), got)
+  }
+
+  test("substring dedup flags an intra-document repeat as two spans") {
+    // E1E2E3 occurs twice WITHIN doc 7 (nowhere else): both
+    // occurrences are duplicated, and the gap (7..8) keeps them apart
+    val docs = Seq(
+      (7L, "c1 c2 c3 E1 E2 E3 c4 c5 E1 E2 E3 c6"),
+      (8L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val got = spansOf(SubstringDedup.duplicateSpans(docs, windowTokens = 3))
+    assert(got == Set((7L, 4L, 6L, 3L), (7L, 9L, 11L, 3L)), got)
+  }
+
+  test("documents shorter than the window never appear; stats zero-fill the clean ones") {
+    val docs = Seq(
+      (1L, "D1 D2 D3 D4 x1"), // 5 tokens, dup run [1,4]
+      (2L, "y1 D1 D2 D3 D4"), // dup run [2,5]
+      (3L, "z1 z2 z3 z4 z5"), // long enough, no dups -> zero-fill row
+      (4L, "w1 w2 w3")) // 3 tokens < window 4: absent EVERYWHERE
+      .toDF("doc_id", "text")
+    val spans = spansOf(SubstringDedup.duplicateSpans(docs, windowTokens = 4))
+    assert(spans == Set((1L, 1L, 4L, 4L), (2L, 2L, 5L, 4L)), spans)
+    val stats = SubstringDedup.duplicationStats(docs, windowTokens = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(stats == Set(
+      (1L, 5L, 4L, 0.8), (2L, 5L, 4L, 0.8), (3L, 5L, 0L, 0.0)), stats)
+  }
+
+  test("windowTokens domain: w=1 is word_freq, not substring dedup") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SubstringDedup.duplicateSpans(docs, windowTokens = 1)
+    }
+  }
+}

@@ -36,6 +36,29 @@ class OperatorsSuite extends SparkSuite {
     }
   }
 
+  test("topFractionBounded == topFraction on a skewed multi-stratum fixture") {
+    import graft.operators.Curation
+    // 5 strata with 100x size skew (the shape the bounded form
+    // exists for), duplicate scores across and within strata, and a
+    // fraction that exercises non-trivial ceil cuts per stratum
+    val rnd = new scala.util.Random(7)
+    val sizes = Seq("s0" -> 400, "s1" -> 37, "s2" -> 4, "s3" -> 1, "s4" -> 90)
+    val rows = sizes.flatMap { case (g, n) =>
+      Seq.tabulate(n)(i =>
+        (g.hashCode.toLong * 1000 + i, g, rnd.nextInt(20).toDouble))
+    }
+    val df = rows.toDF("id", "grp", "score")
+    for (f <- Seq(0.1, 0.25, 0.6)) {
+      val win = Curation.topFraction(df, col("score"), Seq("grp"), "id", f)
+        .collect().map(_.toSeq).toSet
+      val bounded = Curation
+        .topFractionBounded(df, col("score"), Seq("grp"), "id", f)
+        .collect().map(_.toSeq).toSet
+      assert(win == bounded,
+        s"f=$f: ${(win -- bounded).take(3)} / ${(bounded -- win).take(3)}")
+    }
+  }
+
   test("planted embedding near-dups: default ivf knobs hit recall >= 0.9, exact precision") {
     import graft.operators.Similarity
     // 500 random 32-dim vectors + 60 planted near-dups (base + small

@@ -365,6 +365,22 @@ class PlanSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("registered resample rows carry no full-stratum window exchange") {
+    // quality_topp and dsir_select are registered on the bounded
+    // top-k form: per-stratum counts + heaps + a semi-join. A Window
+    // in either plan means the full-stratum row_number is back — the
+    // one shape that serializes a hot stratum through a single task
+    // at 100x scale (the round-13 verdict's scale-killer)
+    for (name <- Seq("quality_topp", "dsir_select")) {
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name regained a full-stratum window: ${p.take(3000)}")
+      // the bounded heap aggregation is partial (map-side) first
+      assert(p.contains("partial_top_k") ||
+        "partial.*top_k".r.findFirstIn(p).isDefined, p.take(3000))
+    }
+  }
+
   test("embedding_pool broadcasts the norm frame and skips the sampling sort") {
     val p = plan("embedding_pool")
     // |groups|-row norms broadcast back onto the component sums
