@@ -1093,6 +1093,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Frame-level video near-dup: payloads cut into 128-byte "frames"
+    // (the decoded-frame stand-in), per-frame perceptual signatures,
+    // band-blocked any-to-any frame matching, per-video-pair rollup.
+    // Same documents-derived media carve as media_neardup_pairs so the
+    // planted near-dup structure carries over and the oracle replays
+    // the per-frame sliding-gram MD5 signature bit-for-bit.
+    "frame_neardup_pairs" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"))
+      graft.operators.Multimodal.frameNearDupPairs(media,
+        frameBytes = 128, maxHamming = 3, minFrames = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Analytic windows beyond row_number: running sum + lag
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -2268,6 +2283,58 @@ object SparkEntry {
          |         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
          |  FROM alls a JOIN alls b ON a.doc_id < b.doc_id)
          |WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // replays frameNearDupPairs end-to-end: 128-byte substr frames
+    // (ASCII fixture: char slices == byte slices), the per-frame
+    // sliding-4-gram MD5 simhash, then the SAME 4x16-bit band join the
+    // operator runs — pigeonhole-exact to the all-pairs Hamming<=3
+    // filter (any pair within distance 3 agrees on >= 1 of 4 bands),
+    // so banding is a lossless evaluation strategy here, not an
+    // approximation; the banded==all-pairs identity is additionally
+    // unit-pinned on a planted fixture in MultimodalStreamingSuite.
+    // (All-pairs over ~15k frames would be ~100M bit_counts — the
+    // band join keeps the oracle honest AND tractable.)
+    "frame_neardup_pairs" -> {
+      val votes = (0 until 64).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+        .mkString(",\n        ")
+      val sig = (0 until 64).map(b =>
+        s"(CASE WHEN c$b > 0 THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END)")
+        .mkString(" + ")
+      s"""WITH f0 AS (
+         |  SELECT doc_id, CAST(i AS INT) AS fi,
+         |         substr(text, CAST(i * 128 + 1 AS INT), 128) AS frame
+         |  FROM (SELECT doc_id, text,
+         |               unnest(generate_series(0,
+         |                 CAST(floor((length(text) + 127) / 128) AS BIGINT) - 1)) AS i
+         |        FROM documents WHERE length(text) >= 4)),
+         |f AS (SELECT * FROM f0 WHERE length(frame) >= 4),
+         |g0 AS (SELECT doc_id, fi, frame,
+         |              unnest(generate_series(1, length(frame) - 3)) AS i
+         |       FROM f),
+         |h AS (SELECT doc_id, fi,
+         |        ('0x' || substr(md5(substr(frame, CAST(i AS INT), 4)), 1, 16))::UBIGINT AS h
+         |      FROM g0),
+         |v AS (SELECT doc_id, fi,
+         |        $votes
+         |      FROM h GROUP BY doc_id, fi),
+         |sigs AS (SELECT doc_id, fi, $sig AS sig FROM v),
+         |b AS (SELECT doc_id, fi, sig, band,
+         |             (sig & (65535::UBIGINT << (16 * band))) AS band_val
+         |      FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, a.fi AS fa, a.sig AS sa,
+         |                bb.doc_id AS db, bb.fi AS fb, bb.sig AS sb
+         |         FROM b a JOIN b bb
+         |           ON a.band = bb.band AND a.band_val = bb.band_val
+         |         WHERE (a.doc_id, a.fi) < (bb.doc_id, bb.fi)),
+         |p AS (SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |      FROM cand WHERE da < db)
+         |SELECT da AS id_a, db AS id_b, count(*) AS n_frames,
+         |       min(hamming) AS min_hamming
+         |FROM p WHERE hamming <= 3
+         |GROUP BY da, db HAVING count(*) >= 2
          |ORDER BY id_a, id_b""".stripMargin
     },
 

@@ -169,4 +169,77 @@ object Multimodal {
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Frame ids pack (media_id, frame_idx) into one long:
+    * `media_id << 20 | frame_idx` — so the banded machinery's plain
+    * `id_a < id_b` ordering IS the lexicographic (media, frame) order
+    * and the media id is recovered with one shift. 2^20 frames/video
+    * bounds payloads at frameBytes * 2^20 (e.g. 128 MiB at 128-byte
+    * frames); media ids stay collision-free up to 2^43.
+    */
+  private val FrameIdxBits = 20
+
+  /** Frame-level video near-duplicate pairs — the temporal completion
+    * of [[mediaNearDupPairs]]: instead of one signature per payload,
+    * the payload is cut into consecutive `frameBytes` slices ("frames",
+    * the byte-level stand-in for decoded video frames — a real build
+    * swaps the slicer for a frame decoder and keeps everything
+    * downstream), each frame gets its own 64-bit perceptual signature
+    * ([[graft.functions.PerceptualHash64]]), and two videos pair when
+    * at least `minFrames` frame pairs agree within Hamming
+    * `maxHamming`. Frame matching is any-to-any (not index-aligned),
+    * so content that shifted position — the common edit in near-dup
+    * video — still matches.
+    *
+    * Scale shape: the frame self-join is 4x16-bit band-blocked with
+    * the exact-recall pigeonhole guarantee of the simhash/media path
+    * (any frame pair within Hamming <= 3 shares a band) — never
+    * all-pairs over frames; the band shuffle ships (band, fid) only,
+    * each surviving frame pair scores once, and the per-video rollup
+    * is one count/min aggregation on the tiny matched subset. Frames
+    * shorter than 4 bytes (a short final slice) carry no byte-gram and
+    * are dropped BEFORE banding — otherwise every tail frame would
+    * collapse into one degenerate sig-0 bucket and cross-pair
+    * unrelated videos.
+    *
+    * Returns (id_a, id_b, n_frames, min_hamming) with id_a < id_b;
+    * `n_frames` counts matching frame PAIRS (a repeated frame in one
+    * video can match several frames of the other).
+    */
+  def frameNearDupPairs(media: DataFrame, payloadCol: String = "payload",
+      idCol: String = "media_id", frameBytes: Int = 128,
+      maxHamming: Int = 3, minFrames: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming $maxHamming > 3 breaks the 4x16-band recall guarantee")
+    require(frameBytes >= 4, s"frameBytes $frameBytes < one 4-byte gram")
+    import graft.functions.HashFunctions.{hamming64, perceptual_hash64}
+    val fb = lit(frameBytes)
+    val nFrames = floor((length(col(payloadCol)) + fb - 1) / fb).cast("int")
+    val signed = media
+      .filter(length(col(payloadCol)) >= 4)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), nFrames - 1),
+          k => col(payloadCol).substr(k * fb + lit(1), fb))))
+      .filter(length(col("col")) >= 4)
+      .select(
+        (shiftleft(col(idCol), FrameIdxBits) + col("pos")).as("fid"),
+        perceptual_hash64(col("col")).as("sig"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val banded = signed.select(col("fid"),
+      posexplode(array((0 until 4).map(b =>
+        (col("sig").bitwiseAND(lit(0xffffL << (16 * b)))).cast("long")): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    Dedup.bandedCandidatePairs(banded, signed, "fid", "band_val")
+      .select(
+        shiftright(col("id_a"), FrameIdxBits).as("ma"),
+        shiftright(col("id_b"), FrameIdxBits).as("mb"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming && col("ma") < col("mb"))
+      .groupBy("ma", "mb")
+      .agg(count(lit(1)).as("n_frames"), min("hamming").as("min_hamming"))
+      .filter(col("n_frames") >= minFrames)
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("n_frames"), col("min_hamming"))
+  }
 }

@@ -79,6 +79,48 @@ class MultimodalStreamingSuite extends SparkSuite {
       "banded result must exactly equal the all-pairs hamming filter")
   }
 
+  test("multimodal: frame near-dup matches a brute-force all-pairs rollup") {
+    import graft.functions.HashKernels
+    // ~3-frame payloads (128-byte frames): an exact dup, a two-frame
+    // edit, a SHIFTED copy (any-to-any frame matching must still pair
+    // it), and an unrelated short doc
+    def body(seed: Long, n: Int): String =
+      new String(Array.tabulate[Char](n)(j => ('a' + (seed * 13 + j * 7) % 26).toChar))
+    val base = (0L until 25L).map(i => (i, body(i, 300)))
+    val planted = base ++ Seq(
+      (200L, base(3)._2),                                   // exact dup
+      (201L, base(5)._2.updated(10, 'Z').updated(200, 'Q')), // per-frame edits
+      (202L, "XYZPAD:" + base(8)._2),                       // shifted copy
+      (203L, "ab"))                                         // sub-gram doc
+    val media = planted.toDF("media_id", "txt")
+      .select(col("media_id"), col("txt").cast("binary").as("payload"))
+    val got = Multimodal.frameNearDupPairs(media,
+        frameBytes = 128, maxHamming = 3, minFrames = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    graft.core.OpCaches.release()
+    assert(got.exists { case (a, b, n, h) => a == 3L && b == 200L && h == 0 },
+      s"exact dup not found: ${got.mkString(" ")}")
+    assert(!got.exists { case (a, b, _, _) => a == 203L || b == 203L },
+      "sub-gram doc must not pair")
+    // brute-force reference: same slicing + kernel, all-pairs hamming
+    val frames = planted.filter(_._2.length >= 4).flatMap { case (id, txt) =>
+      txt.getBytes("UTF-8").grouped(128).zipWithIndex.collect {
+        case (slice, fi) if slice.length >= 4 =>
+          (id, fi, HashKernels.perceptualHash64(slice))
+      }
+    }
+    val want = (for {
+      (da, _, sa) <- frames; (db, _, sb) <- frames
+      if da < db && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield ((da, db), java.lang.Long.bitCount(sa ^ sb)))
+      .groupBy(_._1).map { case ((a, b), hs) =>
+        (a, b, hs.size.toLong, hs.map(_._2).min) }
+      .filter(_._3 >= 2L).toSeq.sorted
+    assert(got.toSeq == want,
+      s"banded rollup != all-pairs reference\n got: ${got.mkString(" ")}\nwant: ${want.mkString(" ")}")
+  }
+
   test("multimodal features compose with similarity search") {
     val emb = Multimodal.featureEmbeddings(Multimodal.syntheticMedia(spark, 50))
     val topk = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 2), 3)
