@@ -81,6 +81,99 @@ object TokenizeKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Nonempty tokens followed by every run of `n` consecutive tokens
+    * joined by one space, WITH multiplicity — the DSIR-style hashed
+    * feature stream (unigrams + n-grams) in one byte walk. Identical
+    * to `concat(wsTokensNonEmpty(c), when(size >= n,
+    * transform(sequence(1, size - n + 1), i => concat_ws(" ",
+    * slice(tokens, i, n)))).otherwise(array()))` — which re-walks the
+    * token array per n-gram through element_at/concat_ws lambdas
+    * (measured 1.7 s single-task at sf0.1 vs 0.15 s for the unigram
+    * explode; this kernel removes that gap). Unlike
+    * [[ShingleKernels.wordShingles]] there is NO dedup: a feature
+    * distribution counts occurrences, not types.
+    */
+  /** Nonempty token spans of the trimmed bytes: (starts, ends). */
+  private def nonEmptySpans(bytes: Array[Byte], lo: Int, hi: Int)
+      : (java.util.ArrayList[Int], java.util.ArrayList[Int]) = {
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = lo
+    var tokStart = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) {
+        if (i > tokStart) { starts.add(tokStart); ends.add(i) }
+        while (i < hi && isWs(bytes(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    if (hi > tokStart) { starts.add(tokStart); ends.add(hi) }
+    (starts, ends)
+  }
+
+  /** The j-th run of `n` consecutive token spans, joined by 0x20. */
+  private def gramAt(bytes: Array[Byte], starts: java.util.ArrayList[Int],
+      ends: java.util.ArrayList[Int], j: Int, n: Int): UTF8String = {
+    var len = n - 1
+    var k = 0
+    while (k < n) { len += ends.get(j + k) - starts.get(j + k); k += 1 }
+    val gram = new Array[Byte](len)
+    var pos = 0
+    k = 0
+    while (k < n) {
+      if (k > 0) { gram(pos) = ' '; pos += 1 }
+      val tl = ends.get(j + k) - starts.get(j + k)
+      System.arraycopy(bytes, starts.get(j + k), gram, pos, tl)
+      pos += tl
+      k += 1
+    }
+    UTF8String.fromBytes(gram)
+  }
+
+  def wsNgramFeatures(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (lo, hi) = trimmed(bytes)
+    val (starts, ends) = nonEmptySpans(bytes, lo, hi)
+    val m = starts.size()
+    val nGrams = if (m >= n) m - n + 1 else 0
+    val out = new Array[Any](m + nGrams)
+    var j = 0
+    while (j < m) {
+      out(j) = UTF8String.fromBytes(bytes, starts.get(j),
+        ends.get(j) - starts.get(j))
+      j += 1
+    }
+    j = 0
+    while (j < nGrams) {
+      out(m + j) = gramAt(bytes, starts, ends, j, n)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Every run of `n` consecutive nonempty tokens joined by one
+    * space, WITH multiplicity, in document order — the w-token
+    * window stream of the substring-dedup family. Identical to
+    * `when(size(ws) >= n, transform(sequence(1, size(ws) - n + 1),
+    * i => concat_ws(" ", slice(ws, i, n)))).otherwise(array())` over
+    * `ws = wsTokensNonEmpty(s)`, minus the per-window slice-array
+    * allocation and concat_ws machinery.
+    */
+  def wsNgrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (lo, hi) = trimmed(bytes)
+    val (starts, ends) = nonEmptySpans(bytes, lo, hi)
+    val m = starts.size()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var j = 0
+    while (j <= m - n) {
+      out(j) = gramAt(bytes, starts, ends, j, n)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wsTokenCount(s: UTF8String): Int = {
     val bytes = s.getBytes
     val (lo, hi) = trimmed(bytes)
@@ -147,10 +240,56 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `ws_ngram_features(text, n)`: nonempty unigrams + n-grams with
+  * multiplicity, one byte walk — see
+  * [[TokenizeKernels.wsNgramFeatures]].
+  */
+case class WsNgramFeatures(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 2, s"ws_ngram_features n $n must be >= 2")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"ws_ngram_features needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernels.wsNgramFeatures(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenizeKernels.wsNgramFeatures($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WsNgramFeatures =
+    copy(child = c)
+}
+
+/** `ws_ngrams(text, n)`: n-token windows with multiplicity, in
+  * order — see [[TokenizeKernels.wsNgrams]].
+  */
+case class WsNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"ws_ngrams n $n must be >= 2")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"ws_ngrams needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernels.wsNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenizeKernels.wsNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WsNgrams =
+    copy(child = c)
+}
+
 object TokenizeFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def ws_tokens(c: Column): Column = column(WsTokens(expression(c)))
   def ws_tokens_nonempty(c: Column): Column =
     column(WsTokensNonEmpty(expression(c)))
   def ws_token_count(c: Column): Column = column(WsTokenCount(expression(c)))
+  def ws_ngram_features(c: Column, n: Int): Column =
+    column(WsNgramFeatures(expression(c), n))
+  def ws_ngrams(c: Column, n: Int): Column =
+    column(WsNgrams(expression(c), n))
 }

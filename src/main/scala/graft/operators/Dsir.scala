@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashFunctions, TextFunctions}
+import graft.functions.HashFunctions
 
 /** DSIR-style hashed n-gram importance weights — the data-selection
   * step of Xie et al., "Data Selection for Language Models via
@@ -28,51 +28,90 @@ import graft.functions.{HashFunctions, TextFunctions}
   * at the output edge.
   *
   * Scale shape (the CCNet/LM model-then-score discipline):
-  *  - both bucket tables are ≤ B rows BY CONSTRUCTION at any corpus
-  *    scale (the whole point of hashed features) and reduce via
-  *    map-side-combined groupBy(bucket) counts; they broadcast onto
-  *    the score pass along with the one-row (n_T, n_R) totals frame —
-  *    kept IN-PLAN as broadcast subtrees, not driver collects, so the
-  *    model build overlaps the score job's other inputs;
-  *  - the score side is ONE tokenize pass over the raw corpus (the
-  *    kind-tagged unigram+bigram explode), a broadcast join on
-  *    bucket, and a per-document aggregation (map-side partial).
-  *    Nothing corpus-sized ever broadcasts or shuffles wide.
+  *  - the corpus tokenizes ONCE into a cached (id, bucket, w_r, w_t)
+  *    feature stream; raw and target bucket counts collapse into a
+  *    single map-side-combined groupBy(bucket) over it (its output is
+  *    ≤B rows BY CONSTRUCTION at any corpus scale — the whole point
+  *    of hashed features), the (n_T, n_R) totals reduce from that
+  *    frame through a reused exchange and broadcast back onto it,
+  *    and the per-bucket quantized log term is precomputed INSIDE
+  *    the one broadcast model frame — kept IN-PLAN, not a driver
+  *    collect;
+  *  - the score side is then just a broadcast join on bucket and a
+  *    per-document aggregation (map-side partial) over the SAME
+  *    cached stream. Nothing corpus-sized ever broadcasts or
+  *    shuffles wide.
   *
   * The raw pool is scored against itself (every feature's bucket has
-  * c_R ≥ 1 for its own occurrences), so the left model join can be
-  * inner on the raw side after the zero-fill of c_T — buckets the
-  * target never hit still score through the +1 smoothing.
+  * c_R ≥ 1 for its own occurrences), so the model join is inner on
+  * the raw side — buckets the target never hit still score through
+  * the +1 smoothing (c_T = 0 rows carry their quantized term).
   */
 object Dsir {
-
-  /** Kind-tagged unigram+bigram feature stream of a token-array
-    * column: unigrams as the tokens themselves, bigrams as "a b" —
-    * both with multiplicity (DSIR counts occurrences, not types).
-    */
-  private def featuresOf(ws: Column): Column = concat(
-    ws,
-    when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array()))
 
   private def bucketOf(feature: Column, buckets: Int): Column =
     HashFunctions.md5_pair(feature).getItem(0) % buckets
 
-  /** The fitted model as broadcastable frames: a ≤B-row
-    * (bucket, c_t) table for the target and a one-row (n_t) totals
-    * frame — raw-side counts come from the score pass's own corpus.
+  /** Feature stream of one frame: (id, bucket) with the given
+    * raw/target membership weights attached. The unigram+bigram
+    * emission is the native byte-walk
+    * [[graft.functions.TokenizeExpressions]] `ws_ngram_features`
+    * kernel — the declarative `concat(tokens, transform(sequence,
+    * element_at‖concat_ws))` form re-evaluates its inlined tokenize
+    * subtree inside the higher-order lambda (the CollapseProject
+    * trap the Shingle kernel documents) and measured ~1.7 s
+    * single-task at sf0.1 (DsirProbe); the kernel is one walk. The
+    * [[graft.core.Parallelism.kernelFloor]] guard spreads that walk
+    * across cores when the source is a too-small-to-split scan —
+    * a no-op at cluster scale.
     */
-  private def targetModel(target: DataFrame, buckets: Int,
-      textCol: String): (DataFrame, DataFrame) = {
-    val tf = target
-      .select(explode(featuresOf(
-        TextFunctions.tokensNonEmpty(col(textCol)))).as("f"))
-      .select(bucketOf(col("f"), buckets).as("bucket"))
-    val counts = tf.groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
-    val total = counts.agg(coalesce(sum(col("c_t")), lit(0L)).as("n_t"))
-    (counts, total)
+  private def featStream(df: DataFrame, buckets: Int, textCol: String,
+      id: Column, wR: Column, wT: Column): DataFrame =
+    graft.core.Parallelism.kernelFloor(df)
+      .select(id.as("__id"), explode(
+        graft.functions.TokenizeFunctions.ws_ngram_features(
+          col(textCol), 2)).as("f"), wR.as("w_r"), wT.as("w_t"))
+      .select(col("__id"), bucketOf(col("f"), buckets).as("bucket"),
+        col("w_r"), col("w_t"))
+
+  /** Shared core: ONE cached feature stream `(id, bucket, w_r, w_t)`
+    * serves the raw model (c_r = Σ w_r), the target model
+    * (c_t = Σ w_t), and the score pass (rows with w_r = 1) — the
+    * corpus tokenizes exactly once. Both bucket tables collapse into a
+    * single map-side-combined groupBy(bucket) (≤B rows BY
+    * CONSTRUCTION at any corpus scale), the totals reduce from that
+    * frame via a reused exchange and broadcast back, and the
+    * per-bucket quantized log term q is
+    * precomputed INSIDE the one broadcast model frame, so the score
+    * side is just broadcast-join + per-document partial agg. Cache
+    * lifecycle: the feature stream registers with
+    * [[graft.core.OpCaches]]; callers release after materializing.
+    */
+  private def weightsFrom(feats: DataFrame, buckets: Int,
+      idCol: String): DataFrame = {
+    val cached = graft.core.OpCaches.persistTracked(feats)
+    val q = floor(lit(1e9) * log(
+      ((col("c_t") + lit(1L)).cast("double") /
+        (col("n_t") + lit(buckets.toLong)).cast("double")) /
+        ((col("c_r") + lit(1L)).cast("double") /
+          (col("n_r") + lit(buckets.toLong)).cast("double"))))
+      .cast("long")
+    // counts feeds both the per-bucket frame and the totals agg; the
+    // two subtrees canonicalize identically, so the grouped exchange
+    // is planned once and reused (no Window node — the registered
+    // resample rows pin a window-free plan)
+    val counts = cached.groupBy(col("bucket"))
+      .agg(sum(col("w_r")).as("c_r"), sum(col("w_t")).as("c_t"))
+    val totals = counts.agg(sum(col("c_r")).as("n_r"),
+      sum(col("c_t")).as("n_t"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), q.as("q"))
+    cached.filter(col("w_r") === 1)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("q")).as("qsum"))
+      .select(col("__id").as(idCol), col("n_feats"),
+        (col("qsum").cast("double") / lit(1e9)).as("logweight"))
   }
 
   /** Per-document log importance weight of every raw document with at
@@ -84,31 +123,27 @@ object Dsir {
       buckets: Int = 8192, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(buckets > 0, s"buckets $buckets must be positive")
-    val (tCounts, tTotal) = targetModel(target, buckets, textCol)
-    // raw-side bucket counts and totals from the scored corpus itself
-    val rFeats = raw
-      .select(col(idCol), explode(featuresOf(
-        TextFunctions.tokensNonEmpty(col(textCol)))).as("f"))
-      .select(col(idCol), bucketOf(col("f"), buckets).as("bucket"))
-    val rCounts = rFeats.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
-    val rTotal = rCounts.agg(coalesce(sum(col("c_r")), lit(0L)).as("n_r"))
-    // model join: raw buckets are inner (every scored feature's bucket
-    // exists in rCounts by construction); target counts zero-fill
-    val q = floor(lit(1e9) * log(
-      ((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
-        (col("n_t") + lit(buckets.toLong)).cast("double")) /
-        ((col("c_r") + lit(1L)).cast("double") /
-          (col("n_r") + lit(buckets.toLong)).cast("double")))).cast("long")
-    rFeats
-      .join(broadcast(rCounts), Seq("bucket"))
-      .join(broadcast(tCounts), Seq("bucket"), "left")
-      .crossJoin(broadcast(tTotal))
-      .crossJoin(broadcast(rTotal))
-      .select(col(idCol), q.as("q"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"), sum(col("q")).as("qsum"))
-      .select(col(idCol), col("n_feats"),
-        (col("qsum").cast("double") / lit(1e9)).as("logweight"))
+    // target features enter the model stream with a null id and
+    // w_r = 0: they shape c_t/n_t but never score
+    val rf = featStream(raw, buckets, textCol, col(idCol), lit(1), lit(0))
+    val tf = featStream(target, buckets, textCol,
+      lit(null).cast(raw.schema(idCol).dataType), lit(0), lit(1))
+    weightsFrom(rf.union(tf), buckets, idCol)
+  }
+
+  /** Self-target form — target = raw rows matching `targetPred` (the
+    * common deployment: "more like the en/books/wiki slice of this
+    * very pool"). One feature pass carries both memberships: w_r = 1
+    * everywhere, w_t = 1 where the predicate holds. Output is
+    * row-identical to `importanceWeights(raw, raw.filter(targetPred))`
+    * at half the tokenize work — pinned by DsirSubstringSuite.
+    */
+  def importanceWeightsSelf(raw: DataFrame, targetPred: Column,
+      buckets: Int = 8192, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    weightsFrom(featStream(raw, buckets, textCol, col(idCol),
+      lit(1), when(targetPred, 1).otherwise(0)), buckets, idCol)
   }
 
   // The "resample the most target-like slice" step is a composition,

@@ -61,14 +61,25 @@ object SubstringDedup {
     // text: (doc, start, h1, h2). slice+concat_ws materializes each
     // window string once on the map side; only the 96-bit key and the
     // position cross the wire.
-    val wins = docs
-      .select(col(idCol), TextFunctions.tokensNonEmpty(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= w)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(1), size(col("ws")) - w + 1),
-        i => HashFunctions.md5_pair(concat_ws(" ", slice(col("ws"), i, lit(w)))))))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("s"),
-        col("col").getItem(0).as("h1"), col("col").getItem(1).as("h2"))
+    // cached: the window stream feeds BOTH the dup-key count and the
+    // semi-join probe side — without it the tokenize + per-window MD5
+    // pass (the expensive map work) runs once per consumer, and a
+    // caller's output sort adds a range-sampling re-execution on top.
+    // Narrow rows (id, pos, 96-bit key); OpCaches lifecycle, callers
+    // release after materializing. The window strings come from the
+    // native ws_ngrams byte walk (one pass per doc; a doc shorter
+    // than w tokens yields an empty array and explodes away — the
+    // old size(ws) >= w guard); the declarative per-window
+    // slice+concat_ws form was the dominant kernel cost, and the
+    // kernelFloor spreads the walk when the scan cannot split.
+    val wins = graft.core.OpCaches.persistTracked(
+      graft.core.Parallelism.kernelFloor(docs)
+        .select(col(idCol), posexplode(
+          graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), w)))
+        .select(col(idCol), (col("pos") + 1).cast("long").as("s"),
+          HashFunctions.md5_pair(col("col")).as("hp"))
+        .select(col(idCol), col("s"),
+          col("hp").getItem(0).as("h1"), col("hp").getItem(1).as("h2")))
     // a window is duplicated when its key occurs >= 2 times anywhere
     // (another document OR a repeat within the same one)
     val dupKeys = wins.groupBy(col("h1"), col("h2"))

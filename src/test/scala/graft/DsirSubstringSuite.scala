@@ -94,6 +94,25 @@ class DsirSubstringSuite extends SparkSuite {
       (got(6L)._2, got(4L)._2, got(5L)._2))
   }
 
+  test("dsir self-target form is row-identical to the two-frame form") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the log"),
+      (3L, "de", "der hund sitzt auf dem baum"),
+      (4L, "de", "the cat the cat the cat"),
+      (5L, "de", "einwort"),
+      (6L, "de", " ")).toDF("doc_id", "lang", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val general = rows(Dsir.importanceWeights(
+      docs, docs.filter(col("lang") === "en"), buckets = 64))
+    graft.core.OpCaches.release()
+    val self = rows(Dsir.importanceWeightsSelf(
+      docs, col("lang") === "en", buckets = 64))
+    assert(self == general, s"$self != $general")
+  }
+
   test("dsir smoothing: buckets the target never hit score through the +1 prior") {
     // default B=8192 with a handful of features: the off-target doc's
     // buckets are (almost surely) unseen by the target — c_t = 0 must

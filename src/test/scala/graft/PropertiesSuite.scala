@@ -107,6 +107,42 @@ class PropertiesSuite extends SparkSuite {
     }
   }
 
+  test("ws_ngram kernels equal the declarative HOF forms (randomized)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val piece = Gen.oneOf("a", "bb", "ccc", "Ω≈", "x1", " ", "  ",
+      "\t", "\n", "", "\f", "\r", "\r\n", "")
+    val genText = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, piece).map(_.mkString))
+    val params = Gen.Parameters.default
+    val texts = (0 until 400).flatMap(i =>
+      genText.apply(params, Seed(2718L + i)))
+    val df = texts.toDF("text")
+    val kn = filter(split(btrim(col("text")), "\\s+"), t => t =!= lit(""))
+    for (n <- Seq(2, 3, 5)) {
+      def gramsDecl(ws: org.apache.spark.sql.Column) =
+        when(size(ws) >= n, transform(sequence(lit(1), size(ws) - n + 1),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      val diff = df.select(col("text"),
+          graft.functions.TokenizeFunctions
+            .ws_ngram_features(col("text"), n).as("kf"),
+          concat(kn, gramsDecl(kn)).as("df_"),
+          graft.functions.TokenizeFunctions.ws_ngrams(col("text"), n).as("kg"),
+          gramsDecl(kn).as("dg"))
+        .filter(not(col("kf") === col("df_")) || not(col("kg") === col("dg")))
+        .collect()
+      assert(diff.isEmpty,
+        s"n=$n ngram kernel != declarative for: ${diff.take(3).mkString("; ")}")
+    }
+    // null propagates
+    val nulls = Seq[(Integer, String)]((1, null)).toDF("i", "text")
+      .select(graft.functions.TokenizeFunctions.ws_ngram_features(col("text"), 2),
+        graft.functions.TokenizeFunctions.ws_ngrams(col("text"), 2))
+      .collect()
+    assert(nulls.head.isNullAt(0) && nulls.head.isNullAt(1))
+  }
+
   test("ws_tokens family equals the regex split forms (randomized)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
