@@ -940,14 +940,20 @@ object SparkEntry {
     // codebook is a build artifact (PinnedCodebook.FittedPq) both
     // engines consume literally — Spark through the codebooks
     // override, DuckDB through a generated VALUES table — so the
-    // fitted-codebook ADC top-k is fully hash-checked. The live
+    // fitted-codebook ADC top-k is fully hash-checked. Served from
+    // the STORED fitted-code frame (r14): per call this collects the
+    // query set and ADC-scans index bytes — the corpus encode pass
+    // is build-time, and the distance tables are driver arithmetic
+    // on the literal codebook (no codebook job at all). The live
     // in-call k-means fit stays as the suite-pinned twin
     // (SimilaritySuite pins driver fit == distributed loop
-    // bit-for-bit; ann_pq_fitted_bounds audits its distortion).
+    // bit-for-bit; ann_pq_fitted_bounds audits its distortion;
+    // served == inline pinned in SimilaritySuite).
     "ann_pq_fitted_topk" -> boundedPlan((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      graft.operators.Pq.pqTopK(e, e.filter(col("vec_id") < 8), 5,
-        codebooks = Some(PinnedCodebook.FittedPq))
+      graft.operators.Pq.pqTopKPinnedPrebuilt(e,
+        s"$dir/embeddings.parquet", e.filter(col("vec_id") < 8), 5,
+        PinnedCodebook.FittedPq)
         .transform(topkSorted)
     }),
 
@@ -1326,16 +1332,21 @@ object SparkEntry {
     // 20-token window occurring >= 2 times anywhere in the corpus —
     // flags the duplicated REGIONS (boilerplate, licence blocks)
     // rather than whole near-dup documents
+    // pre-sort persists: the span/stat frames are dup-density-sized,
+    // so the range sort's sampling pass replays a cached projection
+    // instead of the tokenize + window-hash pipeline
     "dup_spans" -> ((s, dir) =>
-      graft.operators.SubstringDedup.duplicateSpans(
-        Tables.documents(s, dir), windowTokens = 20)
+      graft.core.OpCaches.persistTracked(
+        graft.operators.SubstringDedup.duplicateSpans(
+          Tables.documents(s, dir), windowTokens = 20))
         .orderBy("doc_id", "span_start")),
 
     // ...and its per-document summary: duplicated-token share — the
     // "drop mostly-boilerplate documents" filter input
     "dup_stats" -> ((s, dir) =>
-      graft.operators.SubstringDedup.duplicationStats(
-        Tables.documents(s, dir), windowTokens = 20)
+      graft.core.OpCaches.persistTracked(
+        graft.operators.SubstringDedup.duplicationStats(
+          Tables.documents(s, dir), windowTokens = 20))
         .orderBy("doc_id")),
 
     // DSIR-style hashed n-gram importance weights (Xie et al. 2023):
@@ -1344,8 +1355,13 @@ object SparkEntry {
     // pool — exact integer-quantized log terms, order-free sums
     "dsir_weights" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      graft.operators.Dsir.importanceWeights(
-        docs, docs.filter(col("lang") === "en"))
+      // self-target form: the en slice is a filter of the pool, so one
+      // tokenize pass serves both models and the score stream; the
+      // per-doc output persists so the range sort's sampling pass
+      // reads the 3-column score table, not the feature pipeline
+      graft.core.OpCaches.persistTracked(
+        graft.operators.Dsir.importanceWeightsSelf(
+          docs, col("lang") === "en"))
         .orderBy("doc_id")
     }),
 
@@ -1360,13 +1376,16 @@ object SparkEntry {
     // feature-explode pass instead of re-tokenizing the corpus
     "dsir_select" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val w = graft.operators.Dsir.importanceWeights(
-        docs, docs.filter(col("lang") === "en"))
+      val w = graft.operators.Dsir.importanceWeightsSelf(
+        docs, col("lang") === "en")
       val scored = graft.core.OpCaches.persistTracked(
         w.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
-      graft.operators.Curation.topFractionBounded(
-        scored, col("logweight"), Seq("source"), "doc_id", 0.25)
-        .select(col("doc_id"), col("source"), col("logweight"))
+      // the winners frame persists pre-sort: the range sort's
+      // sampling pass otherwise re-runs the heap + semi-join chain
+      graft.core.OpCaches.persistTracked(
+        graft.operators.Curation.topFractionBounded(
+          scored, col("logweight"), Seq("source"), "doc_id", 0.25)
+          .select(col("doc_id"), col("source"), col("logweight")))
         .orderBy("doc_id")
     }),
 

@@ -428,6 +428,59 @@ object Pq {
     finishAdc(adcFullScan(index, dt, idCol, chunkSize), k, idCol)
   }
 
+  /** The code frame under a caller-PINNED codebook (a fit artifact
+    * such as [[graft.PinnedCodebook.FittedPq]]), behind the store.
+    * The entry name carries an md5 of the codebook entries as its
+    * variant key — two different pinned codebooks over the same
+    * corpus file must never share an entry (the corpus-frame
+    * collision lesson: the store fingerprint tracks the FILE only).
+    */
+  private def codebookVariant(cb: Array[Array[Array[Long]]]): String =
+    graft.core.IndexStore.md5hex(
+      cb.map(_.map(_.mkString(",")).mkString(";")).mkString("|"))
+
+  def storedPinnedPqIndex(corpus: DataFrame, corpusPath: String,
+      cb: Array[Array[Array[Long]]],
+      embCol: String = "embedding", idCol: String = "vec_id",
+      force: Boolean = false): DataFrame = {
+    val variant = codebookVariant(cb)
+    val name = s"pqpinned-$variant-$embCol-$idCol-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      graft.core.IndexMeta.tag(
+        encode(Similarity.prepared(corpus, embCol, idCol), cb, idCol),
+        "codes", "kind" -> "pqpinned", "cb" -> variant,
+        "m" -> cb.length, "ksub" -> cb(0).length,
+        "embCol" -> embCol, "idCol" -> idCol))
+  }
+
+  /** [[pqTopK]] with a pinned codebook, served from the stored code
+    * frame — the fitted-PQ serving shape. Per-call work is ONE
+    * query-set collect plus the ADC scan over index bytes: the
+    * distance tables are driver arithmetic against the literal
+    * codebook (no sample read, no codebook job, no corpus encode
+    * pass — those are build-time, amortized across queries).
+    * Output-identical to `pqTopK(codebooks = Some(cb))`
+    * (SimilaritySuite pins it): the stored codes are the same
+    * deterministic encode under the same constant.
+    */
+  def pqTopKPinnedPrebuilt(corpus: DataFrame, corpusPath: String,
+      queries: DataFrame, k: Int, cb: Array[Array[Array[Long]]],
+      embCol: String = "embedding", idCol: String = "vec_id",
+      chunkSize: Int = MaxLiteralQueries): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val index = storedPinnedPqIndex(corpus, corpusPath, cb, embCol, idCol)
+    graft.core.IndexMeta.validate(index, "codes", "pqTopKPinnedPrebuilt",
+      "kind" -> "pqpinned", "cb" -> codebookVariant(cb),
+      "m" -> cb.length, "ksub" -> cb(0).length,
+      "embCol" -> embCol, "idCol" -> idCol)
+    val qrows = Similarity.collectVecRows(
+      Similarity.prepared(queries, embCol, idCol), idCol)
+    val dt = driverDistTables(qrows, cb)
+    finishAdc(adcFullScan(index, dt, idCol, chunkSize), k, idCol)
+  }
+
   /** Exact-integer ADC sum for one query's tables: m literal-array
     * lookups indexed by the row's code array.
     */

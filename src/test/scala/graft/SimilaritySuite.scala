@@ -539,6 +539,35 @@ class SimilaritySuite extends SparkSuite {
     graft.core.OpCaches.release()
   }
 
+  test("pq: pinned-codebook prebuilt serving equals the inline override, distinct codebooks never collide") {
+    import graft.operators.Pq
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqpin").toFile
+    val src = new java.io.File(tmp, "corpus.parquet").getPath
+    pqCorpus(120, 32, seed = 83).write.mode("overwrite").parquet(src)
+    val corpus = spark.read.parquet(src)
+    val q = corpus.filter($"vec_id" < 4)
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // two DIFFERENT "fit artifacts" over the SAME corpus file — the
+    // store entry's variant key (codebook md5) must keep them apart
+    // (the corpus-frame collision lesson: fingerprints track files)
+    val cbSample = Pq.codebook(corpus, m = 4, ksub = 16)
+    val cbFitted = Pq.kmeansCodebook(corpus, m = 4, ksub = 16)
+    val inlineS = rows(Pq.pqTopK(corpus, q, 5, codebooks = Some(cbSample)))
+    val inlineF = rows(Pq.pqTopK(corpus, q, 5, codebooks = Some(cbFitted)))
+    graft.core.OpCaches.release()
+    // build+store, then serve-from-store, interleaved across the two
+    // codebooks so a shared entry would cross-contaminate
+    val preS1 = rows(Pq.pqTopKPinnedPrebuilt(corpus, src, q, 5, cbSample))
+    val preF1 = rows(Pq.pqTopKPinnedPrebuilt(corpus, src, q, 5, cbFitted))
+    graft.core.OpCaches.release()
+    val preS2 = rows(Pq.pqTopKPinnedPrebuilt(corpus, src, q, 5, cbSample))
+    val preF2 = rows(Pq.pqTopKPinnedPrebuilt(corpus, src, q, 5, cbFitted))
+    assert(preS1 == inlineS && preS2 == inlineS)
+    assert(preF1 == inlineF && preF2 == inlineF)
+    graft.core.OpCaches.release()
+  }
+
   test("ivf: prebuilt index serving equals the inline build") {
     // the plain-IVF twin of the PQ store test: the stored
     // (vec_id, v, n2, cent_id) inverted file served by
