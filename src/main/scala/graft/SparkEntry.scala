@@ -509,16 +509,21 @@ object SparkEntry {
     // Quality curation: keep the top 25% of documents per language by
     // quality score — deterministic rank cut (score desc, doc_id asc;
     // exact ceil(0.25 * n) per stratum). Registered on the SKEW-SAFE
-    // bounded form: per-stratum counts + bounded top-k heaps + a
-    // semi-join, never a full-stratum window — a handful of strata at
-    // 100x scale must not serialize each stratum through one task
-    // (row-for-row equal to the window form; OperatorsSuite pins it)
-    "quality_topp" -> ((s, dir) =>
-      graft.operators.Curation.topFractionBounded(
-        Tables.documents(s, dir),
-        TextFunctions.qualityScore(col("text")), Seq("lang"), "doc_id", 0.25)
-        .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")),
+    // bounded form: per-stratum counts + bounded top-k heaps, never a
+    // full-stratum window — a handful of strata at 100x scale must
+    // not serialize each stratum through one task (row-for-row equal
+    // to the window form; OperatorsSuite pins it). The output is just
+    // (doc_id, lang), so the NARROW variant applies: winners come
+    // straight off the heaps, no semi-join back to the corpus
+    "quality_topp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.Curation.topFractionBoundedNarrow(
+          docs, TextFunctions.qualityScore(col("text")),
+          Seq("lang"), "doc_id", 0.25)
+          .select(col("doc_id"), col("lang")),
+        docs, "doc_id", Seq(col("doc_id").asc))
+    }),
 
     // Deterministic Bernoulli sampling: content-hash acceptance, no
     // shuffle, reproducible across engines/partitionings/retries
@@ -1332,22 +1337,25 @@ object SparkEntry {
     // 20-token window occurring >= 2 times anywhere in the corpus —
     // flags the duplicated REGIONS (boilerplate, licence blocks)
     // rather than whole near-dup documents
-    // pre-sort persists: the span/stat frames are dup-density-sized,
-    // so the range sort's sampling pass replays a cached projection
-    // instead of the tokenize + window-hash pipeline
-    "dup_spans" -> ((s, dir) =>
-      graft.core.OpCaches.persistTracked(
-        graft.operators.SubstringDedup.duplicateSpans(
-          Tables.documents(s, dir), windowTokens = 20))
-        .orderBy("doc_id", "span_start")),
+    // output sort is the probed-bounds pass-through (doc ids are a
+    // dense domain of the source table) — no sampling job, so the
+    // span pipeline executes exactly once and needs no outer persist
+    "dup_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.SubstringDedup.duplicateSpans(docs, windowTokens = 20),
+        docs, "doc_id",
+        Seq(col("doc_id").asc, col("span_start").asc))
+    }),
 
     // ...and its per-document summary: duplicated-token share — the
     // "drop mostly-boilerplate documents" filter input
-    "dup_stats" -> ((s, dir) =>
-      graft.core.OpCaches.persistTracked(
-        graft.operators.SubstringDedup.duplicationStats(
-          Tables.documents(s, dir), windowTokens = 20))
-        .orderBy("doc_id")),
+    "dup_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.SubstringDedup.duplicationStats(docs, windowTokens = 20),
+        docs, "doc_id", Seq(col("doc_id").asc))
+    }),
 
     // DSIR-style hashed n-gram importance weights (Xie et al. 2023):
     // every document scored by ln-likelihood-ratio of its hashed
@@ -1355,38 +1363,39 @@ object SparkEntry {
     // pool — exact integer-quantized log terms, order-free sums
     "dsir_weights" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      // self-target form: the en slice is a filter of the pool, so one
-      // tokenize pass serves both models and the score stream; the
-      // per-doc output persists so the range sort's sampling pass
-      // reads the 3-column score table, not the feature pipeline
-      graft.core.OpCaches.persistTracked(
+      // self-target form: the en slice is a filter of the pool, so
+      // one feature pass serves both models and the score stream;
+      // the probed-bounds sort removes the sampling job, so the
+      // whole pipeline runs exactly once, un-persisted
+      graft.core.StaticRange.denseIdSort(
         graft.operators.Dsir.importanceWeightsSelf(
-          docs, col("lang") === "en"))
-        .orderBy("doc_id")
+          docs, col("lang") === "en"),
+        docs, "doc_id", Seq(col("doc_id").asc))
     }),
 
     // ...and the resampling step as a composition: keep the 25% most
     // target-like documents per source — importanceWeights piped
     // through the SKEW-SAFE Curation.topFractionBounded (counts +
     // bounded heaps + semi-join; no full-stratum window to serialize
-    // a hot source through one task at scale). The weights frame is
-    // cached (narrow: 4 columns, one row per doc — the materialized
-    // score table any DSIR deployment keeps between score and
-    // resample) so the bounded form's three consumers share ONE
-    // feature-explode pass instead of re-tokenizing the corpus
+    // a hot source through one task at scale). The stratum column
+    // rides the score pass's own per-doc aggregation (extraCols), so
+    // there is no second corpus join; the scored frame is cached
+    // (narrow: 3 columns, one row per doc — the materialized score
+    // table any DSIR deployment keeps between score and resample) so
+    // the bounded form's consumers share ONE feature pass, and the
+    // probed-bounds sort removes the winners persist + sampling job
     "dsir_select" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val w = graft.operators.Dsir.importanceWeightsSelf(
-        docs, col("lang") === "en")
       val scored = graft.core.OpCaches.persistTracked(
-        w.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
-      // the winners frame persists pre-sort: the range sort's
-      // sampling pass otherwise re-runs the heap + semi-join chain
-      graft.core.OpCaches.persistTracked(
-        graft.operators.Curation.topFractionBounded(
-          scored, col("logweight"), Seq("source"), "doc_id", 0.25)
+        graft.operators.Dsir.importanceWeightsSelf(
+          docs, col("lang") === "en", extraCols = Seq("source"))
           .select(col("doc_id"), col("source"), col("logweight")))
-        .orderBy("doc_id")
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.Curation.topFractionBoundedNarrow(
+          scored, col("logweight"), Seq("source"), "doc_id", 0.25,
+          scoreName = "logweight")
+          .select(col("doc_id"), col("source"), col("logweight")),
+        docs, "doc_id", Seq(col("doc_id").asc))
     }),
 
     // Keyword extraction: top-3 TF-IDF terms per document. The final

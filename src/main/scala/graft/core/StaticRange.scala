@@ -38,6 +38,51 @@ object StaticRange {
     * in its domain (0-based, < numParts), non-null, and
     * non-decreasing in the leading sort key.
     */
+  /** `df.orderBy(sortCols)` with the sampling job replaced by a
+    * bounds PROBE when the leading sort key is a non-negative
+    * integral id: min/max come from one driver job over `boundsSrc`
+    * — typically the SOURCE table, whose column-pruned id scan is
+    * trivial next to re-executing `df`'s pipeline (the reason
+    * vocab_encode adopted this shape, r13) — and each row routes to
+    * partition id/ceil-width directly. `df`'s leading sort key must
+    * be drawn from `boundsSrc`'s `idCol` domain (a subset is fine:
+    * partitions just run lighter). Non-integral or negative domains
+    * fall back to the sampling sort. Sparse or skewed ids only
+    * unbalance the final single-stage sort, never break its total
+    * order.
+    */
+  def denseIdSort(df: DataFrame, boundsSrc: DataFrame, idCol: String,
+      sortCols: Seq[Column]): DataFrame = {
+    val integralId = boundsSrc.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val bounds =
+      if (integralId)
+        boundsSrc.agg(min(col(idCol).cast("long")),
+            max(col(idCol).cast("long")))
+          .head() match {
+          case r if r.isNullAt(0) || r.getLong(0) < 0 => None
+          case r => Some((r.getLong(0), r.getLong(1)))
+        }
+      else None
+    bounds match {
+      case Some((_, maxId)) =>
+        val parts = math.max(1,
+          df.sparkSession.sparkContext.defaultParallelism)
+        // ceil-width division: pid < parts for every id <= maxId, no
+        // multiply overflow, monotone in the id
+        val width = (maxId + 1 + parts - 1) / parts
+        sortByKnownDomain(df,
+          (col(idCol).cast("long") / lit(math.max(1L, width))).cast("int"),
+          parts, sortCols)
+      case None => df.orderBy(sortCols: _*)
+    }
+  }
+
   def sortByKnownDomain(df: DataFrame, pid: Column, numParts: Int,
       sortCols: Seq[Column]): DataFrame = {
     require(numParts > 0, s"numParts $numParts must be positive")

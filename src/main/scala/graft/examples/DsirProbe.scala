@@ -68,10 +68,63 @@ object DsirProbe {
       graft.functions.TokenizeFunctions.ws_ngram_features(col("text"), 2))))
     time("native_ngrams20_1task")(docs.select(col("doc_id"), posexplode(
       graft.functions.TokenizeFunctions.ws_ngrams(col("text"), 20))))
+    // round-14 second decomposition: with the native explode at
+    // ~0.1 s, where do the remaining seconds of weights_self go?
+    def nativeFeats = graft.core.Parallelism.kernelFloor(docs)
+      .select(col("doc_id").as("__id"), explode(
+        graft.functions.TokenizeFunctions.ws_ngram_features(col("text"), 2)).as("f"),
+        lit(1).as("w_r"),
+        when(col("lang") === "en", 1).otherwise(0).as("w_t"))
+      .select(col("__id"),
+        (HashFunctions.md5_pair(col("f")).getItem(0) % 8192).as("bucket"),
+        col("w_r"), col("w_t"))
+    time("native_feats_md5")(nativeFeats)
+    time("nf_cache_populate")({
+      val c = nativeFeats.persist()
+      c.count()
+      c.unpersist(true)
+      spark.range(1).toDF("x")
+    })
+    time("nf_model_agg")(nativeFeats.groupBy(col("bucket"))
+      .agg(sum(col("w_r")).as("c_r"), sum(col("w_t")).as("c_t")))
+    time("nf_docagg")(nativeFeats.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n"), sum(col("bucket")).as("sb")))
     time("weights_self")(graft.operators.Dsir.importanceWeightsSelf(
       docs, col("lang") === "en"))
     time("registered_weights")(graft.SparkEntry.queries("dsir_weights")(spark, dir))
     time("registered_select")(graft.SparkEntry.queries("dsir_select")(spark, dir))
+    // select-tail decomposition: where does registered_select's gap
+    // over registered_weights go?
+    def wSelf = graft.operators.Dsir.importanceWeightsSelf(
+      docs, col("lang") === "en")
+    time("sel_join_only")(wSelf.join(
+      docs.select(col("doc_id"), col("source")), Seq("doc_id")))
+    time("sel_scored_head")({
+      val sc = graft.core.OpCaches.persistTracked(wSelf.join(
+        docs.select(col("doc_id"), col("source")), Seq("doc_id")))
+      sc.agg(count(lit(1))).head()
+      spark.range(1).toDF("x")
+    })
+    time("sel_bounded_nosort")({
+      val sc = graft.core.OpCaches.persistTracked(wSelf.join(
+        docs.select(col("doc_id"), col("source")), Seq("doc_id")))
+      graft.operators.Curation.topFractionBounded(
+        sc, col("logweight"), Seq("source"), "doc_id", 0.25)
+        .select(col("doc_id"), col("source"), col("logweight"))
+    })
+    // same operator over a synthetic cached frame of the same shape:
+    // separates the operator's own cost from the plan-tree overhead
+    // of the DSIR subtree it sits on
+    time("bounded_on_tiny_cached")({
+      val sc = graft.core.OpCaches.persistTracked(
+        spark.range(50000).select(col("id").as("doc_id"),
+          concat(lit("s"), pmod(col("id"), lit(5))).as("source"),
+          pmod(col("id") * 2654435761L, lit(100000)).cast("double").as("logweight")))
+      sc.agg(count(lit(1))).head()
+      graft.operators.Curation.topFractionBounded(
+        sc, col("logweight"), Seq("source"), "doc_id", 0.25)
+        .select(col("doc_id"), col("source"), col("logweight"))
+    })
     spark.stop()
   }
 }

@@ -85,6 +85,72 @@ object Curation {
     df.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** [[topFractionBounded]] that returns the winning NARROW rows
+    * `(strataCols…, scoreName, idCol)` directly from the heaps
+    * instead of semi-joining ids back to the full frame — for
+    * callers whose output IS the (strata, score, id) triple, this
+    * removes the semi-join stage round entirely, and the
+    * per-stratum cutoffs fold into the plan as literals from the
+    * ONE driver collect (which doubles as the cache-population
+    * action when `df` is cached), so the counts subtree vanishes
+    * from the final job too. Row-identical to running
+    * [[topFractionBounded]] and projecting the same columns
+    * (OperatorsSuite pins it). `scoreName` must not collide with a
+    * stratum column; scores surface as the DOUBLE the heap ordered
+    * on (exact for integer scores up to 2^53 — same contract as the
+    * joined form).
+    *
+    * The literal-cutoff dispatch is bounded by [[MaxLiteralStrata]];
+    * wider stratum domains fall back to [[topFractionBounded]]'s
+    * in-plan counts join projected to the same columns.
+    */
+  def topFractionBoundedNarrow(df: DataFrame, scoreCol: Column,
+      strataCols: Seq[String], idCol: String, fraction: Double,
+      scoreName: String = "score"): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction $fraction not in (0,1]")
+    require(!strataCols.contains(scoreName) && scoreName != idCol,
+      s"scoreName $scoreName collides with an output column")
+    val strata = strataCols.map(col)
+    val narrowRaw = df.select(
+      strata :+ scoreCol.cast("double").as("__score") :+ col(idCol): _*)
+    val narrow =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.core.OpCaches.persistTracked(narrowRaw)
+      else narrowRaw
+    val ks = narrow.groupBy(strata: _*)
+      .agg(ceil(count(lit(1)) * fraction).cast("int").as("__k")).collect()
+    if (ks.length > MaxLiteralStrata) {
+      val kept = topFractionBounded(df, scoreCol, strataCols, idCol, fraction)
+      return kept.select(
+        strata :+ scoreCol.cast("double").as(scoreName) :+ col(idCol): _*)
+    }
+    val maxK = ks.iterator.map(_.getInt(strataCols.length))
+      .foldLeft(1)(math.max)
+    // per-stratum cutoff as one literal CASE chain over the stratum
+    // key — no counts subtree, no join, in the final plan
+    val kExpr = ks.foldLeft(lit(0)) { (acc, r) =>
+      val cond = strataCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+      when(cond, lit(r.getInt(strataCols.length))).otherwise(acc)
+    }
+    narrow.groupBy(strata: _*)
+      .agg(graft.functions.TopKFunctions
+        .top_k(col("__score"), col(idCol), maxK).as("__top"))
+      .select(strata :+ posexplode(col("__top")): _*)
+      .filter(col("pos") < kExpr)
+      .select(strata :+ col("col.score").as(scoreName) :+
+        col("col.id").as(idCol): _*)
+  }
+
+  /** Stratum-count bound for [[topFractionBoundedNarrow]]'s literal
+    * cutoff dispatch: past ~this many CASE branches the generated
+    * filter bloats toward codegen method limits (the
+    * [[graft.operators.Pq.MaxLiteralQueries]] lesson) and a
+    * broadcast counts join is the right shape anyway.
+    */
+  val MaxLiteralStrata: Int = 256
+
   /** Token-budget curation: walking each stratum best-first
     * (scoreCol desc, idCol asc), keep rows while the running token
     * total stays within `budget` — the "data mixing" step that caps

@@ -66,30 +66,36 @@ object Dsir {
     * a no-op at cluster scale.
     */
   private def featStream(df: DataFrame, buckets: Int, textCol: String,
-      id: Column, wR: Column, wT: Column): DataFrame =
+      id: Column, wR: Column, wT: Column,
+      extraCols: Seq[String] = Nil): DataFrame =
     graft.core.Parallelism.kernelFloor(df)
-      .select(id.as("__id"), explode(
+      .select(id.as("__id") +: explode(
         graft.functions.TokenizeFunctions.ws_ngram_features(
-          col(textCol), 2)).as("f"), wR.as("w_r"), wT.as("w_t"))
-      .select(col("__id"), bucketOf(col("f"), buckets).as("bucket"),
-        col("w_r"), col("w_t"))
+          col(textCol), 2)).as("f") +: wR.as("w_r") +: wT.as("w_t") +:
+        extraCols.map(col): _*)
+      .select(col("__id") +: bucketOf(col("f"), buckets).as("bucket") +:
+        col("w_r") +: col("w_t") +: extraCols.map(col): _*)
 
-  /** Shared core: ONE cached feature stream `(id, bucket, w_r, w_t)`
+  /** Shared core: one feature-stream SHAPE `(id, bucket, w_r, w_t)`
     * serves the raw model (c_r = Σ w_r), the target model
-    * (c_t = Σ w_t), and the score pass (rows with w_r = 1) — the
-    * corpus tokenizes exactly once. Both bucket tables collapse into a
-    * single map-side-combined groupBy(bucket) (≤B rows BY
-    * CONSTRUCTION at any corpus scale), the totals reduce from that
-    * frame via a reused exchange and broadcast back, and the
-    * per-bucket quantized log term q is
-    * precomputed INSIDE the one broadcast model frame, so the score
-    * side is just broadcast-join + per-document partial agg. Cache
-    * lifecycle: the feature stream registers with
-    * [[graft.core.OpCaches]]; callers release after materializing.
+    * (c_t = Σ w_t), and the score pass (rows with w_r = 1) — and the
+    * stream is RECOMPUTED per consumer, not cached: with the
+    * byte-walk kernel the whole emit+hash pipeline costs ~0.12 s at
+    * sf0.1 while persisting it costs ~0.36 s before the first warm
+    * read (DsirProbe r14) — below roughly a 3:1 reuse:recompute cost
+    * ratio a cache is a net loss, and at 100 TB persisting a
+    * corpus-sized explode is exactly what does not fit. Both bucket
+    * tables collapse into a single map-side-combined groupBy(bucket)
+    * (≤B rows BY CONSTRUCTION at any corpus scale), the totals
+    * reduce from that frame via a reused exchange and broadcast
+    * back, and the per-bucket quantized log term q is precomputed
+    * INSIDE the one broadcast model frame, so the score side is just
+    * broadcast-join + per-document partial agg over the stream's
+    * second run. Nothing corpus-sized ever persists, broadcasts, or
+    * shuffles wide.
     */
   private def weightsFrom(feats: DataFrame, buckets: Int,
-      idCol: String): DataFrame = {
-    val cached = graft.core.OpCaches.persistTracked(feats)
+      idCol: String, extraCols: Seq[String] = Nil): DataFrame = {
     val q = floor(lit(1e9) * log(
       ((col("c_t") + lit(1L)).cast("double") /
         (col("n_t") + lit(buckets.toLong)).cast("double")) /
@@ -100,18 +106,26 @@ object Dsir {
     // two subtrees canonicalize identically, so the grouped exchange
     // is planned once and reused (no Window node — the registered
     // resample rows pin a window-free plan)
-    val counts = cached.groupBy(col("bucket"))
+    val counts = feats.groupBy(col("bucket"))
       .agg(sum(col("w_r")).as("c_r"), sum(col("w_t")).as("c_t"))
     val totals = counts.agg(sum(col("c_r")).as("n_r"),
       sum(col("c_t")).as("n_t"))
     val model = counts.crossJoin(broadcast(totals))
       .select(col("bucket"), q.as("q"))
-    cached.filter(col("w_r") === 1)
+    // w_r is lit(1) in the self-target form — constant folding
+    // removes the filter there; the two-frame form keeps it to drop
+    // target-only rows from scoring
+    // extraCols ride the per-doc aggregation as grouping keys: each
+    // is functionally dependent on the id, so the group count is
+    // unchanged — this is how a caller gets e.g. the stratum column
+    // into the output without a second join against the corpus
+    feats.filter(col("w_r") === 1)
       .join(broadcast(model), Seq("bucket"))
-      .groupBy(col("__id"))
+      .groupBy(col("__id") +: extraCols.map(col): _*)
       .agg(count(lit(1)).as("n_feats"), sum(col("q")).as("qsum"))
-      .select(col("__id").as(idCol), col("n_feats"),
-        (col("qsum").cast("double") / lit(1e9)).as("logweight"))
+      .select(col("__id").as(idCol) +: col("n_feats") +:
+        (col("qsum").cast("double") / lit(1e9)).as("logweight") +:
+        extraCols.map(col): _*)
   }
 
   /** Per-document log importance weight of every raw document with at
@@ -140,10 +154,11 @@ object Dsir {
     */
   def importanceWeightsSelf(raw: DataFrame, targetPred: Column,
       buckets: Int = 8192, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", extraCols: Seq[String] = Nil): DataFrame = {
     require(buckets > 0, s"buckets $buckets must be positive")
     weightsFrom(featStream(raw, buckets, textCol, col(idCol),
-      lit(1), when(targetPred, 1).otherwise(0)), buckets, idCol)
+      lit(1), when(targetPred, 1).otherwise(0), extraCols),
+      buckets, idCol, extraCols)
   }
 
   // The "resample the most target-like slice" step is a composition,

@@ -72,7 +72,12 @@ object SubstringDedup {
     // old size(ws) >= w guard); the declarative per-window
     // slice+concat_ws form was the dominant kernel cost, and the
     // kernelFloor spreads the walk when the scan cannot split.
-    val wins = graft.core.OpCaches.persistTracked(
+    // EAGER persist: the two consumers below shuffle on (h1, h2) and
+    // AQE materializes both exchanges concurrently — racing a cold
+    // lazy cache recomputes the kernel pass per consumer (the
+    // JobGapProbe finding); the one up-front count pins both to
+    // cache reads
+    val wins = graft.core.OpCaches.persistTrackedEager(
       graft.core.Parallelism.kernelFloor(docs)
         .select(col(idCol), posexplode(
           graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), w)))
@@ -116,8 +121,8 @@ object SubstringDedup {
       .agg(sum(col("span_tokens")).as("dup_tokens"))
     docs
       .select(col(idCol),
-        size(TextFunctions.tokensNonEmpty(col(textCol))).cast("long")
-          .as("n_tokens"))
+        graft.functions.TokenizeFunctions.ws_token_count(col(textCol))
+          .cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= windowTokens)
       .join(spans, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),

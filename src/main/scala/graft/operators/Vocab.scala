@@ -140,33 +140,8 @@ object Vocab {
           .select(col(idCol), col("pos").cast("int").as("pos"),
             coalesce(col("token_id"), lit(0)).as("token_id"))
       }
-    val integralId = docs.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    val bounds =
-      if (integralId)
-        docs.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long")))
-          .head() match {
-          case r if r.isNullAt(0) || r.getLong(0) < 0 => None
-          case r => Some((r.getLong(0), r.getLong(1)))
-        }
-      else None
-    bounds match {
-      case Some((_, maxId)) =>
-        val parts = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
-        // ceil-width division: pid < parts for every id <= maxId, no
-        // multiply overflow, monotone in the id
-        val width = (maxId + 1 + parts - 1) / parts
-        graft.core.StaticRange.sortByKnownDomain(encoded,
-          (col(idCol).cast("long") / lit(math.max(1L, width))).cast("int"),
-          parts, Seq(col(idCol).asc, col("pos").asc))
-      case None =>
-        encoded.orderBy(col(idCol).asc, col("pos").asc)
-    }
+    graft.core.StaticRange.denseIdSort(encoded, docs, idCol,
+      Seq(col(idCol).asc, col("pos").asc))
   }
 
   /** [[buildVocab]] behind the metadata-versioned

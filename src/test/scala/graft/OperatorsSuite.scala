@@ -56,7 +56,30 @@ class OperatorsSuite extends SparkSuite {
         .collect().map(_.toSeq).toSet
       assert(win == bounded,
         s"f=$f: ${(win -- bounded).take(3)} / ${(bounded -- win).take(3)}")
+      // the narrow form reconstructs (strata, score, id) straight off
+      // the heaps — same winners, no semi-join back to the frame
+      val narrow = Curation.topFractionBoundedNarrow(
+        df, col("score"), Seq("grp"), "id", f, scoreName = "score")
+        .select(col("id"), col("grp"), col("score"))
+        .collect().map(_.toSeq).toSet
+      val winNarrow = Curation.topFraction(df, col("score"), Seq("grp"), "id", f)
+        .select(col("id"), col("grp"), col("score"))
+        .collect().map(_.toSeq).toSet
+      assert(narrow == winNarrow,
+        s"f=$f narrow: ${(winNarrow -- narrow).take(3)} / ${(narrow -- winNarrow).take(3)}")
     }
+    // ...and past the literal-strata bound it must route through the
+    // joined fallback unchanged (300 strata > MaxLiteralStrata)
+    val wide = (0 until 300).flatMap(g =>
+      Seq((g * 10L, s"g$g", 1.0), (g * 10L + 1, s"g$g", 2.0)))
+      .toDF("id", "grp", "score")
+    val nw = Curation.topFractionBoundedNarrow(
+      wide, col("score"), Seq("grp"), "id", 0.5, scoreName = "score")
+      .collect().map(_.toSeq).toSet
+    val ww = Curation.topFraction(wide, col("score"), Seq("grp"), "id", 0.5)
+      .select(col("grp"), col("score"), col("id"))
+      .collect().map(_.toSeq).toSet
+    assert(nw == ww, s"${(ww -- nw).take(3)} / ${(nw -- ww).take(3)}")
   }
 
   test("planted embedding near-dups: default ivf knobs hit recall >= 0.9, exact precision") {
