@@ -598,16 +598,25 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       val l = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
-      val w = Window.partitionBy(col("user_id"), col("rt"))
-        .orderBy(col("prior_id").desc)
+      // (user, rt) dedup keeping the max prior_id: a map-side-partial
+      // hash agg on a lexicographic struct max — not a row_number
+      // window, which sort-shuffles the whole non-purchase stream
+      // (r14 A/B: the window form was ~0.2 s of the row)
       val r = ev.filter(col("event_type") =!= "purchase")
         .select(col("user_id"), expr("ts div 1000").as("rt"),
           col("event_id").as("prior_id"), col("value").as("prior_value"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .drop("__rn")
-      graft.operators.AsOf.asofJoinBackward(
-        l, r, Seq("user_id"), "t", "rt", Seq("prior_id", "prior_value"))
-        .orderBy("event_id")
+        .groupBy(col("user_id"), col("rt"))
+        .agg(max(struct(col("prior_id"), col("prior_value"))).as("__m"))
+        .select(col("user_id"), col("rt"),
+          col("__m.prior_id").as("prior_id"),
+          col("__m.prior_value").as("prior_value"))
+      // output sort by probed event-id bounds: purchase ids are a
+      // subset of the events table's dense id domain, so no sampling
+      // pass re-runs the as-of pipeline
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.AsOf.asofJoinBackward(
+          l, r, Seq("user_id"), "t", "rt", Seq("prior_id", "prior_value")),
+        ev, "event_id", Seq(col("event_id").asc))
     }),
 
     // Forward as-of: for each purchase, the user's EARLIEST
@@ -616,16 +625,18 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       val l = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
-      val w = Window.partitionBy(col("user_id"), col("rt"))
-        .orderBy(col("next_id").asc)
       val r = ev.filter(col("event_type") =!= "purchase")
         .select(col("user_id"), expr("ts div 1000").as("rt"),
           col("event_id").as("next_id"), col("value").as("next_value"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .drop("__rn")
-      graft.operators.AsOf.asofJoinForward(
-        l, r, Seq("user_id"), "t", "rt", Seq("next_id", "next_value"))
-        .orderBy("event_id")
+        .groupBy(col("user_id"), col("rt"))
+        .agg(min(struct(col("next_id"), col("next_value"))).as("__m"))
+        .select(col("user_id"), col("rt"),
+          col("__m.next_id").as("next_id"),
+          col("__m.next_value").as("next_value"))
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.AsOf.asofJoinForward(
+          l, r, Seq("user_id"), "t", "rt", Seq("next_id", "next_value")),
+        ev, "event_id", Seq(col("event_id").asc))
     }),
 
     // Rollup aggregation (subtotals + grand total)
@@ -1399,12 +1410,16 @@ object SparkEntry {
     }),
 
     // Keyword extraction: top-3 TF-IDF terms per document. The final
-    // frame is corpus-proportional (3 rows per doc) — range sort, not
-    // the single-partition presentation sort.
-    "tfidf_topterms" -> ((s, dir) =>
-      graft.operators.Retrieval.tfidfTopTerms(
-        Tables.documents(s, dir), topK = 3)
-        .orderBy("doc_id", "rank")),
+    // frame is corpus-proportional (3 rows per doc) — range sort via
+    // probed id bounds (dense doc ids), not a sampling pass that
+    // replays the scoring stage, and not the single-partition
+    // presentation sort.
+    "tfidf_topterms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.Retrieval.tfidfTopTerms(docs, topK = 3),
+        docs, "doc_id", Seq(col("doc_id").asc, col("rank").asc))
+    }),
 
     // Set operations as explicit API, (user, day) grain: days a user
     // both viewed and purchased but saw no error (INTERSECT then
