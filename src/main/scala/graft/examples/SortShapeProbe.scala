@@ -89,7 +89,22 @@ object SortShapeProbe {
         graft.core.StaticRange.denseIdSort(
           graft.operators.SubstringDedup.duplicateSpans(d2, 20),
           d2, "doc_id", Seq(col("doc_id").asc, col("span_start").asc))
-      }))
+      }),
+      // r14b: the DSIR cache inversion applied to the window stream —
+      // recompute the wins kernel per consumer instead of the eager
+      // persist (kernel ~0.1 s at sf0.1, materialize ~0.36 s; the two
+      // consumer exchanges run CONCURRENTLY under AQE so the second
+      // kernel pass overlaps the first)
+      "dup_spans_nopersist" -> (() =>
+        graft.core.StaticRange.denseIdSort(
+          graft.operators.SubstringDedup.duplicateSpansShape(
+            docs, 20, "doc_id", "text", persistWins = false),
+          docs, "doc_id", Seq(col("doc_id").asc, col("span_start").asc))),
+      "dup_stats_nopersist" -> (() =>
+        graft.core.StaticRange.denseIdSort(
+          graft.operators.SubstringDedup.duplicationStatsShape(
+            docs, 20, "doc_id", "text", persistWins = false),
+          docs, "doc_id", Seq(col("doc_id").asc))))
 
     // phase timing of the dense-sort select: where does its gap over
     // the weights row go?
@@ -115,15 +130,18 @@ object SortShapeProbe {
       }
     }
 
+    // VARIANTS=name1,name2 interleaves just that subset
+    val onlyV = sys.env.get("VARIANTS").map(_.split(",").map(_.trim).toSet)
+    val chosen = variants.filter { case (n, _) => onlyV.forall(_.contains(n)) }
     val times = collection.mutable.Map[String, Vector[Double]]()
-    for (r <- 0 to rounds; (n, mk) <- variants) {
+    for (r <- 0 to rounds; (n, mk) <- chosen) {
       graft.core.OpCaches.release(); spark.catalog.clearCache()
       val t0 = System.nanoTime()
       mk().write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       if (r > 0) times(n) = times.getOrElse(n, Vector.empty) :+ t
     }
-    variants.foreach { case (n, _) =>
+    chosen.foreach { case (n, _) =>
       val ts = times(n)
       println(f"PROBE $n%-26s med=${ProbeUtil.median(ts)}%.3f  (${ts.map(t => f"$t%.2f").mkString(" ")})")
     }

@@ -28,19 +28,17 @@ import graft.functions.HashFunctions
   * at the output edge.
   *
   * Scale shape (the CCNet/LM model-then-score discipline):
-  *  - the corpus tokenizes ONCE into a cached (id, bucket, w_r, w_t)
-  *    feature stream; raw and target bucket counts collapse into a
-  *    single map-side-combined groupBy(bucket) over it (its output is
-  *    ≤B rows BY CONSTRUCTION at any corpus scale — the whole point
-  *    of hashed features), the (n_T, n_R) totals reduce from that
-  *    frame through a reused exchange and broadcast back onto it,
-  *    and the per-bucket quantized log term is precomputed INSIDE
-  *    the one broadcast model frame — kept IN-PLAN, not a driver
-  *    collect;
-  *  - the score side is then just a broadcast join on bucket and a
-  *    per-document aggregation (map-side partial) over the SAME
-  *    cached stream. Nothing corpus-sized ever broadcasts or
-  *    shuffles wide.
+  *  - raw and target bucket counts collapse into a single
+  *    map-side-combined groupBy(bucket) over one feature pass (its
+  *    output is ≤B rows BY CONSTRUCTION at any corpus scale — the
+  *    whole point of hashed features), small enough to collect: the
+  *    per-bucket quantized log term rides back into the plan as ONE
+  *    B-slot array literal (the pinned-codebook pattern), so the
+  *    operators are EAGER — construction runs the bounded model job;
+  *  - the score side is then join-free: a second feature pass probes
+  *    the literal array O(1) per occurrence and reduces per document
+  *    (map-side partial). Nothing corpus-sized ever broadcasts,
+  *    collects, or shuffles wide.
   *
   * The raw pool is scored against itself (every feature's bucket has
   * c_R ≥ 1 for its own occurrences), so the model join is inner on
@@ -86,32 +84,43 @@ object Dsir {
     * ratio a cache is a net loss, and at 100 TB persisting a
     * corpus-sized explode is exactly what does not fit. Both bucket
     * tables collapse into a single map-side-combined groupBy(bucket)
-    * (≤B rows BY CONSTRUCTION at any corpus scale), the totals
-    * reduce from that frame via a reused exchange and broadcast
-    * back, and the per-bucket quantized log term q is precomputed
-    * INSIDE the one broadcast model frame, so the score side is just
-    * broadcast-join + per-document partial agg over the stream's
-    * second run. Nothing corpus-sized ever persists, broadcasts, or
-    * shuffles wide.
+    * (≤B rows BY CONSTRUCTION at any corpus scale — the hashed-
+    * feature contract), which is small enough to ride to the DRIVER
+    * as one bounded collect: the per-bucket quantized log term q
+    * returns to the plan as a single B-slot array LITERAL indexed
+    * O(1) by bucket — the pinned-codebook pattern. That removes the
+    * totals-broadcast and model-broadcast materialization jobs the
+    * previous in-plan form paid (each a full driver round at toy
+    * scale) and makes the score side join-free: one kernel pass,
+    * one array probe per feature, one per-document partial agg.
+    * The collect is NOT a driver-side loop over data — it is the
+    * model itself, ≤B rows at any corpus size, exactly like
+    * collecting a k-means codebook. Nothing corpus-sized ever
+    * persists, broadcasts, collects, or shuffles wide.
     */
   private def weightsFrom(feats: DataFrame, buckets: Int,
       idCol: String, extraCols: Seq[String] = Nil): DataFrame = {
-    val q = floor(lit(1e9) * log(
-      ((col("c_t") + lit(1L)).cast("double") /
-        (col("n_t") + lit(buckets.toLong)).cast("double")) /
-        ((col("c_r") + lit(1L)).cast("double") /
-          (col("n_r") + lit(buckets.toLong)).cast("double"))))
-      .cast("long")
-    // counts feeds both the per-bucket frame and the totals agg; the
-    // two subtrees canonicalize identically, so the grouped exchange
-    // is planned once and reused (no Window node — the registered
-    // resample rows pin a window-free plan)
+    // one bounded job: kernel pass + map-side-combined (bucket)
+    // exchange, ≤buckets output rows
     val counts = feats.groupBy(col("bucket"))
       .agg(sum(col("w_r")).as("c_r"), sum(col("w_t")).as("c_t"))
-    val totals = counts.agg(sum(col("c_r")).as("n_r"),
-      sum(col("c_t")).as("n_t"))
-    val model = counts.crossJoin(broadcast(totals))
-      .select(col("bucket"), q.as("q"))
+      .collect()
+    var nR = 0L; var nT = 0L
+    counts.foreach { r => nR += r.getLong(1); nT += r.getLong(2) }
+    // exact mirror of the previous in-plan expression (same IEEE
+    // double ops in the same order, java.lang.Math.log both sides):
+    // q[b] = floor(1e9 · ln(((c_t+1)/(n_t+B)) / ((c_r+1)/(n_r+B))));
+    // buckets with no features keep the all-zero smoothing term —
+    // a scoring row's bucket always has c_r ≥ 1, so those slots are
+    // never probed
+    val qDefault = math.floor(1e9 * math.log(
+      (1.0 / (nT + buckets).toDouble) / (1.0 / (nR + buckets).toDouble))).toLong
+    val qArr = Array.fill(buckets)(qDefault)
+    counts.foreach { r =>
+      val num = (r.getLong(2) + 1L).toDouble / (nT + buckets).toDouble
+      val den = (r.getLong(1) + 1L).toDouble / (nR + buckets).toDouble
+      qArr(r.getLong(0).toInt) = math.floor(1e9 * math.log(num / den)).toLong
+    }
     // w_r is lit(1) in the self-target form — constant folding
     // removes the filter there; the two-frame form keeps it to drop
     // target-only rows from scoring
@@ -120,7 +129,10 @@ object Dsir {
     // unchanged — this is how a caller gets e.g. the stratum column
     // into the output without a second join against the corpus
     feats.filter(col("w_r") === 1)
-      .join(broadcast(model), Seq("bucket"))
+      .select(col("__id") +:
+        element_at(typedLit(qArr.toSeq),
+          (col("bucket") + lit(1L)).cast("int")).as("q") +:
+        extraCols.map(col): _*)
       .groupBy(col("__id") +: extraCols.map(col): _*)
       .agg(count(lit(1)).as("n_feats"), sum(col("q")).as("qsum"))
       .select(col("__id").as(idCol) +: col("n_feats") +:

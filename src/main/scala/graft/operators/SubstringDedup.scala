@@ -53,7 +53,23 @@ object SubstringDedup {
     * windows and cannot appear.
     */
   def duplicateSpans(docs: DataFrame, windowTokens: Int = 20,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    duplicateSpansShape(docs, windowTokens, idCol, textCol,
+      persistWins = false)
+
+  /** [[duplicateSpans]] with the wins-persist choice exposed for the
+    * SortShapeProbe A/B (recompute = the window stream re-derives per
+    * consumer, the DSIR inversion candidate). Output-identical either
+    * way. Recompute is the default since the r14b interleave
+    * (spans 1.58 vs 1.82 s, stats 1.45 vs 1.50 s medians): with the
+    * byte-walk kernel at ~0.1 s the eager persist's materialize job
+    * costs more than the second kernel pass, which runs CONCURRENTLY
+    * with the first inside AQE's exchange materialization — and at
+    * 100 TB a corpus-sized window stream cannot persist anyway, so
+    * recompute is also the only shape that scales.
+    */
+  private[graft] def duplicateSpansShape(docs: DataFrame, windowTokens: Int,
+      idCol: String, textCol: String, persistWins: Boolean): DataFrame = {
     require(windowTokens >= 2,
       s"windowTokens $windowTokens must be >= 2 (a 1-token window is word_freq)")
     val w = windowTokens
@@ -61,30 +77,29 @@ object SubstringDedup {
     // text: (doc, start, h1, h2). slice+concat_ws materializes each
     // window string once on the map side; only the 96-bit key and the
     // position cross the wire.
-    // cached: the window stream feeds BOTH the dup-key count and the
-    // semi-join probe side — without it the tokenize + per-window MD5
-    // pass (the expensive map work) runs once per consumer, and a
-    // caller's output sort adds a range-sampling re-execution on top.
-    // Narrow rows (id, pos, 96-bit key); OpCaches lifecycle, callers
-    // release after materializing. The window strings come from the
-    // native ws_ngrams byte walk (one pass per doc; a doc shorter
-    // than w tokens yields an empty array and explodes away — the
-    // old size(ws) >= w guard); the declarative per-window
+    // The window stream feeds BOTH the dup-key count and the
+    // semi-join probe side. The window strings come from the native
+    // ws_ngrams byte walk (one pass per doc; a doc shorter than w
+    // tokens yields an empty array and explodes away — the old
+    // size(ws) >= w guard); the declarative per-window
     // slice+concat_ws form was the dominant kernel cost, and the
-    // kernelFloor spreads the walk when the scan cannot split.
-    // EAGER persist: the two consumers below shuffle on (h1, h2) and
-    // AQE materializes both exchanges concurrently — racing a cold
-    // lazy cache recomputes the kernel pass per consumer (the
-    // JobGapProbe finding); the one up-front count pins both to
-    // cache reads
-    val wins = graft.core.OpCaches.persistTrackedEager(
-      graft.core.Parallelism.kernelFloor(docs)
-        .select(col(idCol), posexplode(
-          graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), w)))
-        .select(col(idCol), (col("pos") + 1).cast("long").as("s"),
-          HashFunctions.md5_pair(col("col")).as("hp"))
-        .select(col(idCol), col("s"),
-          col("hp").getItem(0).as("h1"), col("hp").getItem(1).as("h2")))
+    // kernelFloor spreads the walk when the scan cannot split. With
+    // the kernel that cheap the stream RECOMPUTES per consumer by
+    // default: the two consumer exchanges materialize concurrently
+    // under AQE, so the second kernel pass overlaps the first, while
+    // the eager persist paid a synchronous up-front count job — the
+    // same reuse-vs-recompute inversion the DSIR feature stream hit
+    // (r14b interleave in [[duplicateSpans]]'s scaladoc).
+    val winsPlan = graft.core.Parallelism.kernelFloor(docs)
+      .select(col(idCol), posexplode(
+        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), w)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("s"),
+        HashFunctions.md5_pair(col("col")).as("hp"))
+      .select(col(idCol), col("s"),
+        col("hp").getItem(0).as("h1"), col("hp").getItem(1).as("h2"))
+    val wins =
+      if (persistWins) graft.core.OpCaches.persistTrackedEager(winsPlan)
+      else winsPlan
     // a window is duplicated when its key occurs >= 2 times anywhere
     // (another document OR a repeat within the same one)
     val dupKeys = wins.groupBy(col("h1"), col("h2"))
@@ -115,8 +130,14 @@ object SubstringDedup {
     * computed at the output edge from two exact integers.
     */
   def duplicationStats(docs: DataFrame, windowTokens: Int = 20,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = duplicateSpans(docs, windowTokens, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    duplicationStatsShape(docs, windowTokens, idCol, textCol,
+      persistWins = false)
+
+  private[graft] def duplicationStatsShape(docs: DataFrame, windowTokens: Int,
+      idCol: String, textCol: String, persistWins: Boolean): DataFrame = {
+    val spans = duplicateSpansShape(docs, windowTokens, idCol, textCol,
+      persistWins)
       .groupBy(col(idCol))
       .agg(sum(col("span_tokens")).as("dup_tokens"))
     docs
