@@ -1177,7 +1177,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val (lm, vocabDf) = graft.operators.Lm.bigramLmPlan(
         docs.filter(col("doc_id") % 7 === 3))
-      graft.operators.Lm.lmScoreWith(docs, lm, vocabDf).orderBy("doc_id")
+      // corpus-proportional per-doc output on a dense id domain:
+      // probed-bounds sort, not a sampling pass that replays scoring
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.Lm.lmScoreWith(docs, lm, vocabDf),
+        docs, "doc_id", Seq(col("doc_id").asc))
     }),
 
     "pack_sequences" -> ((s, dir) =>
@@ -2691,7 +2695,9 @@ object SparkEntry {
     // reference slice, same top-M tiebreak, same Laplace terms, same
     // floor(1e9 ln p) quantization before the order-free sum
     "lm_perplexity" ->
-      s"""WITH w AS (SELECT doc_id, text, $TokensExpr AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, text,
+         |                  list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
          |ref AS (SELECT * FROM w WHERE doc_id % 7 = 3),
          |runi AS (SELECT unnest(ws) AS t FROM ref WHERE length(trim(text)) > 0),
          |uni AS (SELECT t, count(*) AS c_a FROM runi GROUP BY t),

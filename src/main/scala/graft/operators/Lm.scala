@@ -39,20 +39,30 @@ import graft.functions.TextFunctions
   * token array, never re-splitting per element).
   *
   * NOTE: bigrams carry MULTIPLICITY (an LM counts events), so they
-  * build from the token array directly — the `wordShingles` kernel
-  * deliberately dedups shingles per document (the near-dup/Jaccard
-  * convention) and would undercount repeated bigrams.
+  * come from the `ws_ngrams(text, 2)` byte-walk kernel (one pass
+  * over the trimmed bytes, NONEMPTY tokens — the repetition-stats
+  * convention shared by the substring-dedup and DSIR emissions) —
+  * the `wordShingles` kernel deliberately dedups shingles per
+  * document (the near-dup/Jaccard convention) and would undercount
+  * repeated bigrams, and the declarative
+  * `transform(sequence, concat_ws(element_at‖element_at))` form this
+  * replaced re-evaluates its inlined tokenize subtree inside the
+  * higher-order lambda (the CollapseProject trap the DSIR scaladoc
+  * documents; its combined emission measured ~1.7 s single-task vs
+  * 0.11 s native at sf0.1).
   */
 object Lm {
 
-  /** All consecutive token pairs of a token-array column, "a b"
-    * strings WITH multiplicity, 1-based like the SQL mirror.
+  /** Bigram event stream of one frame: every consecutive nonempty
+    * token pair as "a b", WITH multiplicity, via the native byte
+    * walk; a document with fewer than two tokens yields the empty
+    * array and explodes away. kernelFloor spreads the walk when the
+    * source scan is too small to split — a no-op at cluster scale.
     */
-  private def bigramsOf(ws: org.apache.spark.sql.Column) =
-    when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array())
+  private def bigramStream(df: DataFrame, textCol: String) =
+    graft.core.Parallelism.kernelFloor(df)
+      .select(explode(
+        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), 2)).as("s"))
 
   /** The trained model: (s = "a b" bigram, c_ab, c_a) for the `topM`
     * most frequent reference bigrams (ties: bigram string ascending),
@@ -71,12 +81,10 @@ object Lm {
     // behind it (round-13 JobGapProbe measured the eager form slower
     // end-to-end: wall 1.34 → 1.59 s)
     val uni = nonBlank
-      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(explode(TextFunctions.tokensNonEmpty(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c_a"))
       .transform(graft.core.OpCaches.persistTracked)
-    val lm = reference
-      .select(TextFunctions.tokens(col(textCol)).as("ws"))
-      .select(explode(bigramsOf(col("ws"))).as("s"))
+    val lm = bigramStream(reference, textCol)
       .groupBy(col("s")).agg(count(lit(1)).as("c_ab"))
       .orderBy(col("c_ab").desc, col("s").asc).limit(topM)
       // a token cannot contain whitespace, so the shingle's first
@@ -145,9 +153,9 @@ object Lm {
         (col("c_a") + lit(vocab)).cast("double"))).cast("long")
     val qUnk = floor(lit(1e9) * log(
       lit(1.0) / lit(vocab.toDouble))).cast("long")
-    docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
-      .select(col(idCol), explode(bigramsOf(col("ws"))).as("s"))
+    graft.core.Parallelism.kernelFloor(docs)
+      .select(col(idCol), explode(
+        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), 2)).as("s"))
       .join(broadcast(lm), Seq("s"), "left")
       .select(col(idCol),
         when(col("c_ab").isNotNull, qKnown).otherwise(qUnk).as("q"))
@@ -171,9 +179,9 @@ object Lm {
         (col("c_a") + v).cast("double"))).cast("long")
     val qUnk = floor(lit(1e9) * log(
       lit(1.0) / v.cast("double"))).cast("long")
-    docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
-      .select(col(idCol), explode(bigramsOf(col("ws"))).as("s"))
+    graft.core.Parallelism.kernelFloor(docs)
+      .select(col(idCol), explode(
+        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), 2)).as("s"))
       .crossJoin(broadcast(vocabDf))
       .join(broadcast(lm), Seq("s"), "left")
       .select(col(idCol),
