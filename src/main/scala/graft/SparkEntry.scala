@@ -1372,6 +1372,22 @@ object SparkEntry {
         docs, "doc_id", Seq(col("doc_id").asc))
     }),
 
+    // ...and the ingest-time serving form: an arriving batch (the
+    // doc_id%5==0 slice) screened for windows already duplicated in
+    // the standing corpus (the rest), with the corpus dup-key table
+    // read from the IndexStore — the corpus-sized pass runs zero
+    // times per call. `variant` names the corpus SLICE (store
+    // entries fingerprint the file, not the frame)
+    "dup_screen_prebuilt" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.SubstringDedup.dupScreenBatchPrebuilt(
+          docs.filter(col("doc_id") % 5 =!= 0), s"$dir/documents.parquet",
+          docs.filter(col("doc_id") % 5 === 0), windowTokens = 20,
+          variant = "holdout5"),
+        docs, "doc_id", Seq(col("doc_id").asc, col("s").asc))
+    }),
+
     // DSIR-style hashed n-gram importance weights (Xie et al. 2023):
     // every document scored by ln-likelihood-ratio of its hashed
     // unigram+bigram features under the English slice vs the raw
@@ -3109,6 +3125,28 @@ object SparkEntry {
 
     // mirrors SubstringDedup.duplicateSpans(windowTokens=20): every
     // 20-token window keyed by its 96-bit MD5 (both 48-bit halves
+    // mirrors SubstringDedup.dupScreenBatchPrebuilt(windowTokens=20,
+    // corpus = doc_id%5<>0, batch = doc_id%5=0): corpus >=2-occurrence
+    // window keys, batch windows inner-joined (each batch window is
+    // one row, each key distinct — inner == semi here)
+    "dup_screen_prebuilt" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
+         |cw AS (SELECT ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 1, 12))::BIGINT AS h1,
+         |              ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 13, 12))::BIGINT AS h2
+         |       FROM (SELECT * FROM t WHERE doc_id % 5 <> 0),
+         |            unnest(generate_series(1, len(ws) - 19)) AS u(i)
+         |       WHERE len(ws) >= 20),
+         |d AS (SELECT h1, h2 FROM cw GROUP BY h1, h2 HAVING count(*) >= 2),
+         |bw AS (SELECT doc_id, CAST(i AS BIGINT) AS s,
+         |              ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 1, 12))::BIGINT AS h1,
+         |              ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 13, 12))::BIGINT AS h2
+         |       FROM (SELECT * FROM t WHERE doc_id % 5 = 0),
+         |            unnest(generate_series(1, len(ws) - 19)) AS u(i)
+         |       WHERE len(ws) >= 20)
+         |SELECT doc_id, s, s + 19 AS e FROM bw JOIN d USING (h1, h2)
+         |ORDER BY doc_id, s""".stripMargin,
+
     // replayed from the hex form), >=2-occurrence keys, then the
     // running-max interval merge into maximal covered runs
     "dup_spans" ->

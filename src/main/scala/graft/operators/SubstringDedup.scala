@@ -47,6 +47,92 @@ import graft.functions.{HashFunctions, TextFunctions}
   */
 object SubstringDedup {
 
+  /** Every w-token window of `docs` as its 96-bit MD5 key:
+    * (idCol, s, h1, h2) with 1-based token start `s`. The window
+    * strings come from the native `ws_ngrams` byte walk (one pass per
+    * doc; a doc shorter than w tokens yields no windows), and only
+    * the key and position leave the map side.
+    */
+  private[graft] def windowKeys(docs: DataFrame, windowTokens: Int,
+      idCol: String, textCol: String): DataFrame =
+    graft.core.Parallelism.kernelFloor(docs)
+      .select(col(idCol), posexplode(
+        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), windowTokens)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("s"),
+        HashFunctions.md5_pair(col("col")).as("hp"))
+      .select(col(idCol), col("s"),
+        col("hp").getItem(0).as("h1"), col("hp").getItem(1).as("h2"))
+
+  /** A window is duplicated when its key occurs >= 2 times anywhere —
+    * another document OR a repeat within the same one. Output is
+    * |distinct duplicated windows| rows of (h1, h2).
+    */
+  private def dupKeysOf(wins: DataFrame): DataFrame =
+    wins.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("h1"), col("h2"))
+
+  /** The corpus's duplicated-window key table: (h1, h2) for every
+    * w-token window occurring >= 2 times in `docs` — the "known
+    * boilerplate" vocabulary an ingest-time screen probes
+    * ([[graft.streaming.DocsStream.substringDupScreen]] is the
+    * streaming consumer; at scale this is the stored side, exactly
+    * like the minhash band index).
+    */
+  def duplicatedWindowKeys(docs: DataFrame, windowTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2,
+      s"windowTokens $windowTokens must be >= 2 (a 1-token window is word_freq)")
+    dupKeysOf(windowKeys(docs, windowTokens, idCol, textCol))
+  }
+
+  /** [[duplicatedWindowKeys]] served from the
+    * [[graft.core.IndexStore]]: the corpus dup-key pass (the ONLY
+    * corpus-sized work of an ingest screen) runs once per
+    * (corpusPath, windowTokens, variant) fingerprint and later calls
+    * read index bytes. `variant` MUST name any corpus frame that is
+    * not the whole file (the store fingerprints the FILE — two
+    * different slices over one path would silently share an entry
+    * otherwise, the round-12 store-collision lesson).
+    */
+  def storedDupKeys(corpus: DataFrame, corpusPath: String,
+      windowTokens: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text", variant: String = "",
+      force: Boolean = false): DataFrame = {
+    val name = s"dupkeys-w$windowTokens-$idCol-$textCol" +
+      (if (variant.isEmpty) "" else s"-$variant") + "-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      duplicatedWindowKeys(corpus, windowTokens, idCol, textCol))
+  }
+
+  /** Batch ingest screen against the stored corpus dup-key table:
+    * every w-token window of a `batch` document whose key is already
+    * duplicated in the corpus — (idCol, s, e), 1-based inclusive
+    * token positions, the batch twin of
+    * [[graft.streaming.DocsStream.substringDupScreen]] and the
+    * serving form of the marking stage of [[duplicateSpans]].
+    *
+    * Per-call work is batch-bounded: one `ws_ngrams` walk over the
+    * batch, a semi join against index bytes (|distinct corpus
+    * duplicated windows| rows — the stored side), nothing
+    * corpus-sized recomputed. Window-grain marks, like the streaming
+    * twin; span merge and coverage ratios compose via
+    * [[duplicationStats]]-style rollups downstream.
+    */
+  def dupScreenBatchPrebuilt(corpus: DataFrame, corpusPath: String,
+      batch: DataFrame, windowTokens: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text", variant: String = "",
+      force: Boolean = false): DataFrame = {
+    val keys = storedDupKeys(corpus, corpusPath, windowTokens, idCol,
+      textCol, variant, force)
+    windowKeys(batch, windowTokens, idCol, textCol)
+      .join(keys, Seq("h1", "h2"), "left_semi")
+      .select(col(idCol), col("s"),
+        (col("s") + lit(windowTokens.toLong) - 1L).as("e"))
+  }
+
   /** Maximal duplicated-token spans per document:
     * (idCol, span_start, span_end, span_tokens), ordered output left
     * to the caller. Documents shorter than `windowTokens` have no
@@ -73,38 +159,18 @@ object SubstringDedup {
     require(windowTokens >= 2,
       s"windowTokens $windowTokens must be >= 2 (a 1-token window is word_freq)")
     val w = windowTokens
-    // every w-token window, keyed by the 96-bit MD5 of its joined
-    // text: (doc, start, h1, h2). slice+concat_ws materializes each
-    // window string once on the map side; only the 96-bit key and the
-    // position cross the wire.
-    // The window stream feeds BOTH the dup-key count and the
-    // semi-join probe side. The window strings come from the native
-    // ws_ngrams byte walk (one pass per doc; a doc shorter than w
-    // tokens yields an empty array and explodes away — the old
-    // size(ws) >= w guard); the declarative per-window
-    // slice+concat_ws form was the dominant kernel cost, and the
-    // kernelFloor spreads the walk when the scan cannot split. With
-    // the kernel that cheap the stream RECOMPUTES per consumer by
-    // default: the two consumer exchanges materialize concurrently
-    // under AQE, so the second kernel pass overlaps the first, while
-    // the eager persist paid a synchronous up-front count job — the
-    // same reuse-vs-recompute inversion the DSIR feature stream hit
-    // (r14b interleave in [[duplicateSpans]]'s scaladoc).
-    val winsPlan = graft.core.Parallelism.kernelFloor(docs)
-      .select(col(idCol), posexplode(
-        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), w)))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("s"),
-        HashFunctions.md5_pair(col("col")).as("hp"))
-      .select(col(idCol), col("s"),
-        col("hp").getItem(0).as("h1"), col("hp").getItem(1).as("h2"))
+    // the window stream feeds BOTH the dup-key count and the
+    // semi-join probe side, and RECOMPUTES per consumer by default:
+    // the two consumer exchanges materialize concurrently under AQE,
+    // so the second kernel pass overlaps the first, while the eager
+    // persist paid a synchronous up-front count job — the same
+    // reuse-vs-recompute inversion the DSIR feature stream hit
+    // (r14b interleave in [[duplicateSpans]]'s scaladoc)
+    val winsPlan = windowKeys(docs, w, idCol, textCol)
     val wins =
       if (persistWins) graft.core.OpCaches.persistTrackedEager(winsPlan)
       else winsPlan
-    // a window is duplicated when its key occurs >= 2 times anywhere
-    // (another document OR a repeat within the same one)
-    val dupKeys = wins.groupBy(col("h1"), col("h2"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select(col("h1"), col("h2"))
+    val dupKeys = dupKeysOf(wins)
     val dw = wins.join(dupKeys, Seq("h1", "h2"), "left_semi")
       .select(col(idCol), col("s"), (col("s") + lit(w.toLong) - 1L).as("e"))
     // interval merge: a window starts a new span iff it begins past

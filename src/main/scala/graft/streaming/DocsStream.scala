@@ -78,6 +78,46 @@ object DocsStream {
       .select(col(idCol), col("s").as("matched_ngram"))
   }
 
+  /** Ingest-time duplicated-substring screen: every w-token window of
+    * an arriving document whose key is ALREADY duplicated in the
+    * static corpus — (idCol, s, e) with 1-based inclusive token
+    * positions, the streaming twin of
+    * [[graft.operators.SubstringDedup.duplicateSpans]]'s marking
+    * stage against a fixed corpus ("how much of this incoming page is
+    * known boilerplate?").
+    *
+    * Emits WINDOW-grain marks, not merged spans or per-doc ratios:
+    * the interval merge and coverage sum are per-document
+    * aggregations — stateful in a stream — so they stay with the
+    * batch compaction ([[graft.operators.SubstringDedup.duplicationStats]])
+    * or a `foreachBatch` sink, the same division of labour as
+    * [[contaminationScreen]] (window marks now, rollups at
+    * compaction). Overlapping windows of one duplicated region each
+    * produce a row; consumers that only gate on "any boilerplate hit"
+    * can stop at the first.
+    *
+    * Scale shape: row-local tokenize+MD5 (the `ws_ngrams` byte walk,
+    * no shuffle, no state), stream-static LEFT SEMI join against the
+    * corpus dup-key table — |distinct duplicated windows| rows, the
+    * stored side at scale, exactly like the minhash band index.
+    */
+  def substringDupScreen(docsStream: DataFrame, corpus: DataFrame,
+      windowTokens: Int = 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val dupKeys = graft.operators.SubstringDedup
+      .duplicatedWindowKeys(corpus, windowTokens, idCol, textCol)
+    docsStream
+      .select(col(idCol), posexplode(
+        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), windowTokens)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("s"),
+        HashFunctions.md5_pair(col("col")).as("hp"))
+      .select(col(idCol), col("s"),
+        col("hp").getItem(0).as("h1"), col("hp").getItem(1).as("h2"))
+      .join(dupKeys, Seq("h1", "h2"), "left_semi")
+      .select(col(idCol), col("s"),
+        (col("s") + lit(windowTokens.toLong) - 1L).as("e"))
+  }
+
   /** Candidates of each arriving document against the corpus:
     * (new_id, corpus_id, band_idx, est_jaccard) per shared band.
     */

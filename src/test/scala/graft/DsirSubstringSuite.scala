@@ -194,4 +194,40 @@ class DsirSubstringSuite extends SparkSuite {
       SubstringDedup.duplicateSpans(docs, windowTokens = 1)
     }
   }
+
+  test("dup screen: store-served equals inline keys; variants do not collide") {
+    // one parquet path, two DIFFERENT corpus slices over it — the
+    // store-collision shape the variant key exists for
+    val boiler = (1 to 4).map(i => s"B$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $boiler a3"), (2L, s"c1 $boiler c2 c3"), // dup pair in slice A
+      (3L, "u1 u2 u3 u4 u5 u6 u7"), (4L, "v1 v2 v3 v4 v5 v6"),
+      (10L, s"probe start $boiler probe end"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dupscreen").toString
+    docs.write.mode("overwrite").parquet(path)
+    val stored = docs.sparkSession.read.parquet(path)
+    val sliceA = stored.filter(col("doc_id") < 5)    // contains the dup pair
+    val sliceB = stored.filter(col("doc_id") >= 3)   // boiler occurs once only
+    val batch = stored.filter(col("doc_id") === 10L)
+    def marks(corpus: org.apache.spark.sql.DataFrame, variant: String) =
+      SubstringDedup.dupScreenBatchPrebuilt(corpus, path, batch,
+        windowTokens = 4, variant = variant)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotA = marks(sliceA, "ltfive")
+    // inline equivalent: batch windows semi-joined against inline keys
+    val inlineA = SubstringDedup.windowKeys(batch, 4, "doc_id", "text")
+      .join(SubstringDedup.duplicatedWindowKeys(sliceA, 4), Seq("h1", "h2"),
+        "left_semi")
+      .select(col("doc_id"), col("s"), (col("s") + 3L).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotA == inlineA && gotA.nonEmpty, s"$gotA vs $inlineA")
+    assert(gotA == Set((10L, 3L, 6L)), gotA) // the one boilerplate window
+    // slice B never duplicates the block — a colliding store entry
+    // would wrongly return slice A's marks here
+    assert(marks(sliceB, "gethree").isEmpty)
+    // and the store round-trip is stable (second call reads the entry)
+    assert(marks(sliceA, "ltfive") == gotA)
+  }
 }

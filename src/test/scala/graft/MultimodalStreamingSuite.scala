@@ -153,6 +153,47 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming: substring-dup screen marks exactly the corpus-duplicated windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // corpus with one duplicated 8-token boilerplate block (docs 1, 2)
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"intro one two $boiler tail alpha"),
+      (2L, s"other opening words $boiler different ending here"),
+      (3L, "an entirely unique document with no repeats at all"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val screened = graft.streaming.DocsStream.substringDupScreen(
+      ms.toDF().toDF("doc_id", "text"), corpus, windowTokens = 8)
+    assert(screened.isStreaming)
+    val q = screened.writeStream.format("memory").queryName("sub_screen")
+      .outputMode("append").start()
+    try {
+      // doc 100 embeds the boilerplate; doc 101 is clean; doc 102 too
+      // short for any window
+      ms.addData((100L, s"fresh start $boiler and then new text"),
+        (101L, "completely novel content with nothing shared anywhere ok"),
+        (102L, "too short"))
+      q.processAllAvailable()
+      val got = spark.table("sub_screen")
+        .orderBy("doc_id", "s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // exactly the one 8-token window of doc 100 whose key is
+      // corpus-duplicated: tokens 3..10 (1-based: after "fresh start")
+      assert(got == Seq((100L, 3L, 10L)), got.toString)
+      // parity: the batch marking stage over the same frame agrees
+      val batchWins = graft.operators.SubstringDedup
+        .windowKeys(Seq((100L, s"fresh start $boiler and then new text"))
+          .toDF("doc_id", "text"), 8, "doc_id", "text")
+        .join(graft.operators.SubstringDedup.duplicatedWindowKeys(corpus, 8),
+          Seq("h1", "h2"), "left_semi")
+        .select(col("doc_id"), col("s"), (col("s") + 7L).as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == batchWins, s"stream $got != batch $batchWins")
+    } finally q.stop()
+  }
+
   test("streaming: token-id encode against a fitted vocabulary matches batch") {
     // the vocabulary is a fit artifact; the encode pass is a
     // stateless stream-static broadcast join, so an ingest stream
