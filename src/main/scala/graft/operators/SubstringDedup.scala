@@ -54,8 +54,8 @@ object SubstringDedup {
     * the key and position leave the map side.
     */
   private[graft] def windowKeys(docs: DataFrame, windowTokens: Int,
-      idCol: String, textCol: String): DataFrame =
-    graft.core.Parallelism.kernelFloor(docs)
+      idCol: String, textCol: String, floor: Boolean = true): DataFrame =
+    (if (floor) graft.core.Parallelism.kernelFloor(docs) else docs)
       .select(col(idCol), posexplode(
         graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), windowTokens)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("s"),
@@ -127,7 +127,12 @@ object SubstringDedup {
       force: Boolean = false): DataFrame = {
     val keys = storedDupKeys(corpus, corpusPath, windowTokens, idCol,
       textCol, variant, force)
-    windowKeys(batch, windowTokens, idCol, textCol)
+    // batch side: a LIGHT kernel (the batch is ingest-sized by
+    // definition) — no kernelFloor, per the RebalanceProbe regime
+    // note in [[graft.core.Parallelism]]; the store side is a small
+    // parquet relation with file-size stats, so the semi join plans
+    // as a static broadcast — zero exchanges on the serving path
+    windowKeys(batch, windowTokens, idCol, textCol, floor = false)
       .join(keys, Seq("h1", "h2"), "left_semi")
       .select(col(idCol), col("s"),
         (col("s") + lit(windowTokens.toLong) - 1L).as("e"))
