@@ -1388,6 +1388,21 @@ object SparkEntry {
         docs, "doc_id", Seq(col("doc_id").asc, col("s").asc))
     }),
 
+    // ...and the DSIR serving form: an arriving batch (doc_id%5==0)
+    // scored under the PINNED model of the standing corpus (the
+    // rest, target = its English slice), the (bucket, q) table read
+    // from the IndexStore — per call: one B-row collect + one
+    // map-only row-local scoring pass, zero corpus access
+    "dsir_weights_prebuilt" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.Dsir.scoreBatchPrebuilt(
+          docs.filter(col("doc_id") % 5 =!= 0), s"$dir/documents.parquet",
+          docs.filter(col("doc_id") % 5 === 0), col("lang") === "en",
+          variant = "holdout5-en"),
+        docs, "doc_id", Seq(col("doc_id").asc))
+    }),
+
     // DSIR-style hashed n-gram importance weights (Xie et al. 2023):
     // every document scored by ln-likelihood-ratio of its hashed
     // unigram+bigram features under the English slice vs the raw
@@ -3207,6 +3222,42 @@ object SparkEntry {
     // always non-negative), Laplace-smoothed bucket distributions,
     // per-occurrence floor(1e9*ln(pT/pR)) quantized terms — the float
     // expression mirrors the Spark column token-for-token
+    // mirrors Dsir.scoreBatchPrebuilt(corpus = doc_id%5<>0, target =
+    // corpus AND lang='en', batch = doc_id%5=0): the model CTEs run
+    // over the corpus slice only; batch features LEFT-join BOTH count
+    // tables (a batch feature may hash to a bucket the corpus never
+    // hit — the +1 smoothing covers it on both sides)
+    "dsir_weights_prebuilt" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
+         |cfe AS (
+         |  SELECT lang, unnest(ws) AS f FROM t WHERE doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT lang, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i+1])) AS f FROM t WHERE doc_id % 5 <> 0),
+         |cb AS (SELECT lang, ('0x' || substr(md5(f), 1, 12))::BIGINT % 8192 AS bucket
+         |       FROM cfe),
+         |tc AS (SELECT bucket, count(*) AS c_t FROM cb WHERE lang = 'en' GROUP BY bucket),
+         |tt AS (SELECT COALESCE(sum(c_t), 0) AS n_t FROM tc),
+         |rc AS (SELECT bucket, count(*) AS c_r FROM cb GROUP BY bucket),
+         |rt AS (SELECT COALESCE(sum(c_r), 0) AS n_r FROM rc),
+         |bfe AS (
+         |  SELECT doc_id, unnest(ws) AS f FROM t WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i+1])) AS f FROM t WHERE doc_id % 5 = 0),
+         |bb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 12))::BIGINT % 8192 AS bucket
+         |       FROM bfe),
+         |q AS (SELECT bb.doc_id,
+         |        CAST(floor(1e9 * ln(
+         |          (CAST(COALESCE(tc.c_t, 0) + 1 AS DOUBLE) / CAST(tt.n_t + 8192 AS DOUBLE)) /
+         |          (CAST(COALESCE(rc.c_r, 0) + 1 AS DOUBLE) / CAST(rt.n_r + 8192 AS DOUBLE)))) AS BIGINT) AS q
+         |      FROM bb LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+         |           CROSS JOIN tt CROSS JOIN rt)
+         |SELECT doc_id, count(*) AS n_feats,
+         |       CAST(sum(q) AS DOUBLE) / 1e9 AS logweight
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dsir_weights" ->
       s"""WITH t AS (SELECT doc_id, lang, list_filter($TokensExpr, x -> x <> '') AS ws
          |           FROM documents),

@@ -90,6 +90,29 @@ object SortShapeProbe {
           graft.operators.SubstringDedup.duplicateSpans(d2, 20),
           d2, "doc_id", Seq(col("doc_id").asc, col("span_start").asc))
       }),
+      // r14c: row-local fold scoring (the registered form) vs the
+      // explode+hash-agg scoring over the same literal model — is the
+      // interpreted HigherOrderFunction fold cheaper than the
+      // codegen'd explode + exchange + agg it replaced?
+      "dsir_w_rowlocal" -> (() =>
+        graft.core.StaticRange.denseIdSort(
+          graft.operators.Dsir.importanceWeightsSelf(docs, col("lang") === "en"),
+          docs, "doc_id", Seq(col("doc_id").asc))),
+      "dsir_w_explode" -> (() => {
+        val qArr = graft.operators.Dsir.modelArraySelf(docs, col("lang") === "en")
+        val scored = graft.core.Parallelism.kernelFloor(docs)
+          .select(col("doc_id"), explode(
+            graft.functions.TokenizeFunctions.ws_ngram_features(col("text"), 2)).as("f"))
+          .select(col("doc_id"), element_at(typedLit(qArr.toSeq),
+            (graft.functions.HashFunctions.md5_pair(col("f")).getItem(0) % 8192
+              + lit(1L)).cast("int")).as("q"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_feats"), sum(col("q")).as("qsum"))
+          .select(col("doc_id"), col("n_feats"),
+            (col("qsum").cast("double") / lit(1e9)).as("logweight"))
+        graft.core.StaticRange.denseIdSort(scored, docs, "doc_id",
+          Seq(col("doc_id").asc))
+      }),
       // r14b: the DSIR cache inversion applied to the window stream —
       // recompute the wins kernel per consumer instead of the eager
       // persist (kernel ~0.1 s at sf0.1, materialize ~0.36 s; the two

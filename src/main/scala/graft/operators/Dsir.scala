@@ -35,10 +35,13 @@ import graft.functions.HashFunctions
   *    per-bucket quantized log term rides back into the plan as ONE
   *    B-slot array literal (the pinned-codebook pattern), so the
   *    operators are EAGER — construction runs the bounded model job;
-  *  - the score side is then join-free: a second feature pass probes
-  *    the literal array O(1) per occurrence and reduces per document
-  *    (map-side partial). Nothing corpus-sized ever broadcasts,
-  *    collects, or shuffles wide.
+  *  - scoring is then JOIN-FREE: one codegen'd feature pass probing
+  *    the literal O(1) per occurrence plus a map-side-partial
+  *    per-document agg — and where state-freedom matters more than
+  *    the codegen (streaming, small ingest batches), the [[rowScore]]
+  *    fold computes the same integers entirely within each row.
+  *    Nothing corpus-sized ever broadcasts, collects, or shuffles
+  *    wide.
   *
   * The raw pool is scored against itself (every feature's bucket has
   * c_R ≥ 1 for its own occurrences), so the model join is inner on
@@ -64,55 +67,28 @@ object Dsir {
     * a no-op at cluster scale.
     */
   private def featStream(df: DataFrame, buckets: Int, textCol: String,
-      id: Column, wR: Column, wT: Column,
-      extraCols: Seq[String] = Nil): DataFrame =
+      id: Column, wR: Column, wT: Column): DataFrame =
     graft.core.Parallelism.kernelFloor(df)
-      .select(id.as("__id") +: explode(
+      .select(id.as("__id"), explode(
         graft.functions.TokenizeFunctions.ws_ngram_features(
-          col(textCol), 2)).as("f") +: wR.as("w_r") +: wT.as("w_t") +:
-        extraCols.map(col): _*)
-      .select(col("__id") +: bucketOf(col("f"), buckets).as("bucket") +:
-        col("w_r") +: col("w_t") +: extraCols.map(col): _*)
+          col(textCol), 2)).as("f"), wR.as("w_r"), wT.as("w_t"))
+      .select(col("__id"), bucketOf(col("f"), buckets).as("bucket"),
+        col("w_r"), col("w_t"))
 
-  /** Shared core: one feature-stream SHAPE `(id, bucket, w_r, w_t)`
-    * serves the raw model (c_r = Σ w_r), the target model
-    * (c_t = Σ w_t), and the score pass (rows with w_r = 1) — and the
-    * stream is RECOMPUTED per consumer, not cached: with the
-    * byte-walk kernel the whole emit+hash pipeline costs ~0.12 s at
-    * sf0.1 while persisting it costs ~0.36 s before the first warm
-    * read (DsirProbe r14) — below roughly a 3:1 reuse:recompute cost
-    * ratio a cache is a net loss, and at 100 TB persisting a
-    * corpus-sized explode is exactly what does not fit. Both bucket
-    * tables collapse into a single map-side-combined groupBy(bucket)
-    * (≤B rows BY CONSTRUCTION at any corpus scale — the hashed-
-    * feature contract), which is small enough to ride to the DRIVER
-    * as one bounded collect: the per-bucket quantized log term q
-    * returns to the plan as a single B-slot array LITERAL indexed
-    * O(1) by bucket — the pinned-codebook pattern. That removes the
-    * totals-broadcast and model-broadcast materialization jobs the
-    * previous in-plan form paid (each a full driver round at toy
-    * scale) and makes the score side join-free: one kernel pass,
-    * one array probe per feature, one per-document partial agg.
-    * The collect is NOT a driver-side loop over data — it is the
-    * model itself, ≤B rows at any corpus size, exactly like
-    * collecting a k-means codebook. Nothing corpus-sized ever
-    * persists, broadcasts, collects, or shuffles wide.
+  /** The dense B-slot quantized model from collected (bucket, c_r,
+    * c_t) rows: q[b] = floor(1e9 · ln(((c_t+1)/(n_t+B)) /
+    * ((c_r+1)/(n_r+B)))) — an exact mirror of the former in-plan
+    * expression (same IEEE double ops in the same order,
+    * `java.lang.Math.log` both sides), so outputs are bit-identical
+    * to it. Buckets with no features carry the all-zero smoothing
+    * term, which IS the correct score for an unseen feature — a
+    * serving batch may probe them even though the self-scored corpus
+    * never does.
     */
-  private def weightsFrom(feats: DataFrame, buckets: Int,
-      idCol: String, extraCols: Seq[String] = Nil): DataFrame = {
-    // one bounded job: kernel pass + map-side-combined (bucket)
-    // exchange, ≤buckets output rows
-    val counts = feats.groupBy(col("bucket"))
-      .agg(sum(col("w_r")).as("c_r"), sum(col("w_t")).as("c_t"))
-      .collect()
+  private def qArrayOf(counts: Array[org.apache.spark.sql.Row],
+      buckets: Int): Array[Long] = {
     var nR = 0L; var nT = 0L
     counts.foreach { r => nR += r.getLong(1); nT += r.getLong(2) }
-    // exact mirror of the previous in-plan expression (same IEEE
-    // double ops in the same order, java.lang.Math.log both sides):
-    // q[b] = floor(1e9 · ln(((c_t+1)/(n_t+B)) / ((c_r+1)/(n_r+B))));
-    // buckets with no features keep the all-zero smoothing term —
-    // a scoring row's bucket always has c_r ≥ 1, so those slots are
-    // never probed
     val qDefault = math.floor(1e9 * math.log(
       (1.0 / (nT + buckets).toDouble) / (1.0 / (nR + buckets).toDouble))).toLong
     val qArr = Array.fill(buckets)(qDefault)
@@ -121,24 +97,82 @@ object Dsir {
       val den = (r.getLong(1) + 1L).toDouble / (nR + buckets).toDouble
       qArr(r.getLong(0).toInt) = math.floor(1e9 * math.log(num / den)).toLong
     }
-    // w_r is lit(1) in the self-target form — constant folding
-    // removes the filter there; the two-frame form keeps it to drop
-    // target-only rows from scoring
-    // extraCols ride the per-doc aggregation as grouping keys: each
-    // is functionally dependent on the id, so the group count is
-    // unchanged — this is how a caller gets e.g. the stratum column
-    // into the output without a second join against the corpus
-    feats.filter(col("w_r") === 1)
-      .select(col("__id") +:
-        element_at(typedLit(qArr.toSeq),
-          (col("bucket") + lit(1L)).cast("int")).as("q") +:
+    qArr
+  }
+
+  /** The per-bucket model of a feature stream as one driver array —
+    * ≤B rows BY CONSTRUCTION at any corpus scale (the hashed-feature
+    * contract), so the collect is the model itself, exactly like
+    * collecting a k-means codebook: one bounded job (kernel pass +
+    * map-side-combined bucket exchange), then driver arithmetic.
+    */
+  private def modelOf(feats: DataFrame, buckets: Int): Array[Long] =
+    qArrayOf(feats.groupBy(col("bucket"))
+      .agg(sum(col("w_r")).as("c_r"), sum(col("w_t")).as("c_t"))
+      .collect(), buckets)
+
+  /** The self-target model array of `raw` vs its `targetPred` slice —
+    * the serving/streaming entry point ([[storedModelSelf]] persists
+    * it; [[rowScore]] consumes it).
+    */
+  def modelArraySelf(raw: DataFrame, targetPred: Column,
+      buckets: Int = 8192, textCol: String = "text"): Array[Long] = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    modelOf(featStream(raw, buckets, textCol, lit(0L), lit(1),
+      when(targetPred, 1).otherwise(0)), buckets)
+  }
+
+  /** ROW-LOCAL per-document score under a pinned model array:
+    * `struct(n_feats LONG, qsum LONG)` computed by ONE fold over the
+    * document's own feature array — the model is a plan literal, so
+    * scoring needs no explode, no join, no shuffle, and no state,
+    * which makes it both the cheapest batch shape (map-only) and the
+    * streaming-legal shape (`DocsStream.dsirScoreScreen`). The fold
+    * accumulates BOTH fields in one struct accumulator so the
+    * feature-array kernel is referenced exactly once (a separate
+    * `size(...)` would duplicate the walk under CollapseProject —
+    * the trap this file documents). qsum is an integer left fold in
+    * document order; integer addition is reduction-order-free, so it
+    * equals the former explode+hash-agg sum exactly.
+    */
+  def rowScore(text: Column, qArr: Array[Long], buckets: Int): Column = {
+    require(qArr.length == buckets, s"model has ${qArr.length} slots, want $buckets")
+    val qLit = typedLit(qArr.toSeq)
+    aggregate(
+      graft.functions.TokenizeFunctions.ws_ngram_features(text, 2),
+      struct(lit(0L).as("n_feats"), lit(0L).as("qsum")),
+      (acc, f) => struct(
+        (acc.getField("n_feats") + lit(1L)).as("n_feats"),
+        (acc.getField("qsum") + element_at(qLit,
+          (HashFunctions.md5_pair(f).getItem(0) % buckets + lit(1L))
+            .cast("int"))).as("qsum")))
+  }
+
+  /** Corpus-scale scoring of `raw` under `qArr`: (idCol, n_feats,
+    * logweight, extraCols...), one row per document with ≥1 token —
+    * the codegen'd explode + literal-array probe + map-side-partial
+    * per-document agg. NOT the [[rowScore]] fold: the interleaved
+    * r14c A/B (SortShapeProbe, sf0.1) measured the interpreted
+    * HigherOrderFunction fold SLOWER than this whole-stage-codegen
+    * pipeline including its exchange (1.71 vs 1.48 s medians — a
+    * struct accumulator allocates per element), so row-local stays
+    * reserved for the shapes that NEED it: streaming (state-free by
+    * construction) and small ingest batches.
+    */
+  private def scoreRows(raw: DataFrame, qArr: Array[Long], buckets: Int,
+      textCol: String, idCol: String, extraCols: Seq[String]): DataFrame =
+    graft.core.Parallelism.kernelFloor(raw)
+      .select(col(idCol) +: explode(
+        graft.functions.TokenizeFunctions.ws_ngram_features(
+          col(textCol), 2)).as("f") +: extraCols.map(col): _*)
+      .select(col(idCol) +: element_at(typedLit(qArr.toSeq),
+          (bucketOf(col("f"), buckets) + lit(1L)).cast("int")).as("q") +:
         extraCols.map(col): _*)
-      .groupBy(col("__id") +: extraCols.map(col): _*)
+      .groupBy(col(idCol) +: extraCols.map(col): _*)
       .agg(count(lit(1)).as("n_feats"), sum(col("q")).as("qsum"))
-      .select(col("__id").as(idCol) +: col("n_feats") +:
+      .select(col(idCol) +: col("n_feats") +:
         (col("qsum").cast("double") / lit(1e9)).as("logweight") +:
         extraCols.map(col): _*)
-  }
 
   /** Per-document log importance weight of every raw document with at
     * least one token: (idCol, n_feats, logweight) where logweight =
@@ -149,12 +183,12 @@ object Dsir {
       buckets: Int = 8192, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(buckets > 0, s"buckets $buckets must be positive")
-    // target features enter the model stream with a null id and
-    // w_r = 0: they shape c_t/n_t but never score
-    val rf = featStream(raw, buckets, textCol, col(idCol), lit(1), lit(0))
-    val tf = featStream(target, buckets, textCol,
-      lit(null).cast(raw.schema(idCol).dataType), lit(0), lit(1))
-    weightsFrom(rf.union(tf), buckets, idCol)
+    // target features enter the model stream with w_r = 0: they shape
+    // c_t/n_t but never score
+    val rf = featStream(raw, buckets, textCol, lit(0L), lit(1), lit(0))
+    val tf = featStream(target, buckets, textCol, lit(0L), lit(0), lit(1))
+    scoreRows(raw, modelOf(rf.union(tf), buckets), buckets, textCol,
+      idCol, Nil)
   }
 
   /** Self-target form — target = raw rows matching `targetPred` (the
@@ -166,12 +200,52 @@ object Dsir {
     */
   def importanceWeightsSelf(raw: DataFrame, targetPred: Column,
       buckets: Int = 8192, textCol: String = "text",
-      idCol: String = "doc_id", extraCols: Seq[String] = Nil): DataFrame = {
-    require(buckets > 0, s"buckets $buckets must be positive")
-    weightsFrom(featStream(raw, buckets, textCol, col(idCol),
-      lit(1), when(targetPred, 1).otherwise(0), extraCols),
-      buckets, idCol, extraCols)
+      idCol: String = "doc_id", extraCols: Seq[String] = Nil): DataFrame =
+    scoreRows(raw, modelArraySelf(raw, targetPred, buckets, textCol),
+      buckets, textCol, idCol, extraCols)
+
+  /** [[modelArraySelf]] persisted through the [[graft.core.IndexStore]]
+    * as a (bucket, q) frame: the corpus model pass runs once per
+    * (corpusPath, buckets, variant) fingerprint; later calls collect
+    * the B stored rows and score against the literal. `variant` MUST
+    * encode the target predicate (and any corpus slicing) — the store
+    * fingerprints the FILE, not the frame or the predicate (the
+    * round-12 collision lesson).
+    */
+  def storedModelSelf(corpus: DataFrame, corpusPath: String,
+      targetPred: Column, buckets: Int = 8192, textCol: String = "text",
+      variant: String = "", force: Boolean = false): Array[Long] = {
+    require(variant.nonEmpty,
+      "variant must name the target predicate (store entries fingerprint the file only)")
+    val spark = corpus.sparkSession
+    val name = s"dsirq-b$buckets-$textCol-$variant-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    val df = graft.core.IndexStore.readOrBuild(spark, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force) {
+      val arr = modelArraySelf(corpus, targetPred, buckets, textCol)
+      import spark.implicits._
+      arr.toSeq.zipWithIndex.map { case (q, b) => (b, q) }.toDF("bucket", "q")
+    }
+    val qArr = new Array[Long](buckets)
+    df.collect().foreach(r => qArr(r.getInt(0)) = r.getLong(1))
+    qArr
   }
+
+  /** Batch scoring under the stored pinned model — the DSIR serving
+    * form: per-call work is the B-row store collect plus one
+    * batch-bounded scoring pass (no corpus access at all).
+    * Output-identical to scoring against a freshly built model of
+    * the same corpus, and value-identical to the streaming
+    * [[graft.streaming.DocsStream.dsirScoreScreen]] (suite-pinned).
+    */
+  def scoreBatchPrebuilt(corpus: DataFrame, corpusPath: String,
+      batch: DataFrame, targetPred: Column, buckets: Int = 8192,
+      textCol: String = "text", idCol: String = "doc_id",
+      variant: String = "", force: Boolean = false): DataFrame =
+    scoreRows(batch,
+      storedModelSelf(corpus, corpusPath, targetPred, buckets, textCol,
+        variant, force),
+      buckets, textCol, idCol, Nil)
 
   // The "resample the most target-like slice" step is a composition,
   // not a new operator: importanceWeights(...) piped through

@@ -118,6 +118,33 @@ object DocsStream {
         (col("s") + lit(windowTokens.toLong) - 1L).as("e"))
   }
 
+  /** Streaming DSIR quality screen: every arriving document's
+    * importance weight under the PINNED model of the static corpus —
+    * (idCol, n_feats, logweight), one row per document with ≥1 token,
+    * the ingest-time "is this page target-like enough to keep?" gate
+    * (Xie et al., NeurIPS 2023).
+    *
+    * The model is ≤B rows by construction and folds into the plan as
+    * one array literal at stream-definition time
+    * ([[graft.operators.Dsir.modelArraySelf]]), so scoring is
+    * entirely ROW-LOCAL ([[graft.operators.Dsir.rowScore]]): no
+    * explode, no join, no shuffle, no state — the streaming-legal
+    * shape by construction, and numerically identical to the batch
+    * and stored serving forms (suite-pinned).
+    */
+  def dsirScoreScreen(docsStream: DataFrame, corpus: DataFrame,
+      targetPred: Column, buckets: Int = 8192,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val qArr = graft.operators.Dsir
+      .modelArraySelf(corpus, targetPred, buckets, textCol)
+    docsStream
+      .select(col(idCol),
+        graft.operators.Dsir.rowScore(col(textCol), qArr, buckets).as("__sc"))
+      .filter(col("__sc.n_feats") > 0)
+      .select(col(idCol), col("__sc.n_feats").as("n_feats"),
+        (col("__sc.qsum").cast("double") / lit(1e9)).as("logweight"))
+  }
+
   /** Candidates of each arriving document against the corpus:
     * (new_id, corpus_id, band_idx, est_jaccard) per shared band.
     */

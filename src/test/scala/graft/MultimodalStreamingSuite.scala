@@ -194,6 +194,50 @@ class MultimodalStreamingSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming: DSIR score screen equals the stored serving form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the log"),
+      (3L, "de", "der hund sitzt auf dem baum"),
+      (4L, "de", "die katze schläft auf dem sofa"))
+      .toDF("doc_id", "lang", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dsirscreen").toString
+    corpus.write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+    val batchDocs = Seq(
+      (100L, "x", "the cat sat on the log"),   // target-like
+      (101L, "x", "der hund auf dem sofa"),    // off-target
+      (102L, "x", "zz unseen tokens entirely"),// all-unseen buckets
+      (103L, "x", " "))                        // no tokens -> absent
+      .toDF("doc_id", "lang", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val served = graft.operators.Dsir.scoreBatchPrebuilt(
+      stored, path, batchDocs, col("lang") === "en", buckets = 64,
+      variant = "en")
+      .collect().map(key).toSet
+    val ms = MemoryStream[(Long, String, String)]
+    val screened = graft.streaming.DocsStream.dsirScoreScreen(
+      ms.toDF().toDF("doc_id", "lang", "text"), stored,
+      col("lang") === "en", buckets = 64)
+    assert(screened.isStreaming)
+    val q = screened.writeStream.format("memory").queryName("dsir_screen")
+      .outputMode("append").start()
+    try {
+      ms.addData((100L, "x", "the cat sat on the log"),
+        (101L, "x", "der hund auf dem sofa"),
+        (102L, "x", "zz unseen tokens entirely"), (103L, "x", " "))
+      q.processAllAvailable()
+      val got = spark.table("dsir_screen").collect().map(key).toSet
+      assert(got == served && got.size == 3, s"stream $got != served $served")
+      val m = got.map(t => t._1 -> t._3).toMap
+      assert(m(100L) > m(101L), m) // target-like outranks off-target
+    } finally q.stop()
+  }
+
   test("streaming: token-id encode against a fitted vocabulary matches batch") {
     // the vocabulary is a fit artifact; the encode pass is a
     // stateless stream-static broadcast join, so an ingest stream
