@@ -103,9 +103,23 @@ object DocsStream {
     */
   def substringDupScreen(docsStream: DataFrame, corpus: DataFrame,
       windowTokens: Int = 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    substringDupScreenKeys(docsStream,
+      graft.operators.SubstringDedup
+        .duplicatedWindowKeys(corpus, windowTokens, idCol, textCol),
+      windowTokens, textCol, idCol)
+
+  /** [[substringDupScreen]] against an EXISTING (h1, h2) dup-key
+    * frame — the production form: a stream-static join re-evaluates
+    * its static side every micro-batch, so the inline-corpus
+    * convenience above re-runs the corpus window pass per trigger,
+    * while this overload fed by
+    * [[graft.operators.SubstringDedup.storedDupKeys]] re-reads only
+    * the compact stored table.
+    */
+  def substringDupScreenKeys(docsStream: DataFrame, dupKeys: DataFrame,
+      windowTokens: Int = 20, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val dupKeys = graft.operators.SubstringDedup
-      .duplicatedWindowKeys(corpus, windowTokens, idCol, textCol)
     docsStream
       .select(col(idCol), posexplode(
         graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), windowTokens)))

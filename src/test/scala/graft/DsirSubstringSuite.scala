@@ -195,6 +195,39 @@ class DsirSubstringSuite extends SparkSuite {
     }
   }
 
+  test("dsir weights and rowScore match the brute force on randomized corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // whitespace-heavy token soup: repeats force bucket collisions at
+    // B=32, empties/edges exercise the nonempty-tokenize contract
+    val piece = Gen.oneOf("a", "bb", "the", "Ω≈", "x1", " ", "\t", "\n", "")
+    val genText = Gen.choose(0, 10).flatMap(k =>
+      Gen.listOfN(k, piece).map(_.mkString(" ")))
+    val params = Gen.Parameters.default
+    for (round <- 0 until 3) {
+      val texts = (0 until 24).flatMap(i =>
+        genText.apply(params, Seed(round * 1000L + i)))
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val docs = rows.toDF("doc_id", "text")
+      val pred = col("doc_id") % 3 === 0
+      val want = bruteWeights(rows,
+        rows.filter(_._1 % 3 == 0).map(_._2), buckets = 32)
+      val got = Dsir.importanceWeightsSelf(docs, pred, buckets = 32)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == want, s"round $round: $got != $want")
+      // the row-local fold (the streaming/serving scorer) computes
+      // the same integers under the same model
+      val qArr = Dsir.modelArraySelf(docs, pred, buckets = 32)
+      val local = docs
+        .select(col("doc_id"), Dsir.rowScore(col("text"), qArr, 32).as("s"))
+        .filter(col("s.n_feats") > 0)
+        .select(col("doc_id"), col("s.n_feats"),
+          (col("s.qsum").cast("double") / lit(1e9)))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(local == want, s"round $round rowScore: $local != $want")
+    }
+  }
+
   test("dup screen: store-served equals inline keys; variants do not collide") {
     // one parquet path, two DIFFERENT corpus slices over it — the
     // store-collision shape the variant key exists for
