@@ -577,6 +577,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ...and its serving twin: the corpus's banded signature index
+    // read from the IndexStore — the corpus tokenize+signature pass
+    // runs zero times per ingest batch (output-pinned identical to
+    // the inline form by TextDedupSuite)
+    "minhash_incremental_prebuilt" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalMinHashCandidatesPrebuilt(
+        docs.filter(col("doc_id") % 5 =!= 0), s"$dir/documents.parquet",
+        docs.filter(col("doc_id") % 5 === 0), variant = "holdout5")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Near-dedup, exact verification path: n-gram Jaccard on pairs
     // sharing a shingle, WITH the stop-shingle df cap engaged — hot
     // shingles contribute df^2 join rows, the precise 100 TB blowup,
@@ -2259,6 +2271,16 @@ object SparkEntry {
     // pair set (identical signatures/banding — incremental + historic
     // == from-scratch) restricted to pairs touching the new batch
     "minhash_incremental_pairs" ->
+      s"""WITH $MinhashPairsCtes
+         |SELECT id_a, id_b,
+         |       CAST(len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard
+         |FROM pairs
+         |WHERE id_a % 5 = 0 OR id_b % 5 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the prebuilt twin is output-identical by contract, so it shares
+    // the inline form's oracle (the knn_join_prebuilt convention)
+    "minhash_incremental_prebuilt" ->
       s"""WITH $MinhashPairsCtes
          |SELECT id_a, id_b,
          |       CAST(len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS DOUBLE) / 16 AS est_jaccard

@@ -256,6 +256,81 @@ object Dedup {
       .select(col("id_a"), col("id_b"), sigAgreement(numHashes).as("est_jaccard"))
   }
 
+  /** The banded minhash signature index of `corpus` persisted through
+    * the [[graft.core.IndexStore]]: (idCol, sig, band_idx, band_key),
+    * one row per (document, band). Signatures are deterministic
+    * content hashes, so the stored rows are byte-identical to an
+    * inline recompute — this is the "stored signature index" the
+    * [[incrementalMinHashCandidates]] scaladoc promises a production
+    * ingest reads. `variant` MUST name any corpus frame that is not
+    * the whole file (store entries fingerprint the FILE — the
+    * round-12 collision lesson).
+    */
+  def storedMinHashIndex(corpus: DataFrame, corpusPath: String,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, variant: String = "",
+      force: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val name = s"mhidx-n$n-h$numHashes-b$bands-$textCol-$idCol" +
+      (if (variant.isEmpty) "" else s"-$variant") + "-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      minHashSignatures(corpus, textCol, idCol, n, numHashes)
+        .select(col(idCol), col("sig"),
+          posexplode(lshBandKeys(col("sig"), bands, r)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key"))
+  }
+
+  /** [[incrementalMinHashCandidates]] served from the stored band
+    * index — the steady-state ingest gate: the corpus tokenize +
+    * signature + banding pass runs ZERO times per batch; per call the
+    * BATCH computes its own signatures (batch-bounded), probes its
+    * band keys against batch ∪ index rows, and the agreement verify
+    * joins signatures from the batch frame and the index bytes.
+    * Output-identical to the inline form at the same knobs
+    * (suite-pinned); same disjoint-id contract as the inline form.
+    */
+  def incrementalMinHashCandidatesPrebuilt(corpus: DataFrame,
+      corpusPath: String, newDocs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, variant: String = "",
+      force: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val index = storedMinHashIndex(corpus, corpusPath, textCol, idCol,
+      n, numHashes, bands, variant, force)
+    val batchSigned = minHashSignatures(newDocs, textCol, idCol, n, numHashes)
+      .transform(graft.core.OpCaches.persistTracked)
+    val batchBanded = batchSigned
+      .select(col(idCol), posexplode(lshBandKeys(col("sig"), bands, r)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+      .select(col("band_idx"), col("band_key"), col(idCol))
+    val allBanded = batchBanded
+      .union(index.select(col("band_idx"), col("band_key"), col(idCol)))
+    val pairs = batchBanded
+      .select(col("band_idx"), col("band_key"), col(idCol).as("id_x"))
+      .join(allBanded.select(
+        col("band_idx"), col("band_key"), col(idCol).as("id_y")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    // candidate ids are batch-bounded, so only they pass through the
+    // index-side signature dedup (duplicate rows of a doc carry an
+    // identical sig — first() is content-deterministic)
+    val sigs = batchSigned.select(col(idCol), col("sig"))
+      .union(index.groupBy(col(idCol)).agg(first(col("sig")).as("sig")))
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), sigAgreement(numHashes).as("est_jaccard"))
+  }
+
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {

@@ -275,6 +275,30 @@ class TextDedupSuite extends SparkSuite {
     assert(inc.forall(p => isNew(p._1) || isNew(p._2)))
   }
 
+  test("prebuilt incremental minhash equals the inline form") {
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val inline = Dedup.incrementalMinHashCandidates(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0)).collect().map(key).toSet
+    graft.core.OpCaches.release()
+    val served = Dedup.incrementalMinHashCandidatesPrebuilt(
+      docs.filter(col("doc_id") % 5 =!= 0), s"$dir/documents.parquet",
+      docs.filter(col("doc_id") % 5 === 0), variant = "holdout5-test")
+      .collect().map(key).toSet
+    assert(served == inline && served.nonEmpty,
+      s"served ${served.size} != inline ${inline.size}")
+    graft.core.OpCaches.release()
+    // second call serves from the store entry and still agrees
+    val again = Dedup.incrementalMinHashCandidatesPrebuilt(
+      docs.filter(col("doc_id") % 5 =!= 0), s"$dir/documents.parquet",
+      docs.filter(col("doc_id") % 5 === 0), variant = "holdout5-test")
+      .collect().map(key).toSet
+    assert(again == inline)
+  }
+
   test("lm perplexity: in-domain text scores lower nll than out-of-domain") {
     import graft.operators.Lm
     val ref = (0L until 20L).map(i =>
