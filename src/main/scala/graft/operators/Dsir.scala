@@ -43,18 +43,20 @@ import graft.functions.HashFunctions
   *    Nothing corpus-sized ever broadcasts, collects, or shuffles
   *    wide.
   *
-  * The raw pool is scored against itself (every feature's bucket has
-  * c_R ≥ 1 for its own occurrences), so the model join is inner on
-  * the raw side — buckets the target never hit still score through
-  * the +1 smoothing (c_T = 0 rows carry their quantized term).
+  * The raw pool scored against itself always probes buckets with
+  * c_R ≥ 1 (its own occurrences); buckets the target never hit still
+  * score through the +1 smoothing, and a SERVING batch may probe
+  * buckets neither saw — the literal's default slot carries exactly
+  * the all-zero smoothing term, so unseen features score correctly.
   */
 object Dsir {
 
   private def bucketOf(feature: Column, buckets: Int): Column =
     HashFunctions.md5_pair(feature).getItem(0) % buckets
 
-  /** Feature stream of one frame: (id, bucket) with the given
-    * raw/target membership weights attached. The unigram+bigram
+  /** MODEL-side feature stream of one frame: (bucket, w_r, w_t) with
+    * the given raw/target membership weights attached (document
+    * identity is irrelevant to bucket counting). The unigram+bigram
     * emission is the native byte-walk
     * [[graft.functions.TokenizeExpressions]] `ws_ngram_features`
     * kernel — the declarative `concat(tokens, transform(sequence,
@@ -67,12 +69,12 @@ object Dsir {
     * a no-op at cluster scale.
     */
   private def featStream(df: DataFrame, buckets: Int, textCol: String,
-      id: Column, wR: Column, wT: Column): DataFrame =
+      wR: Column, wT: Column): DataFrame =
     graft.core.Parallelism.kernelFloor(df)
-      .select(id.as("__id"), explode(
+      .select(explode(
         graft.functions.TokenizeFunctions.ws_ngram_features(
           col(textCol), 2)).as("f"), wR.as("w_r"), wT.as("w_t"))
-      .select(col("__id"), bucketOf(col("f"), buckets).as("bucket"),
+      .select(bucketOf(col("f"), buckets).as("bucket"),
         col("w_r"), col("w_t"))
 
   /** The dense B-slot quantized model from collected (bucket, c_r,
@@ -118,16 +120,18 @@ object Dsir {
   def modelArraySelf(raw: DataFrame, targetPred: Column,
       buckets: Int = 8192, textCol: String = "text"): Array[Long] = {
     require(buckets > 0, s"buckets $buckets must be positive")
-    modelOf(featStream(raw, buckets, textCol, lit(0L), lit(1),
+    modelOf(featStream(raw, buckets, textCol, lit(1),
       when(targetPred, 1).otherwise(0)), buckets)
   }
 
   /** ROW-LOCAL per-document score under a pinned model array:
     * `struct(n_feats LONG, qsum LONG)` computed by ONE fold over the
     * document's own feature array — the model is a plan literal, so
-    * scoring needs no explode, no join, no shuffle, and no state,
-    * which makes it both the cheapest batch shape (map-only) and the
-    * streaming-legal shape (`DocsStream.dsirScoreScreen`). The fold
+    * scoring needs no explode, no join, no shuffle, and no state —
+    * the streaming-legal shape (`DocsStream.dsirScoreScreen`) and the
+    * right one for small ingest batches; at corpus scale the codegen
+    * explode form in [[scoreRows]] measured faster (its scaladoc has
+    * the r14c A/B). The fold
     * accumulates BOTH fields in one struct accumulator so the
     * feature-array kernel is referenced exactly once (a separate
     * `size(...)` would duplicate the walk under CollapseProject —
@@ -185,8 +189,8 @@ object Dsir {
     require(buckets > 0, s"buckets $buckets must be positive")
     // target features enter the model stream with w_r = 0: they shape
     // c_t/n_t but never score
-    val rf = featStream(raw, buckets, textCol, lit(0L), lit(1), lit(0))
-    val tf = featStream(target, buckets, textCol, lit(0L), lit(0), lit(1))
+    val rf = featStream(raw, buckets, textCol, lit(1), lit(0))
+    val tf = featStream(target, buckets, textCol, lit(0), lit(1))
     scoreRows(raw, modelOf(rf.union(tf), buckets), buckets, textCol,
       idCol, Nil)
   }
