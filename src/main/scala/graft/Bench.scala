@@ -13,12 +13,25 @@ import org.apache.spark.sql.SparkSession
   * MEDIAN is recorded: two rounds of single-run records contained
   * 3-7x machine-noise phantoms (GC pause, page cache eviction) that
   * never reproduced on a clean rerun, and conversely one noisy run
-  * could mask a real regression.
+  * could mask a real regression. Reps are interleaved round-robin
+  * across queries (see the measurement loop) so a multi-minute
+  * ambient-noise window dilutes across every row instead of
+  * poisoning all reps of a few.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Relative spread of a row's rep times: (max - min) / median.
+    * With reps interleaved across queries (below), a large spread
+    * means ambient noise hit SOME pass of this row — the row is
+    * unattributable, not necessarily slow.
+    */
+  private def spread(xs: Seq[Double]): Double = {
+    val m = median(xs)
+    if (m <= 0) 0.0 else (xs.max - xs.min) / m
   }
 
   /** 1-minute loadavg, so the recorded artifact carries a host-load
@@ -94,9 +107,20 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val loadPre = loadAvg()
-    val results = selected.map { case (name, fn) =>
-      var failed = false
-      val times = (1 to reps).map { _ =>
+    // Reps are INTERLEAVED round-robin across queries (pass 1 of all
+    // queries, then pass 2, then pass 3) instead of back-to-back per
+    // query: rounds 8-14 showed ambient host noise arriving in
+    // multi-minute windows, and back-to-back reps let one window
+    // poison ALL reps of whichever rows it overlapped — the r14
+    // recorded board carried 4 serving rows over the 2x bar that
+    // every idle re-run cleared. Interleaving spreads any noise
+    // window across all rows equally, so the per-row median stays
+    // attributable; the per-row spread (max-min)/median is recorded
+    // alongside, and rows with spread > 50% are counted "unstable"
+    // on the stdout line and flagged in BENCH_DETAIL.
+    val failedNames = scala.collection.mutable.Set[String]()
+    val passTimes = (1 to reps).map { _ =>
+      selected.map { case (name, fn) =>
         // release prior runs' broadcasts/shuffles/caches so long
         // sessions don't spill later queries (measured 17x inflation
         // without) and so each rep recomputes from parquet
@@ -106,15 +130,23 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          failed = true
+          failedNames += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
+    }
+    val results: Seq[(String, Option[Double])] = selected.map { case (name, _) =>
+      val times = passTimes.map(_.find(_._1 == name).get._2)
       // a throwing query records null, not the median of its (fast)
       // failure times — a regression must not masquerade as a speedup
-      name -> (if (failed) None else Some(median(times)))
+      name -> (if (failedNames(name)) None else Some(median(times)))
     }
+    val spreads: Map[String, Double] = selected.collect {
+      case (name, _) if !failedNames(name) =>
+        name -> spread(passTimes.map(_.find(_._1 == name).get._2))
+    }.toMap
+    val unstable = spreads.count(_._2 > 0.5)
     // the driver captures only the LAST 2000 chars of stdout and
     // parses the JSON line out of that window — five rounds of
     // `parsed: null` traced to this line overflowing it, and round 12
@@ -183,6 +215,14 @@ object Bench {
       case (k, Some(v)) => "\"" + k + f"""\":$v%.3f"""
       case (k, None) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
+    // per-row rep spread, and the >50%-spread rows called out by name:
+    // their medians survived at most one noisy pass, but anyone
+    // comparing boards should treat those rows as unattributable
+    val spreadJson = results.collect {
+      case (k, Some(_)) => "\"" + k + f"""\":${spreads(k)}%.2f"""
+    }.mkString(""","spreads":{""", ",", "}")
+    val unstableJson = spreads.filter(_._2 > 0.5).keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString(""","unstable_rows":[""", ",", "]")
     val ratioJson =
       if (ratios.isEmpty) ""
       else {
@@ -203,7 +243,7 @@ object Bench {
       }
     val loadPost = loadAvg()
     val loadJson = f""","reps":$reps,"load_pre":$loadPre%.2f,"load_post":$loadPost%.2f"""
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$detailQs$ratioJson$loadJson,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"unstable":$unstable,"queries":$detailQs$spreadJson$unstableJson$ratioJson$loadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")), detail + "\n")
@@ -220,7 +260,7 @@ object Bench {
           oracled.map(t => math.max(0.0, t._2 - floor)).sum / sumDuck}%.3f""" +
           f""","agg_spark_sec":$sumSpark%.3f,"agg_duckdb_sec":$sumDuck%.3f"""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"q_omitted":$qOmitted$aggJson,"queries":$qs$loadJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"unstable":$unstable,"q_omitted":$qOmitted$aggJson,"queries":$qs$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1343,6 +1343,45 @@ object SparkEntry {
           .orderBy("doc_id"),
         window = 32, stride = 24)),
 
+    // End-to-end curation pipeline — the COMPOSITION the individual
+    // curation rows exist for (CurationDemo's funnel, oracle-checked):
+    // gopher gate -> exact dedup -> 8-gram decontamination -> top-75%
+    // quality per lang -> 800-token budget per source -> 50-per-lang
+    // stratified sample -> 32/24 token chunking. Each stage is the
+    // registered operator at the registered knobs; what this row
+    // gates is the chaining itself — cache lifecycle, shuffle reuse,
+    // and column threading across 7 operators. `clean` is persisted
+    // because THREE consumers walk it (the quality narrow pass, the
+    // winners semi-join, and the budget window); everything below is
+    // linear.
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gated = docs.join(
+        graft.operators.Curation.gopherGate(docs, minTokens = 25)
+          .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val exact = Dedup.dedupExact(gated)
+      val bench = docs.filter(col("doc_id") % 97 === 1)
+      val clean = graft.core.OpCaches.persistTracked(
+        exact.join(
+          Dedup.contaminatedDocs(exact, bench).select("doc_id"),
+          Seq("doc_id"), "left_anti"))
+      val filtered = graft.operators.Curation.topFractionBounded(
+        clean, TextFunctions.qualityScore(col("text")), Seq("lang"),
+        "doc_id", 0.75)
+      val mixed = graft.operators.Curation.tokenBudget(filtered,
+        TextFunctions.qualityScore(col("text")),
+        TextFunctions.tokenCount(col("text")),
+        Seq("source"), "doc_id", budget = 800L)
+      val sampled = graft.operators.Sampling.stratifiedSampleRows(
+        mixed.drop("cum_tokens"), Seq("lang"), "doc_id", 50)
+      graft.core.StaticRange.denseIdSort(
+        graft.operators.Chunking.chunkByTokens(
+          sampled.select(col("doc_id"), col("text")),
+          window = 32, stride = 24),
+        docs, "doc_id", Seq(col("doc_id").asc, col("chunk_id").asc))
+    }),
+
     // Winnowing fingerprints (Schleimer et al. 2003): k=3-token
     // shingles, window w=4 — the MOSS-style passage sketch. Same
     // sorted-first shape; fps explode pre-sorted ascending per doc.
@@ -3110,6 +3149,85 @@ object SparkEntry {
          |ck AS (SELECT doc_id, chunk_id,
          |              toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS ck
          |       FROM g)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |       CAST(len(ck) AS INT) AS n_chunk_tokens,
+         |       array_to_string(ck, ' ') AS chunk_text
+         |FROM ck ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // mirrors the curation_pipeline composition stage-for-stage: the
+    // gopher CTEs (verbatim from gopher_quality_gate), md5
+    // exact-dedup keepers, the contamination_check 8-gram CTEs
+    // restricted to survivors, the quality_topp rank cut at 0.75 over
+    // the clean set, the domain_token_budget cumsum at 800, the
+    // sample_stratified hash rank at 50, and the chunk_overlap grid —
+    // every fragment is the registered per-operator oracle with its
+    // input swapped from `documents` to the previous stage
+    "curation_pipeline" ->
+      s"""WITH $RepetitionCtes,
+         |rs AS ($RepetitionSelect),
+         |gated AS (SELECT doc_id FROM rs
+         |  WHERE n_tokens >= 25 AND n_tokens <= 100000
+         |    AND token_chars >= n_tokens * 3 AND token_chars <= n_tokens * 10
+         |    AND n_dup_lines * 10 <= n_lines * 3
+         |    AND dup_line_chars * 5 <= line_chars
+         |    AND top2gram_chars * 5 <= token_chars
+         |    AND dup5gram_chars * 20 <= token_chars * 3),
+         |fp AS (SELECT d.doc_id, md5(d.text) AS fp
+         |       FROM documents d JOIN gated USING (doc_id)),
+         |surv AS (SELECT doc_id FROM
+         |           (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM fp)
+         |         WHERE doc_id = keeper),
+         |w8 AS (SELECT doc_id, $TokensExpr AS ws FROM documents),
+         |sh8 AS (SELECT doc_id,
+         |          list_distinct(list_transform(generate_series(1, len(ws) - 7),
+         |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         |                 ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS sg
+         |        FROM w8 WHERE len(ws) >= 8),
+         |bench AS (SELECT DISTINCT unnest(sg) AS s8 FROM sh8 WHERE doc_id % 97 = 1),
+         |contam AS (SELECT DISTINCT e.doc_id
+         |           FROM (SELECT sh8.doc_id AS doc_id, unnest(sh8.sg) AS s8
+         |                 FROM sh8 JOIN surv USING (doc_id)) e
+         |           JOIN bench USING (s8)),
+         |clean AS (SELECT doc_id FROM surv
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |qt AS (SELECT doc_id, lang, source, text,
+         |         $NTokensExpr AS n_tok,
+         |         len(list_filter($TokensExpr, x -> x IN (${inList(sw("en"))}))) AS en_hits,
+         |         $NPunctExpr AS n_punct
+         |       FROM documents),
+         |q AS (SELECT doc_id, lang, source, n_tok,
+         |        (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(en_hits AS DOUBLE) / n_tok END)
+         |        - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / length(text) END)
+         |        + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS quality
+         |      FROM qt),
+         |rk AS (SELECT q.*,
+         |         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS r,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |       FROM q JOIN clean USING (doc_id)),
+         |filt AS (SELECT doc_id, source, quality, n_tok FROM rk WHERE r <= ceil(n * 0.75)),
+         |mix AS (SELECT doc_id FROM
+         |          (SELECT doc_id, CAST(sum(n_tok) OVER (PARTITION BY source
+         |             ORDER BY quality DESC, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |           FROM filt)
+         |        WHERE cum <= 800),
+         |smp AS (SELECT doc_id FROM
+         |          (SELECT doc_id,
+         |             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS sr
+         |           FROM (SELECT d.doc_id, d.lang,
+         |                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 12))::BIGINT AS hv
+         |                 FROM documents d JOIN mix USING (doc_id)))
+         |        WHERE sr <= 50),
+         |ct AS (SELECT doc_id, list_filter($TokensExpr, x -> x <> '') AS toks
+         |       FROM documents JOIN smp USING (doc_id)),
+         |cn AS (SELECT doc_id, toks, len(toks) AS n FROM ct WHERE len(toks) > 0),
+         |cg AS (SELECT doc_id, toks,
+         |              unnest(generate_series(0,
+         |                CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS chunk_id
+         |       FROM cn),
+         |ck AS (SELECT doc_id, chunk_id,
+         |              toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS ck
+         |       FROM cg)
          |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
          |       CAST(len(ck) AS INT) AS n_chunk_tokens,
          |       array_to_string(ck, ' ') AS chunk_text

@@ -25,7 +25,15 @@ object Verify {
       rm(root)
     }
     root.mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev: SPARK_GRAFT_ONLY=a,b dumps a subset for a quick oracle
+    // check of one new row (the driver leaves it unset — a full run
+    // starts from a cleaned outDir either way, so a stale subset can
+    // never masquerade as a full verify)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

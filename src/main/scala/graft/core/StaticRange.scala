@@ -33,11 +33,6 @@ import org.apache.spark.sql.functions._
   */
 object StaticRange {
 
-  /** `df` totally ordered by `sortCols`, where `pid` must be an
-    * integer column equal to the rank of the row's leading sort key
-    * in its domain (0-based, < numParts), non-null, and
-    * non-decreasing in the leading sort key.
-    */
   /** `df.orderBy(sortCols)` with the sampling job replaced by a
     * bounds PROBE when the leading sort key is a non-negative
     * integral id: min/max come from one driver job over `boundsSrc`
@@ -83,6 +78,11 @@ object StaticRange {
     }
   }
 
+  /** `df` totally ordered by `sortCols`, where `pid` must be an
+    * integer column equal to the rank of the row's leading sort key
+    * in its domain (0-based, < numParts), non-null, and
+    * non-decreasing in the leading sort key.
+    */
   def sortByKnownDomain(df: DataFrame, pid: Column, numParts: Int,
       sortCols: Seq[Column]): DataFrame = {
     require(numParts > 0, s"numParts $numParts must be positive")

@@ -119,13 +119,27 @@ object Curation {
       else narrowRaw
     val ks = narrow.groupBy(strata: _*)
       .agg(ceil(count(lit(1)) * fraction).cast("int").as("__k")).collect()
-    if (ks.length > MaxLiteralStrata) {
-      val kept = topFractionBounded(df, scoreCol, strataCols, idCol, fraction)
-      return kept.select(
-        strata :+ scoreCol.cast("double").as(scoreName) :+ col(idCol): _*)
-    }
     val maxK = ks.iterator.map(_.getInt(strataCols.length))
       .foldLeft(1)(math.max)
+    if (ks.length > MaxLiteralStrata) {
+      // wide stratum domain: a >256-branch literal CASE chain bloats
+      // codegen, so fall back to the in-plan counts JOIN — but over
+      // the SAME persisted narrow frame (an earlier form re-entered
+      // topFractionBounded(df, ...), which built and persisted a
+      // second identical narrow frame and recomputed the counts,
+      // orphaning this one's cache). maxK from the collect above
+      // still bounds the heaps.
+      val counts = narrow.groupBy(strata: _*)
+        .agg(ceil(count(lit(1)) * fraction).cast("int").as("__k"))
+      return narrow.groupBy(strata: _*)
+        .agg(graft.functions.TopKFunctions
+          .top_k(col("__score"), col(idCol), maxK).as("__top"))
+        .join(counts, strataCols)
+        .select(strata :+ posexplode(col("__top")) :+ col("__k"): _*)
+        .filter(col("pos") < col("__k"))
+        .select(strata :+ col("col.score").as(scoreName) :+
+          col("col.id").as(idCol): _*)
+    }
     // per-stratum cutoff as one literal CASE chain over the stratum
     // key — no counts subtree, no join, in the final plan
     val kExpr = ks.foldLeft(lit(0)) { (acc, r) =>

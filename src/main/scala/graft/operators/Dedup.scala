@@ -262,14 +262,18 @@ object Dedup {
     * content hashes, so the stored rows are byte-identical to an
     * inline recompute — this is the "stored signature index" the
     * [[incrementalMinHashCandidates]] scaladoc promises a production
-    * ingest reads. `variant` MUST name any corpus frame that is not
-    * the whole file (store entries fingerprint the FILE — the
-    * round-12 collision lesson).
+    * ingest reads. `variant` is REQUIRED non-empty and must name the
+    * corpus frame — in particular any slicing of the file (store
+    * entries fingerprint the FILE, so two slices over one path would
+    * silently share an entry otherwise — the round-12 collision
+    * lesson; same contract as [[Dsir.storedModelSelf]]).
     */
   def storedMinHashIndex(corpus: DataFrame, corpusPath: String,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
       numHashes: Int = 16, bands: Int = 4, variant: String = "",
       force: Boolean = false): DataFrame = {
+    require(variant.nonEmpty,
+      "variant must name the corpus frame (store entries fingerprint the file only)")
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val name = s"mhidx-n$n-h$numHashes-b$bands-$textCol-$idCol" +

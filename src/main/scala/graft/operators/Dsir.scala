@@ -224,16 +224,31 @@ object Dsir {
     val spark = corpus.sparkSession
     val name = s"dsirq-b$buckets-$textCol-$variant-v1-" +
       graft.core.IndexStore.md5hex(corpusPath)
-    val df = graft.core.IndexStore.readOrBuild(spark, name,
-      graft.core.IndexStore.sourceFingerprint(corpusPath), force) {
-      val arr = modelArraySelf(corpus, targetPred, buckets, textCol)
-      import spark.implicits._
-      arr.toSeq.zipWithIndex.map { case (q, b) => (b, q) }.toDF("bucket", "q")
-    }
-    val qArr = new Array[Long](buckets)
-    df.collect().foreach(r => qArr(r.getInt(0)) = r.getLong(1))
-    qArr
+    val fingerprint = graft.core.IndexStore.sourceFingerprint(corpusPath)
+    // the model IS driver state — a serving process keeps it pinned
+    // in memory, not re-collected per batch: memoize the B-slot array
+    // per (entry, fingerprint), so a repeat call pays only the
+    // driver-side stat walk behind sourceFingerprint. A corpus
+    // rewrite changes the fingerprint and misses to a fresh
+    // readOrBuild (whose manifest check re-validates the store);
+    // `force` bypasses the memo the same way it bypasses the store.
+    if (force) modelCache.remove((name, fingerprint))
+    if (modelCache.size > 64) modelCache.clear()
+    modelCache.computeIfAbsent((name, fingerprint), { _ =>
+      val df = graft.core.IndexStore.readOrBuild(spark, name,
+        fingerprint, force) {
+        val arr = modelArraySelf(corpus, targetPred, buckets, textCol)
+        import spark.implicits._
+        arr.toSeq.zipWithIndex.map { case (q, b) => (b, q) }.toDF("bucket", "q")
+      }
+      val qArr = new Array[Long](buckets)
+      df.collect().foreach(r => qArr(r.getInt(0)) = r.getLong(1))
+      qArr
+    })
   }
+
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Long]]()
 
   /** Batch scoring under the stored pinned model — the DSIR serving
     * form: per-call work is the B-row store collect plus one

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashKernels
@@ -179,6 +179,23 @@ object Multimodal {
     */
   private val FrameIdxBits = 20
 
+  /** The packed frame id, ENFORCED in-plan: the id is cast to long
+    * BEFORE the shift (an IntegerType id would otherwise overflow
+    * `shiftleft` at media_id >= 2^11), and a negative id or a frame
+    * index past 2^20 fails loudly instead of silently colliding frame
+    * ids across videos (which would emit wrong pairs).
+    */
+  private def packedFrameId(id: Column, pos: Column): Column = {
+    val mid = id.cast("long")
+    when(mid >= 0 && mid < (1L << (63 - FrameIdxBits)) &&
+        pos < (1 << FrameIdxBits),
+      shiftleft(mid, FrameIdxBits) + pos)
+      .otherwise(raise_error(concat(
+        lit("frameNearDupPairs: (media_id, frame_idx) outside packing domain: ("),
+        mid.cast("string"), lit(", "), pos.cast("string"), lit(")")))
+        .cast("long"))
+  }
+
   /** Frame-level video near-duplicate pairs — the temporal completion
     * of [[mediaNearDupPairs]]: instead of one signature per payload,
     * the payload is cut into consecutive `frameBytes` slices ("frames",
@@ -221,8 +238,7 @@ object Multimodal {
         transform(sequence(lit(0), nFrames - 1),
           k => col(payloadCol).substr(k * fb + lit(1), fb))))
       .filter(length(col("col")) >= 4)
-      .select(
-        (shiftleft(col(idCol), FrameIdxBits) + col("pos")).as("fid"),
+      .select(packedFrameId(col(idCol), col("pos")).as("fid"),
         perceptual_hash64(col("col")).as("sig"))
       .transform(graft.core.OpCaches.persistTracked)
     val banded = signed.select(col("fid"),

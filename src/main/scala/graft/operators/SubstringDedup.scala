@@ -90,15 +90,19 @@ object SubstringDedup {
     * [[graft.core.IndexStore]]: the corpus dup-key pass (the ONLY
     * corpus-sized work of an ingest screen) runs once per
     * (corpusPath, windowTokens, variant) fingerprint and later calls
-    * read index bytes. `variant` MUST name any corpus frame that is
-    * not the whole file (the store fingerprints the FILE — two
-    * different slices over one path would silently share an entry
-    * otherwise, the round-12 store-collision lesson).
+    * read index bytes. `variant` is REQUIRED non-empty and must name
+    * the corpus frame — in particular any slicing of the file (the
+    * store fingerprints the FILE — two different slices over one
+    * path would silently share an entry otherwise, the round-12
+    * store-collision lesson; same contract as
+    * [[Dsir.storedModelSelf]]).
     */
   def storedDupKeys(corpus: DataFrame, corpusPath: String,
       windowTokens: Int = 20, idCol: String = "doc_id",
       textCol: String = "text", variant: String = "",
       force: Boolean = false): DataFrame = {
+    require(variant.nonEmpty,
+      "variant must name the corpus frame (store entries fingerprint the file only)")
     val name = s"dupkeys-w$windowTokens-$idCol-$textCol" +
       (if (variant.isEmpty) "" else s"-$variant") + "-v1-" +
       graft.core.IndexStore.md5hex(corpusPath)

@@ -263,4 +263,50 @@ class DsirSubstringSuite extends SparkSuite {
     // and the store round-trip is stable (second call reads the entry)
     assert(marks(sliceA, "ltfive") == gotA)
   }
+
+  test("edge-whitespace documents equal their normalized twins (lm/dsir/substring convention pin)") {
+    // The r14 lm-oracle co-edit moved operator AND oracle to the
+    // nonempty-token convention in lockstep; this fixture pins the
+    // exact inputs where the two conventions could diverge —
+    // leading/trailing runs, doubled separators, tabs/newlines — by
+    // asserting each text operator scores a messy document
+    // IDENTICALLY to its whitespace-normalized twin. If either side
+    // of a future co-edit drifts (e.g. an empty token slips back into
+    // the stream), messy and clean stop agreeing here before any
+    // oracle run can paper over it.
+    val messy = "  alpha beta\t\tgamma   alpha beta \r\n"
+    val clean = "alpha beta gamma alpha beta"
+    val pair = Seq((1L, messy), (2L, clean)).toDF("doc_id", "text")
+
+    // lm: same bigram events, same (n_bigrams, nll)
+    val ref = Seq((100L, "alpha beta gamma"), (101L, "gamma alpha alpha beta"))
+      .toDF("doc_id", "text")
+    val (lm, vocabDf) = graft.operators.Lm.bigramLmPlan(ref)
+    val nll = graft.operators.Lm.lmScoreWith(pair, lm, vocabDf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(nll.keySet == Set(1L, 2L) && nll(1L) == nll(2L), nll.toString)
+
+    // dsir: same feature multiset under both the corpus-scale explode
+    // scorer and the row-local serving fold
+    val corpus = Seq((100L, "alpha beta gamma"), (101L, "gamma delta"),
+      (1L, messy), (2L, clean)).toDF("doc_id", "text")
+    val w = Dsir.importanceWeightsSelf(corpus, col("doc_id") >= 100L,
+      buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w(1L) == w(2L), w.toString)
+    val qArr = Dsir.modelArraySelf(corpus, col("doc_id") >= 100L, buckets = 64)
+    val rl = pair.select(col("doc_id"),
+        Dsir.rowScore(col("text"), qArr, 64).as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+    assert(rl(1L) == rl(2L), rl.toString)
+
+    // substring windows: identical (s, h1, h2) keys — token positions
+    // count nonempty tokens only
+    val keys = SubstringDedup.windowKeys(pair, 2, "doc_id", "text")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+      .toMap
+    assert(keys(1L) == keys(2L) && keys(1L).nonEmpty, keys.toString)
+  }
 }
