@@ -251,20 +251,37 @@ object Dsir {
     new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Long]]()
 
   /** Batch scoring under the stored pinned model — the DSIR serving
-    * form: per-call work is the B-row store collect plus one
-    * batch-bounded scoring pass (no corpus access at all).
+    * form: per-call work is the memoized model lookup plus ONE
+    * map-only scoring pass over the batch (no corpus access, no
+    * exchange at all until whatever the caller sorts by).
     * Output-identical to scoring against a freshly built model of
     * the same corpus, and value-identical to the streaming
     * [[graft.streaming.DocsStream.dsirScoreScreen]] (suite-pinned).
+    *
+    * Shape: the [[rowScore]] fold, NOT [[scoreRows]]' explode+agg,
+    * and NO kernel-floor exchange — the ingest-batch regime (the
+    * dupScreenBatchPrebuilt precedent): a batch is ingest-sized by
+    * definition, and the r15 DsirServeProbe measured the exchanges
+    * as pure loss there (fold-no-floor 0.36 s vs the exploded
+    * registered form 0.53 s at sf0.1; each dropped exchange is a
+    * stage wave). At 100 TB-side batch sizes the scan arrives
+    * pre-split, so losing the floor costs nothing; corpus-scale
+    * scoring stays on [[scoreRows]] where the codegen'd explode+agg
+    * measured faster (r14c A/B in its scaladoc).
     */
   def scoreBatchPrebuilt(corpus: DataFrame, corpusPath: String,
       batch: DataFrame, targetPred: Column, buckets: Int = 8192,
       textCol: String = "text", idCol: String = "doc_id",
-      variant: String = "", force: Boolean = false): DataFrame =
-    scoreRows(batch,
-      storedModelSelf(corpus, corpusPath, targetPred, buckets, textCol,
-        variant, force),
-      buckets, textCol, idCol, Nil)
+      variant: String = "", force: Boolean = false): DataFrame = {
+    val qArr = storedModelSelf(corpus, corpusPath, targetPred, buckets,
+      textCol, variant, force)
+    batch
+      .select(col(idCol), rowScore(col(textCol), qArr, buckets).as("__sc"))
+      // docs with zero features drop, matching scoreRows' explode
+      .filter(col("__sc.n_feats") >= 1)
+      .select(col(idCol), col("__sc.n_feats").as("n_feats"),
+        (col("__sc.qsum").cast("double") / lit(1e9)).as("logweight"))
+  }
 
   // The "resample the most target-like slice" step is a composition,
   // not a new operator: importanceWeights(...) piped through
