@@ -174,6 +174,42 @@ object TokenizeKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-document term frequencies: nonempty token -> occurrence
+    * count, one byte walk, keys in first-occurrence order (so the
+    * output is deterministic at any parallelism). Identical in
+    * content to exploding [[wsTokensNonEmpty]] and grouping by
+    * (doc, token) — minus the corpus-wide (doc, term) EXCHANGE that
+    * grouping costs: the tf of the tfidf/bm25 family is a
+    * document-local statistic, so it never needs to leave the row.
+    */
+  def wsTermCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val bytes = s.getBytes
+    val (lo, hi) = trimmed(bytes)
+    val (starts, ends) = nonEmptySpans(bytes, lo, hi)
+    val m = starts.size()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var j = 0
+    while (j < m) {
+      val t = UTF8String.fromBytes(bytes, starts.get(j),
+        ends.get(j) - starts.get(j))
+      val c = counts.get(t)
+      if (c == null) counts.put(t, Array(1L)) else c(0) += 1L
+      j += 1
+    }
+    val keys = new Array[Any](counts.size())
+    val vals = new Array[Any](counts.size())
+    var k = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = e.getKey
+      vals(k) = e.getValue()(0)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   def wsTokenCount(s: UTF8String): Int = {
     val bytes = s.getBytes
     val (lo, hi) = trimmed(bytes)
@@ -282,6 +318,28 @@ case class WsNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `ws_term_counts(text)`: per-document nonempty-token -> count map,
+  * one byte walk, keys in first-occurrence order — see
+  * [[TokenizeKernels.wsTermCounts]].
+  */
+case class WsTermCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types
+    .MapType(StringType, org.apache.spark.sql.types.LongType,
+      valueContainsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"ws_term_counts needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernels.wsTermCounts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenizeKernels.wsTermCounts($c)")
+  override protected def withNewChildInternal(c: Expression): WsTermCounts =
+    copy(child = c)
+}
+
 object TokenizeFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def ws_tokens(c: Column): Column = column(WsTokens(expression(c)))
@@ -292,4 +350,6 @@ object TokenizeFunctions {
     column(WsNgramFeatures(expression(c), n))
   def ws_ngrams(c: Column, n: Int): Column =
     column(WsNgrams(expression(c), n))
+  def ws_term_counts(c: Column): Column =
+    column(WsTermCounts(expression(c)))
 }

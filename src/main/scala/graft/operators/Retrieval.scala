@@ -68,30 +68,29 @@ object Retrieval {
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
-    // ONE corpus tokenize pass carries the document length with it:
-    // dl = size(tokens) rides the explode (equal to tokenCount for
-    // every document that can appear here — a blank document's only
-    // token is the empty string, which matches no query term) and
-    // lands in the grouping key, so the per-doc-length join is gone.
-    // df as a tiny groupBy(term) aggregate broadcast back onto tf,
-    // NOT a window partitioned by term: the window would route every
-    // (doc, term) row of one term to a single task, and a
-    // stopword-like high-df query term makes that partition
-    // corpus-sized. The aggregate is map-side combined (|terms| rows
-    // cross the wire). tf is consumed twice (df aggregate + weighted
-    // join) but both consumers sit above the IDENTICAL
-    // groupBy(doc_id, dl, term) exchange, which ReuseExchange dedupes
-    // — the tokenize pass runs once with no cache at all (the
-    // tfidfTopTerms lesson: block-store materialization measured pure
-    // overhead next to a reused exchange).
+    // tf comes from the ws_term_counts byte walk — document-local, so
+    // the old explode + groupBy(doc, dl, term) EXCHANGE is gone: only
+    // rows whose term matches a query term survive the broadcast semi
+    // join, and those already carry their exact tf. dl rides along as
+    // ws_token_count (equal to the old size(tokens) for every
+    // document that can appear here — a blank document has no
+    // nonempty token, so it matches no query term). df as a tiny
+    // groupBy(term) aggregate broadcast back onto tf, NOT a window
+    // partitioned by term: the window would route every (doc, term)
+    // row of one term to a single task, and a stopword-like high-df
+    // query term makes that partition corpus-sized. The aggregate is
+    // map-side combined (|terms| rows cross the wire). tf is consumed
+    // twice (df aggregate + weighted join) with NO cache: the kernel
+    // pass is one cheap byte walk, and recompute-per-consumer is the
+    // only shape that exists at corpus scale (the r14b lesson).
     val tf = docs
       .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("__ws"))
-      .select(col("doc_id"), size(col("__ws")).as("dl"),
-        explode(col("__ws")).as("term"))
+        TextFunctions.tokenCount(col(textCol)).as("dl"),
+        explode(graft.functions.TokenizeFunctions
+          .ws_term_counts(col(textCol))))
+      .select(col("doc_id"), col("dl"), col("key").as("term"),
+        col("value").as("tf"))
       .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
     val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // all floating steps mirror the oracle SQL token-for-token:
     // left-associative, constants pre-folded in Scala and printed via
@@ -130,10 +129,11 @@ object Retrieval {
     * bit-identical; no transcendental in the hot path, unlike BM25's
     * ln which leans on the integer quantization).
     *
-    * Scale shape: one corpus tokenize pass (the two tf consumers
-    * share one exchange via ReuseExchange — see the in-body note),
-    * df via a map-side-combined groupBy(term) aggregate joined back
-    * (never a per-term window — a stopword's partition would be
+    * Scale shape: tf is DOCUMENT-LOCAL — the `ws_term_counts` byte
+    * walk emits (term, count) per row, so no corpus-wide (doc, term)
+    * exchange exists at all (see the in-body note); df via a
+    * map-side-combined groupBy(term) aggregate joined back (never a
+    * per-term window — a stopword's partition would be
     * corpus-sized), and the
     * per-document top-k via the bounded [[TopKFunctions.top_k_tag]]
     * heap (≤ topK rows per document per map task), never a full
@@ -146,20 +146,23 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text",
       broadcastDf: Boolean = false): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    // NOT persisted, deliberately: tf is consumed twice (df aggregate
-    // + scoring join), but both consumers sit above the IDENTICAL
-    // groupBy(doc, term) exchange, which ReuseExchange dedupes — the
-    // tokenize+partial-agg pass runs once either way, and the block-
-    // store materialization is pure overhead (interleaved A/B,
-    // TfidfProbe: 1.02 s persisted vs 0.82 s reused at sf0.1). The
-    // bm25 operator's dl persist is different: its consumers sit on
-    // DIFFERENT plans (an agg row and a join side), so no exchange
-    // dedups them.
+    // tf comes from the ws_term_counts byte walk — a document-local
+    // statistic computed IN-ROW and exploded, so the corpus-wide
+    // (doc, term) exchange the old explode+groupBy paid is gone
+    // entirely (r15 TfidfPhaseProbe: that exchange+agg was 1.6 of the
+    // row's 4.1 s at the 10x corpus; the kernel form measured the
+    // whole row 4.1 -> 2.6 s there and 1.31 -> 0.83 s at sf0.1). tf
+    // is consumed twice (df aggregate + scoring join) and deliberately
+    // NOT persisted: the kernel pass is one cheap byte walk, and at
+    // corpus scale recompute-per-consumer is the only shape that
+    // exists (the r14b substring-dedup lesson). At 100 TB this also
+    // removes THE dominant shuffle — only (term, df) aggregates and
+    // <= topK winner rows per document ever cross the wire.
     val tf = docs
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        explode(graft.functions.TokenizeFunctions
+          .ws_term_counts(col(textCol))))
+      .select(col("doc_id"), col("key").as("term"), col("value").as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // tf rows are one per (doc, term), so count(*) per term IS the
     // document frequency. The df frame is VOCABULARY-sized, not

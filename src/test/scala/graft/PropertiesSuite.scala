@@ -143,6 +143,35 @@ class PropertiesSuite extends SparkSuite {
     assert(nulls.head.isNullAt(0) && nulls.head.isNullAt(1))
   }
 
+  test("ws_term_counts equals grouped nonempty tokens (randomized)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the same whitespace-heavy alphabet as the other kernel pins,
+    // plus repeated pieces so counts exceed 1
+    val piece = Gen.oneOf("a", "bb", "a", "ccc", "Ω≈", "x1", " ", "  ",
+      "\t", "\n", "", "\f", "\r", "\r\n", "bb")
+    val genText = Gen.choose(0, 14).flatMap(k =>
+      Gen.listOfN(k, piece).map(_.mkString(" ")))
+    val params = Gen.Parameters.default
+    val texts = (0 until 400).flatMap(i =>
+      genText.apply(params, Seed(5417L + i)))
+    val got = texts.toDF("text")
+      .select(col("text"),
+        graft.functions.TokenizeFunctions.ws_term_counts(col("text")).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap)
+    got.foreach { case (text, m) =>
+      val want = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(m == want, s"term counts diverge for <$text>: $m vs $want")
+    }
+    // null propagates
+    val nulls = Seq[(Integer, String)]((1, null)).toDF("i", "text")
+      .select(graft.functions.TokenizeFunctions.ws_term_counts(col("text")))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("ws_tokens family equals the regex split forms (randomized)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
