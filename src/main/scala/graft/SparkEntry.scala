@@ -1356,6 +1356,15 @@ object SparkEntry {
     // linear.
     "curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // the gate stays a SEMI JOIN against the (small) keeper-id
+      // frame, deliberately NOT an in-place gopherKeep filter: gated
+      // appears four times in the un-persisted plan below (dedup's
+      // two sides, decontamination's two consumers), and the join
+      // form puts the expensive repetition-profile walk under a
+      // broadcast exchange that ReuseExchange evaluates ONCE per job,
+      // where the inline filter re-walks every consumer's scan
+      // (CurationPipeProbe r15: 7.4 s inline vs 3.6 s join — the
+      // explode-free cousin of the CollapseProject trap)
       val gated = docs.join(
         graft.operators.Curation.gopherGate(docs, minTokens = 25)
           .filter(col("keep") === 1).select("doc_id"),

@@ -33,11 +33,19 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("keeper")).cast("int"))
   }
 
-  /** Keeps exactly one document per identical-content cluster. */
+  /** Keeps exactly one document per identical-content cluster (the
+    * min id). NOT [[exactClusters]] filtered: the window there ships
+    * every (id, fp) row through a sort-within-partitions to annotate
+    * ALL rows, while the keeper set only needs min(id) per fp — a
+    * map-side-combined groupBy whose exchange carries one partial row
+    * per distinct fingerprint per task. Same survivors by definition.
+    */
   def dedupExact(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val keepers = exactClusters(docs, textCol, idCol)
-      .filter(col("is_dup") === 0).select(col(idCol))
+    val keepers = docs
+      .select(md5(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
