@@ -1357,17 +1357,25 @@ object SparkEntry {
     "curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // the gate stays a SEMI JOIN against the (small) keeper-id
-      // frame, deliberately NOT an in-place gopherKeep filter: gated
+      // frame, deliberately NOT an in-place predicate filter: gated
       // appears four times in the un-persisted plan below (dedup's
       // two sides, decontamination's two consumers), and the join
       // form puts the expensive repetition-profile walk under a
       // broadcast exchange that ReuseExchange evaluates ONCE per job,
       // where the inline filter re-walks every consumer's scan
       // (CurationPipeProbe r15: 7.4 s inline vs 3.6 s join — the
-      // explode-free cousin of the CollapseProject trap)
+      // explode-free cousin of the CollapseProject trap). The keeper
+      // subtree: kernelFloor spreads the profile walk (a HEAVY
+      // kernel, ~0.3 ms/doc — the DSIR regime), and the gate is the
+      // native single-call gopher_keep — a filter over gopherGate's
+      // profile EXTRACTS is rewritten by predicate pushdown into up
+      // to eight kernel walks per row (GateMicroProbe r15: 16.4 s vs
+      // 0.37 s at the 10x corpus)
       val gated = docs.join(
-        graft.operators.Curation.gopherGate(docs, minTokens = 25)
-          .filter(col("keep") === 1).select("doc_id"),
+        graft.core.Parallelism.kernelFloor(docs)
+          .filter(graft.functions.RepetitionFunctions
+            .gopher_keep(col("text"), minTokens = 25))
+          .select("doc_id"),
         Seq("doc_id"), "left_semi")
       val exact = Dedup.dedupExact(gated)
       val bench = docs.filter(col("doc_id") % 97 === 1)

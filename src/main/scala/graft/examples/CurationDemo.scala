@@ -59,9 +59,12 @@ object CurationDemo {
     val n0 = docs.count()
 
     // 0. gopher gate: the six published repetition/length rules
-    // (token floor tuned to this corpus's 20-80-token docs)
+    // (token floor tuned to this corpus's 20-80-token docs) — the
+    // native single-call gopher_keep, NOT gopherGate().filter(keep):
+    // pushdown rewrites the latter into per-rule kernel walks
     val gated = docs.join(
-      Curation.gopherGate(docs, minTokens = 25).filter(col("keep") === 1)
+      docs.filter(graft.functions.RepetitionFunctions
+          .gopher_keep(col("text"), minTokens = 25))
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
     val n0b = gated.count()

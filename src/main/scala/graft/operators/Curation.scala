@@ -253,40 +253,50 @@ object Curation {
     * The published token bounds (50–100k words) are the defaults;
     * pass corpus-appropriate bounds where the distribution differs.
     *
+    * FILTER CALLERS: use
+    * [[graft.functions.RepetitionFunctions.gopher_keep]] instead of
+    * `gopherGate(...).filter(keep === 1)` — predicate pushdown
+    * rewrites a filter over this frame's keep column into a condition
+    * referencing the profile kernel once per rule operand (up to
+    * eight walks per row; GopherKeep's scaladoc has the r15 numbers).
+    * This frame is for consumers that want the VERDICT as data.
+    *
     * @return (idCol, keep) with keep ∈ {0, 1} as int
     */
   def gopherGate(docs: DataFrame, minTokens: Long = 50,
       maxTokens: Long = 100000, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
-      gopherKeep(col(textCol), minTokens, maxTokens).cast("int").as("keep"))
-
-  /** The gate as a BOOLEAN column over the text — for pipelines that
-    * filter in place (one map-only predicate in the scan stage, no
-    * (doc_id, keep) frame to join back; the curation_pipeline row's
-    * shape). [[gopherGate]] is this expression materialized per doc
-    * id, so the two cannot diverge.
-    */
-  def gopherKeep(text: Column, minTokens: Long = 50,
-      maxTokens: Long = 100000): Column = {
+      textCol: String = "text"): DataFrame = {
     require(minTokens <= maxTokens,
       s"minTokens $minTokens > maxTokens $maxTokens")
-    val p = graft.functions.RepetitionFunctions.repetition_profile(text)
-    // all eight extracts come from ONE kernel call under whole-stage
-    // codegen subexpression elimination (the repetition_stats shape)
-    val nLines = p.getItem(0)
-    val nDupLines = p.getItem(1)
-    val dupLineChars = p.getItem(2)
-    val lineChars = p.getItem(3)
-    val top2 = p.getItem(4)
-    val dup5 = p.getItem(5)
-    val nTokens = p.getItem(6)
-    val tokenChars = p.getItem(7)
-    (nTokens >= minTokens) && (nTokens <= maxTokens) &&
-      (tokenChars >= nTokens * 3) && (tokenChars <= nTokens * 10) &&
-      (nDupLines * 10 <= nLines * 3) &&
-      (dupLineChars * 5 <= lineChars) &&
-      (top2 * 5 <= tokenChars) &&
-      (dup5 * 20 <= tokenChars * 3)
+    // the profile MUST materialize through its own projection before
+    // the eight extracts reference it: a single inlined expression
+    // referencing p.getItem(0..7) runs the kernel up to EIGHT times
+    // per row — CollapseProject deliberately refuses to inline a
+    // non-cheap projection referenced more than once, and this
+    // staged shape is what invokes that protection (r15
+    // GateMicroProbe: the inlined form measured 16.4 s vs 0.37 s for
+    // the staged walk at the 10x corpus — codegen subexpression
+    // elimination does NOT rescue an inlined struct-producing call).
+    val p = graft.functions.RepetitionFunctions.repetition_profile(col(textCol))
+    docs.select(col(idCol), p.as("__p"))
+      .select(col(idCol),
+        col("__p").getItem(0).as("n_lines"),
+        col("__p").getItem(1).as("n_dup_lines"),
+        col("__p").getItem(2).as("dup_line_chars"),
+        col("__p").getItem(3).as("line_chars"),
+        col("__p").getItem(4).as("top2gram_chars"),
+        col("__p").getItem(5).as("dup5gram_chars"),
+        col("__p").getItem(6).as("n_tokens"),
+        col("__p").getItem(7).as("token_chars"))
+      .select(col(idCol),
+        ((col("n_tokens") >= minTokens) &&
+          (col("n_tokens") <= maxTokens) &&
+          (col("token_chars") >= col("n_tokens") * 3) &&
+          (col("token_chars") <= col("n_tokens") * 10) &&
+          (col("n_dup_lines") * 10 <= col("n_lines") * 3) &&
+          (col("dup_line_chars") * 5 <= col("line_chars")) &&
+          (col("top2gram_chars") * 5 <= col("token_chars")) &&
+          (col("dup5gram_chars") * 20 <= col("token_chars") * 3))
+          .cast("int").as("keep"))
   }
 }

@@ -104,4 +104,28 @@ class RepetitionSuite extends SparkSuite {
       assert(have == want, s"doc_id=${r.get(0)}")
     }
   }
+
+  test("gopher_keep equals gopherGate's keep verdict on sf0.001 docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // the single-walk filter-safe form and the profile-extract frame
+    // must render the same verdict per document (same rules, same
+    // integer arithmetic) — both at the published bounds and at the
+    // corpus-tuned ones, where this corpus has keeps AND drops
+    for ((lo, hi) <- Seq((25L, 100000L), (50L, 100000L), (1L, 40L))) {
+      val viaKeep = docs.filter(graft.functions.RepetitionFunctions
+          .gopher_keep(col("text"), lo, hi))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val viaGate = graft.operators.Curation.gopherGate(docs, lo, hi)
+        .filter(col("keep") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaKeep == viaGate, s"bounds ($lo, $hi)")
+    }
+    // null text never keeps
+    import spark.implicits._
+    val n = Seq[(Long, String)]((1L, null)).toDF("doc_id", "text")
+      .filter(graft.functions.RepetitionFunctions.gopher_keep(col("text")))
+      .count()
+    assert(n == 0)
+  }
 }
