@@ -122,6 +122,76 @@ object Lm {
     (lm, vocabDf)
   }
 
+  /** The trained model persisted through the
+    * [[graft.core.IndexStore]] as (s, c_ab, c_a, v) — model rows with
+    * the vocabulary size V denormalized onto every row, so ONE store
+    * entry carries the whole model (V is 8 bytes against a 50k-row
+    * frame; a second store entry or a driver-side count would cost
+    * more than it saves). The reference tokenize + top-M + join build
+    * runs once per (refPath, topM, variant) fingerprint; serving
+    * calls read model bytes only. `variant` is REQUIRED non-empty and
+    * must name the reference frame — in particular any slicing of the
+    * file (the store fingerprints the FILE; the round-12 collision
+    * lesson, same contract as [[Dsir.storedModelSelf]]).
+    */
+  def storedBigramLm(reference: DataFrame, refPath: String,
+      topM: Int = 50000, textCol: String = "text", variant: String = "",
+      force: Boolean = false): DataFrame = {
+    require(variant.nonEmpty,
+      "variant must name the reference frame (store entries fingerprint the file only)")
+    val name = s"lmbig-m$topM-$textCol-$variant-v1-" +
+      graft.core.IndexStore.md5hex(refPath)
+    graft.core.IndexStore.readOrBuild(reference.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(refPath), force) {
+      val (uni, lm) = uniAndLm(reference, textCol, topM)
+      lm.crossJoin(broadcast(
+        uni.agg(count(lit(1)).cast("long").as("v"))))
+    }
+  }
+
+  /** Batch scoring under the stored model — the LM-screen serving
+    * form (the ann/dsir `*_prebuilt` convention): per-call work is
+    * one batch-bounded tokenize + broadcast join + per-doc agg
+    * against model BYTES; the reference corpus is never touched.
+    * No kernel-floor exchange on the batch side (ingest batches are
+    * small by definition — the dupScreenBatchPrebuilt regime). V
+    * rides in-plan from the stored rows, max-guarded so an empty
+    * store entry fails loudly instead of silently emptying the
+    * output. Scores are bit-identical to [[lmScoreWith]] over a
+    * freshly built model of the same reference (same integer
+    * quantization; suite-pinned).
+    */
+  def scoreBatchPrebuilt(reference: DataFrame, refPath: String,
+      batch: DataFrame, topM: Int = 50000, textCol: String = "text",
+      idCol: String = "doc_id", variant: String = "",
+      force: Boolean = false): DataFrame = {
+    val stored = storedBigramLm(reference, refPath, topM, textCol,
+      variant, force)
+    val lm = stored.select(col("s"), col("c_ab"), col("c_a"))
+    val vocabDf = stored.agg(max(col("v")).as("__v0"))
+      .select(when(col("__v0") > lit(0L), col("__v0"))
+        .otherwise(raise_error(lit("empty stored LM model")).cast("long"))
+        .as("__vocab"))
+    val v = col("__vocab")
+    val qKnown = floor(lit(1e9) * log(
+      (col("c_ab") + lit(1L)).cast("double") /
+        (col("c_a") + v).cast("double"))).cast("long")
+    val qUnk = floor(lit(1e9) * log(
+      lit(1.0) / v.cast("double"))).cast("long")
+    batch
+      .select(col(idCol), explode(
+        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), 2)).as("s"))
+      .crossJoin(broadcast(vocabDf))
+      .join(broadcast(lm), Seq("s"), "left")
+      .select(col(idCol),
+        when(col("c_ab").isNotNull, qKnown).otherwise(qUnk).as("q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
+      .select(col(idCol), col("n_bigrams"),
+        (-(col("qsum").cast("double") / lit(1e9)) / col("n_bigrams"))
+          .as("nll"))
+  }
+
   /** Per-document average negative log-probability under the model:
     * (idCol, n_bigrams, nll), one row per document with at least one
     * bigram (single-token and blank documents have no bigram events

@@ -264,6 +264,45 @@ class DsirSubstringSuite extends SparkSuite {
     assert(marks(sliceA, "ltfive") == gotA)
   }
 
+  test("LM serving form: stored model scores equal the inline build, per-slice entries") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"), (1L, "the dog sat on the rug"),
+      (2L, "a cat and a dog"), (3L, "the mat and the rug"),
+      (4L, "cats are not dogs"), (5L, "the cat sat"),
+      (10L, "the cat sat on the dog"), (11L, "entirely novel tokens here"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lmserve").toString
+    docs.write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+    val refA = stored.filter(col("doc_id") <= 3)
+    val refB = stored.filter(col("doc_id") >= 2 && col("doc_id") <= 5)
+    val batch = stored.filter(col("doc_id") >= 10)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    def served(ref: org.apache.spark.sql.DataFrame, variant: String) =
+      graft.operators.Lm.scoreBatchPrebuilt(ref, path, batch,
+        topM = 1000, variant = variant)
+        .collect().map(key).toSet
+    def inline(ref: org.apache.spark.sql.DataFrame) = {
+      val (lm, vocabDf) = graft.operators.Lm.bigramLmPlan(ref, topM = 1000)
+      graft.operators.Lm.lmScoreWith(batch, lm, vocabDf)
+        .collect().map(key).toSet
+    }
+    val gotA = served(refA, "lma")
+    assert(gotA == inline(refA) && gotA.nonEmpty)
+    // a DIFFERENT slice under a different variant must not collide
+    // with A's store entry (the round-12 lesson)
+    val gotB = served(refB, "lmb")
+    assert(gotB == inline(refB) && gotB != gotA)
+    // and the store round-trip is stable (second call reads the entry)
+    assert(served(refA, "lma") == gotA)
+    // empty variant is refused
+    intercept[IllegalArgumentException] {
+      graft.operators.Lm.storedBigramLm(refA, path)
+    }
+  }
+
   test("edge-whitespace documents equal their normalized twins (lm/dsir/substring convention pin)") {
     // The r14 lm-oracle co-edit moved operator AND oracle to the
     // nonempty-token convention in lockstep; this fixture pins the
