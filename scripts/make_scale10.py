@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Rebuild the 10x scale-growth corpus used by SCALING.md "Round 15 —
+the scale-growth run": ten id-shifted replicas of sf0.1 documents at
+target/scale10/documents.parquet, with the other tables symlinked so
+graft.Bench and the DuckDB twin read one directory.
+
+Usage: python3 scripts/make_scale10.py [sf_dir] [out_dir]
+
+(Dev-loop tool, driver-side python; the engine itself is pure
+Scala/Spark.)
+"""
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "embeddings"]
+
+
+def main() -> int:
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "target/scale10"
+    os.makedirs(outdir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM '{sfdir}/documents.parquet'")
+    n = con.execute("SELECT count(*) FROM d").fetchone()[0]
+    con.execute(f"""
+        COPY (
+          SELECT doc_id + k * {n} AS doc_id, text, lang, source, n_chars
+          FROM d CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
+          ORDER BY doc_id
+        ) TO '{outdir}/documents.parquet' (FORMAT PARQUET)""")
+    for t in TABLES:
+        dst = f"{outdir}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(f"{sfdir}/{t}.parquet", dst)
+    rows = duckdb.connect().execute(
+        f"SELECT count(*), max(doc_id) FROM '{outdir}/documents.parquet'"
+    ).fetchone()
+    print(f"scale10 at {outdir}: {rows[0]} docs, max id {rows[1]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
