@@ -210,6 +210,41 @@ object TokenizeKernels {
       new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  /** Per-document n-gram frequencies: space-joined n-token window ->
+    * occurrence count, one byte walk, keys in first-occurrence order.
+    * Identical in content to exploding [[wsNgrams]] and grouping by
+    * (doc, gram) — minus the corpus-wide exchange AND minus the
+    * repeat factor on every downstream join probe: an LM score pass
+    * joins each DISTINCT bigram once and weights by the count,
+    * instead of probing the broadcast model once per occurrence.
+    */
+  def wsNgramCounts(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.MapData = {
+    val bytes = s.getBytes
+    val (lo, hi) = trimmed(bytes)
+    val (starts, ends) = nonEmptySpans(bytes, lo, hi)
+    val m = starts.size()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var j = 0
+    while (j + n <= m) {
+      val g = gramAt(bytes, starts, ends, j, n)
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1L)) else c(0) += 1L
+      j += 1
+    }
+    val keys = new Array[Any](counts.size())
+    val vals = new Array[Any](counts.size())
+    var k = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = e.getKey
+      vals(k) = e.getValue()(0)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   def wsTokenCount(s: UTF8String): Int = {
     val bytes = s.getBytes
     val (lo, hi) = trimmed(bytes)
@@ -340,6 +375,28 @@ case class WsTermCounts(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `ws_ngram_counts(text, n)`: per-document n-gram -> count map, one
+  * byte walk — see [[TokenizeKernels.wsNgramCounts]].
+  */
+case class WsNgramCounts(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"ws_ngram_counts n $n must be >= 2")
+  override def dataType: DataType = org.apache.spark.sql.types
+    .MapType(StringType, org.apache.spark.sql.types.LongType,
+      valueContainsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"ws_ngram_counts needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernels.wsNgramCounts(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenizeKernels.wsNgramCounts($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WsNgramCounts =
+    copy(child = c)
+}
+
 object TokenizeFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def ws_tokens(c: Column): Column = column(WsTokens(expression(c)))
@@ -352,4 +409,6 @@ object TokenizeFunctions {
     column(WsNgrams(expression(c), n))
   def ws_term_counts(c: Column): Column =
     column(WsTermCounts(expression(c)))
+  def ws_ngram_counts(c: Column, n: Int): Column =
+    column(WsNgramCounts(expression(c), n))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -38,31 +38,40 @@ import graft.functions.TextFunctions
   * tokenizes once (the bigram transform runs over the materialized
   * token array, never re-splitting per element).
   *
-  * NOTE: bigrams carry MULTIPLICITY (an LM counts events), so they
-  * come from the `ws_ngrams(text, 2)` byte-walk kernel (one pass
-  * over the trimmed bytes, NONEMPTY tokens — the repetition-stats
-  * convention shared by the substring-dedup and DSIR emissions) —
-  * the `wordShingles` kernel deliberately dedups shingles per
+  * NOTE: bigrams carry MULTIPLICITY (an LM counts events), and since
+  * r15 it rides as the COUNT of the `ws_ngram_counts(text, 2)`
+  * byte-walk map (one pass over the trimmed bytes, NONEMPTY tokens —
+  * the repetition-stats convention shared by the substring-dedup and
+  * DSIR emissions): n_bigrams = Σ tf and qsum = Σ q·tf are
+  * integer-exact equal to the former one-row-per-occurrence
+  * `ws_ngrams` explode, with the partial-agg input and every
+  * broadcast-join probe shrunk by the per-document repeat factor.
+  * The `wordShingles` kernel deliberately dedups shingles per
   * document (the near-dup/Jaccard convention) and would undercount
   * repeated bigrams, and the declarative
   * `transform(sequence, concat_ws(element_at‖element_at))` form this
-  * replaced re-evaluates its inlined tokenize subtree inside the
-  * higher-order lambda (the CollapseProject trap the DSIR scaladoc
-  * documents; its combined emission measured ~1.7 s single-task vs
-  * 0.11 s native at sf0.1).
+  * family replaced re-evaluates its inlined tokenize subtree inside
+  * the higher-order lambda (the CollapseProject trap the DSIR
+  * scaladoc documents; its combined emission measured ~1.7 s
+  * single-task vs 0.11 s native at sf0.1).
   */
 object Lm {
 
-  /** Bigram event stream of one frame: every consecutive nonempty
-    * token pair as "a b", WITH multiplicity, via the native byte
-    * walk; a document with fewer than two tokens yields the empty
-    * array and explodes away. kernelFloor spreads the walk when the
+  /** Bigram COUNT stream of one frame: (s = "a b", tf) per distinct
+    * consecutive nonempty token pair per document, via the
+    * `ws_ngram_counts` byte-walk map — multiplicity rides as the
+    * count instead of as repeated rows, so everything downstream
+    * (partial aggregation input, broadcast join probes) shrinks by
+    * the per-document repeat factor while every total stays an exact
+    * integer. A document with fewer than two tokens yields the empty
+    * map and explodes away. kernelFloor spreads the walk when the
     * source scan is too small to split — a no-op at cluster scale.
     */
-  private def bigramStream(df: DataFrame, textCol: String) =
+  private def bigramCountStream(df: DataFrame, textCol: String) =
     graft.core.Parallelism.kernelFloor(df)
       .select(explode(
-        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), 2)).as("s"))
+        graft.functions.TokenizeFunctions.ws_ngram_counts(col(textCol), 2)))
+      .select(col("key").as("s"), col("value").as("tf"))
 
   /** The trained model: (s = "a b" bigram, c_ab, c_a) for the `topM`
     * most frequent reference bigrams (ties: bigram string ascending),
@@ -81,11 +90,13 @@ object Lm {
     // behind it (round-13 JobGapProbe measured the eager form slower
     // end-to-end: wall 1.34 → 1.59 s)
     val uni = nonBlank
-      .select(explode(TextFunctions.tokensNonEmpty(col(textCol))).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("c_a"))
+      .select(explode(graft.functions.TokenizeFunctions
+        .ws_term_counts(col(textCol))))
+      .groupBy(col("key")).agg(sum(col("value")).as("c_a"))
+      .withColumnRenamed("key", "t")
       .transform(graft.core.OpCaches.persistTracked)
-    val lm = bigramStream(reference, textCol)
-      .groupBy(col("s")).agg(count(lit(1)).as("c_ab"))
+    val lm = bigramCountStream(reference, textCol)
+      .groupBy(col("s")).agg(sum(col("tf")).as("c_ab"))
       .orderBy(col("c_ab").desc, col("s").asc).limit(topM)
       // a token cannot contain whitespace, so the shingle's first
       // space splits off the context token exactly
@@ -178,18 +189,7 @@ object Lm {
         (col("c_a") + v).cast("double"))).cast("long")
     val qUnk = floor(lit(1e9) * log(
       lit(1.0) / v.cast("double"))).cast("long")
-    batch
-      .select(col(idCol), explode(
-        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), 2)).as("s"))
-      .crossJoin(broadcast(vocabDf))
-      .join(broadcast(lm), Seq("s"), "left")
-      .select(col(idCol),
-        when(col("c_ab").isNotNull, qKnown).otherwise(qUnk).as("q"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
-      .select(col(idCol), col("n_bigrams"),
-        (-(col("qsum").cast("double") / lit(1e9)) / col("n_bigrams"))
-          .as("nll"))
+    scoredFrom(batch, lm, qKnown, qUnk, idCol, textCol, Some(vocabDf))
   }
 
   /** Per-document average negative log-probability under the model:
@@ -223,14 +223,32 @@ object Lm {
         (col("c_a") + lit(vocab)).cast("double"))).cast("long")
     val qUnk = floor(lit(1e9) * log(
       lit(1.0) / lit(vocab.toDouble))).cast("long")
-    graft.core.Parallelism.kernelFloor(docs)
+    scoredFrom(
+      graft.core.Parallelism.kernelFloor(docs), lm, qKnown, qUnk, idCol,
+      textCol)
+  }
+
+  /** The shared score tail: per-doc (s, tf) bigram counts from the
+    * byte-walk map, broadcast-joined to the model ONCE PER DISTINCT
+    * BIGRAM and weighted by tf — n_bigrams = Σ tf and qsum = Σ q·tf
+    * are integer-exact equal to the former one-row-per-occurrence
+    * explode (multiplication distributes over the order-free sum),
+    * with the join probe volume shrunk by the repeat factor.
+    */
+  private def scoredFrom(src: DataFrame, lm: DataFrame, qKnown: Column,
+      qUnk: Column, idCol: String, textCol: String,
+      vocabDf: Option[DataFrame] = None): DataFrame = {
+    val grams = src
       .select(col(idCol), explode(
-        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), 2)).as("s"))
+        graft.functions.TokenizeFunctions.ws_ngram_counts(col(textCol), 2)))
+      .select(col(idCol), col("key").as("s"), col("value").as("tf"))
+    vocabDf.fold(grams)(v => grams.crossJoin(broadcast(v)))
       .join(broadcast(lm), Seq("s"), "left")
-      .select(col(idCol),
+      .select(col(idCol), col("tf"),
         when(col("c_ab").isNotNull, qKnown).otherwise(qUnk).as("q"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("q") * col("tf")).as("qsum"))
       .select(col(idCol), col("n_bigrams"),
         (-(col("qsum").cast("double") / lit(1e9)) / col("n_bigrams"))
           .as("nll"))
@@ -249,17 +267,7 @@ object Lm {
         (col("c_a") + v).cast("double"))).cast("long")
     val qUnk = floor(lit(1e9) * log(
       lit(1.0) / v.cast("double"))).cast("long")
-    graft.core.Parallelism.kernelFloor(docs)
-      .select(col(idCol), explode(
-        graft.functions.TokenizeFunctions.ws_ngrams(col(textCol), 2)).as("s"))
-      .crossJoin(broadcast(vocabDf))
-      .join(broadcast(lm), Seq("s"), "left")
-      .select(col(idCol),
-        when(col("c_ab").isNotNull, qKnown).otherwise(qUnk).as("q"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
-      .select(col(idCol), col("n_bigrams"),
-        (-(col("qsum").cast("double") / lit(1e9)) / col("n_bigrams"))
-          .as("nll"))
+    scoredFrom(graft.core.Parallelism.kernelFloor(docs), lm, qKnown, qUnk,
+      idCol, textCol, Some(vocabDf))
   }
 }

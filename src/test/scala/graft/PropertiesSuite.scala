@@ -172,6 +172,36 @@ class PropertiesSuite extends SparkSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("ws_ngram_counts equals grouped ws_ngrams (randomized)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val piece = Gen.oneOf("a", "bb", "a", "ccc", "Ω≈", "a", "x1", " ",
+      "  ", "\t", "\n", "", "\f", "\r", "\r\n", "bb")
+    val genText = Gen.choose(0, 14).flatMap(k =>
+      Gen.listOfN(k, piece).map(_.mkString(" ")))
+    val params = Gen.Parameters.default
+    val texts = (0 until 300).flatMap(i =>
+      genText.apply(params, Seed(8311L + i)))
+    for (n <- Seq(2, 3)) {
+      val got = texts.toDF("text")
+        .select(col("text"),
+          graft.functions.TokenizeFunctions.ws_ngram_counts(col("text"), n).as("m"),
+          graft.functions.TokenizeFunctions.ws_ngrams(col("text"), n).as("g"))
+        .collect()
+      got.foreach { r =>
+        val m = r.getMap[String, Long](1).toMap
+        val want = r.getSeq[String](2)
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+        assert(m == want, s"n=$n diverges for <${r.getString(0)}>: $m vs $want")
+      }
+    }
+    // null propagates
+    val nulls = Seq[(Integer, String)]((1, null)).toDF("i", "text")
+      .select(graft.functions.TokenizeFunctions.ws_ngram_counts(col("text"), 2))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("ws_tokens family equals the regex split forms (randomized)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
