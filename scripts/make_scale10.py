@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
 """Rebuild the 10x scale-growth corpus used by SCALING.md "Round 15 —
-the scale-growth run": ten id-shifted replicas of sf0.1 documents at
-target/scale10/documents.parquet, with the other tables symlinked so
-graft.Bench and the DuckDB twin read one directory.
+the scale-growth run": ten id-shifted replicas of sf0.1
+documents AND lineitem (the selective-search family's fixture source)
+at target/scale10/, with the other tables symlinked so graft.Bench
+and the DuckDB twin read one directory.
 
 Usage: python3 scripts/make_scale10.py [sf_dir] [out_dir]
 
@@ -15,7 +16,7 @@ import sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "embeddings"]
+          "events", "embeddings"]
 
 
 def main() -> int:
@@ -32,6 +33,17 @@ def main() -> int:
           FROM d CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
           ORDER BY doc_id
         ) TO '{outdir}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM '{sfdir}/lineitem.parquet'")
+    cols = [r[0] for r in con.execute("DESCRIBE li").fetchall()]
+    rest = ", ".join(c for c in cols if c != "l_orderkey")
+    maxo = con.execute("SELECT max(l_orderkey) + 1 FROM li").fetchone()[0]
+    con.execute(f"""
+        COPY (
+          SELECT l_orderkey + k * {maxo} AS l_orderkey, {rest}
+          FROM li CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
+          ORDER BY l_orderkey, l_linenumber
+        ) TO '{outdir}/lineitem.parquet' (FORMAT PARQUET)""")
     for t in TABLES:
         dst = f"{outdir}/{t}.parquet"
         if os.path.lexists(dst):
