@@ -26,7 +26,11 @@ def main() -> int:
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW d AS SELECT * FROM '{sfdir}/documents.parquet'")
-    n = con.execute("SELECT count(*) FROM d").fetchone()[0]
+    # stride = max(doc_id)+1, NOT count(*): if doc_ids were ever not
+    # dense 0-based, a count stride would silently collide replica ids
+    # and skew the very dedup measurements this corpus exists for
+    # (the lineitem path below always used max+1)
+    n = con.execute("SELECT max(doc_id) + 1 FROM d").fetchone()[0]
     con.execute(f"""
         COPY (
           SELECT doc_id + k * {n} AS doc_id, text, lang, source, n_chars

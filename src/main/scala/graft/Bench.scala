@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   * could mask a real regression. Reps are interleaved round-robin
   * across queries (see the measurement loop) so a multi-minute
   * ambient-noise window dilutes across every row instead of
-  * poisoning all reps of a few.
+  * poisoning all reps of a few; rows whose rep spread still exceeds
+  * 50% get up to 2 extra interleaved rescue passes so a loaded-host
+  * board converges to attributable medians (see the rescue loop).
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -48,6 +50,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // reps=0 would leave only the untimed warm pass and median(empty)
+    // would throw a bare IndexOutOfBounds deep in the report assembly
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1 (got $reps): " +
+      "pass 0 is an untimed warm pass, at least one timed rep is needed")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -129,15 +135,16 @@ object Bench {
     // alongside, and rows with spread > 50% are counted "unstable"
     // on the stdout line and flagged in BENCH_DETAIL.
     val failedNames = scala.collection.mutable.Set[String]()
-    // pass 0 is an UNTIMED warm pass: codegen class compilation and
-    // JIT warm once per query here, so every timed pass below
-    // measures steady-state execution — without it, pass 1 carried
-    // each query's Janino compile and the per-row spread flagged that
-    // systematic cold cost as "noise" (47 of 101 rows > 50% spread on
-    // the first warmed-cache interleaved board). Data-side state is
-    // still released per query, exactly like the timed passes.
-    val passTimes = (0 to reps).map { pass =>
-      selected.map { case (name, fn) =>
+    val repTimes = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    selected.foreach { case (name, _) =>
+      repTimes(name) = scala.collection.mutable.ArrayBuffer.empty[Double]
+    }
+    // one interleaved pass over `qs`; timed passes append into
+    // repTimes, the warm pass only executes
+    def runPass(qs: Seq[(String, (SparkSession, String)
+        => org.apache.spark.sql.DataFrame)], timed: Boolean): Unit =
+      qs.foreach { case (name, fn) =>
         // release prior runs' broadcasts/shuffles/caches so long
         // sessions don't spill later queries (measured 17x inflation
         // without) and so each rep recomputes from parquet
@@ -150,18 +157,47 @@ object Bench {
           failedNames += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        if (timed) repTimes(name) += (System.nanoTime() - t0) / 1e9
       }
-    }.drop(1)
+    // pass 0 is an UNTIMED warm pass: codegen class compilation and
+    // JIT warm once per query here, so every timed pass below
+    // measures steady-state execution — without it, pass 1 carried
+    // each query's Janino compile and the per-row spread flagged that
+    // systematic cold cost as "noise" (47 of 101 rows > 50% spread on
+    // the first warmed-cache interleaved board). Data-side state is
+    // still released per query, exactly like the timed passes.
+    runPass(selected, timed = false)
+    (1 to reps).foreach(_ => runPass(selected, timed = true))
+    // RESCUE: a spread-flagged row has an unattributable median — some
+    // pass of it overlapped an ambient-noise window — and the driver
+    // records boards on a loaded host (r15: load_pre 3.0, 34 of 101
+    // rows flagged, 3 in the weak list). Instead of leaving the flag
+    // as a shrug, re-run up to 2 extra interleaved passes for ONLY the
+    // still-flagged rows and re-take the median over ALL reps: extra
+    // reps both dilute the noisy pass in the median and tighten the
+    // spread test itself. Rows that converge after one extra pass are
+    // dropped from the second, so rescue cost is proportional to how
+    // noisy the host actually was. `rescued_rows` records which rows
+    // got extra passes; `unstable` below is the post-rescue count.
+    val rescued = scala.collection.mutable.LinkedHashSet[String]()
+    (1 to 2).foreach { _ =>
+      val flagged = selected.filter { case (name, _) =>
+        !failedNames(name) && spread(repTimes(name).toSeq) > 0.5
+      }
+      if (flagged.nonEmpty) {
+        rescued ++= flagged.map(_._1)
+        runPass(flagged, timed = true)
+      }
+    }
     val results: Seq[(String, Option[Double])] = selected.map { case (name, _) =>
-      val times = passTimes.map(_.find(_._1 == name).get._2)
       // a throwing query records null, not the median of its (fast)
       // failure times — a regression must not masquerade as a speedup
-      name -> (if (failedNames(name)) None else Some(median(times)))
+      name -> (if (failedNames(name)) None
+               else Some(median(repTimes(name).toSeq)))
     }
     val spreads: Map[String, Double] = selected.collect {
       case (name, _) if !failedNames(name) =>
-        name -> spread(passTimes.map(_.find(_._1 == name).get._2))
+        name -> spread(repTimes(name).toSeq)
     }.toMap
     val unstable = spreads.count(_._2 > 0.5)
     // the driver captures only the LAST 2000 chars of stdout and
@@ -202,13 +238,36 @@ object Bench {
     val nFailed = results.count(_._2.isEmpty)
     // per-query ratio vs the DuckDB proxy baseline (same-definition
     // oracle SQL timed by scripts/time_baseline.py), so the 2x gate
-    // is mechanical: ratio = spark_sec / duckdb_sec per query
+    // is mechanical: ratio = spark_sec / duckdb_sec per query.
+    // Parse ONLY the nested "queries" object, not the whole text: a
+    // whole-text regex also captured metadata keys ("reps": 3 entered
+    // the baseline map), a latent collision if a query were ever named
+    // like a metadata field. The object is located by a balanced-brace
+    // scan from the "queries" key so a future nested value cannot
+    // truncate it.
     val baseline: Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_duckdb.json")))
-      """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val keyAt = txt.indexOf("\"queries\"")
+      val open = txt.indexOf('{', keyAt)
+      if (keyAt < 0 || open < 0) Map.empty
+      else {
+        var depth = 0
+        var i = open
+        var close = -1
+        while (close < 0 && i < txt.length) {
+          txt.charAt(i) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        val obj = txt.substring(open, if (close < 0) txt.length else close + 1)
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty }
     // the oracled-and-timed set, collected ONCE — ratios, adjusted
     // ratios, and the gate aggregates below all derive from it, so
@@ -239,7 +298,9 @@ object Bench {
       case (k, Some(_)) => "\"" + k + f"""\":${spreads(k)}%.2f"""
     }.mkString(""","spreads":{""", ",", "}")
     val unstableJson = spreads.filter(_._2 > 0.5).keys.toSeq.sorted
-      .map("\"" + _ + "\"").mkString(""","unstable_rows":[""", ",", "]")
+      .map("\"" + _ + "\"").mkString(""","unstable_rows":[""", ",", "]") +
+      rescued.toSeq.sorted
+        .map("\"" + _ + "\"").mkString(""","rescued_rows":[""", ",", "]")
     val ratioJson =
       if (ratios.isEmpty) ""
       else {
@@ -260,7 +321,7 @@ object Bench {
       }
     val loadPost = loadAvg()
     val loadJson = f""","reps":$reps,"load_pre":$loadPre%.2f,"load_post":$loadPost%.2f"""
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"unstable":$unstable,"queries":$detailQs$spreadJson$unstableJson$ratioJson$loadJson,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"unstable":$unstable,"rescued":${rescued.size},"queries":$detailQs$spreadJson$unstableJson$ratioJson$loadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")), detail + "\n")
@@ -277,7 +338,7 @@ object Bench {
           oracled.map(t => math.max(0.0, t._2 - floor)).sum / sumDuck}%.3f""" +
           f""","agg_spark_sec":$sumSpark%.3f,"agg_duckdb_sec":$sumDuck%.3f"""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"unstable":$unstable,"q_omitted":$qOmitted$aggJson,"queries":$qs$loadJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"unstable":$unstable,"rescued":${rescued.size},"q_omitted":$qOmitted$aggJson,"queries":$qs$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

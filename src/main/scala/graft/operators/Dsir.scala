@@ -244,7 +244,10 @@ object Dsir {
       val qArr = new Array[Long](buckets)
       df.collect().foreach(r => qArr(r.getInt(0)) = r.getLong(1))
       qArr
-    })
+      // clone per caller: the cache must never hand out its own
+      // mutable array — a caller mutating the returned model would
+      // silently poison every subsequent scoring call on this entry
+    }).clone()
   }
 
   private val modelCache =

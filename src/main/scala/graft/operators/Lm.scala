@@ -138,25 +138,36 @@ object Lm {
     * the vocabulary size V denormalized onto every row, so ONE store
     * entry carries the whole model (V is 8 bytes against a 50k-row
     * frame; a second store entry or a driver-side count would cost
-    * more than it saves). The reference tokenize + top-M + join build
-    * runs once per (refPath, topM, variant) fingerprint; serving
-    * calls read model bytes only. `variant` is REQUIRED non-empty and
-    * must name the reference frame — in particular any slicing of the
-    * file (the store fingerprints the FILE; the round-12 collision
-    * lesson, same contract as [[Dsir.storedModelSelf]]).
+    * more than it saves). A SENTINEL row (s = NULL, v) is always
+    * unioned in: a reference with a nonempty vocabulary but zero
+    * surviving bigrams would otherwise store an EMPTY frame and lose
+    * V, making [[scoreBatchPrebuilt]] raise where [[lmScoreWith]]
+    * validly scores every bigram as unknown — the sentinel keeps the
+    * stored form's contract bit-identical to the inline build even on
+    * that degenerate reference (NULL can never be a real shingle key,
+    * and readers filter `s IS NOT NULL` for model rows). The
+    * reference tokenize + top-M + join build runs once per (refPath,
+    * topM, variant) fingerprint; serving calls read model bytes only.
+    * `variant` is REQUIRED non-empty and must name the reference
+    * frame — in particular any slicing of the file (the store
+    * fingerprints the FILE; the round-12 collision lesson, same
+    * contract as [[Dsir.storedModelSelf]]).
     */
   def storedBigramLm(reference: DataFrame, refPath: String,
       topM: Int = 50000, textCol: String = "text", variant: String = "",
       force: Boolean = false): DataFrame = {
     require(variant.nonEmpty,
       "variant must name the reference frame (store entries fingerprint the file only)")
-    val name = s"lmbig-m$topM-$textCol-$variant-v1-" +
+    val name = s"lmbig-m$topM-$textCol-$variant-v2-" +
       graft.core.IndexStore.md5hex(refPath)
     graft.core.IndexStore.readOrBuild(reference.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(refPath), force) {
       val (uni, lm) = uniAndLm(reference, textCol, topM)
-      lm.crossJoin(broadcast(
-        uni.agg(count(lit(1)).cast("long").as("v"))))
+      val vRow = uni.agg(count(lit(1)).cast("long").as("v"))
+      lm.crossJoin(broadcast(vRow)).unionByName(
+        vRow.select(lit(null).cast("string").as("s"),
+          lit(null).cast("long").as("c_ab"),
+          lit(null).cast("long").as("c_a"), col("v")))
     }
   }
 
@@ -178,10 +189,16 @@ object Lm {
       force: Boolean = false): DataFrame = {
     val stored = storedBigramLm(reference, refPath, topM, textCol,
       variant, force)
-    val lm = stored.select(col("s"), col("c_ab"), col("c_a"))
+    // s IS NULL marks the V-carrying sentinel, not a model row (see
+    // storedBigramLm); V itself rides on every row including the
+    // sentinel, so a zero-bigram model still scores (all-unknown)
+    // exactly like the inline build
+    val lm = stored.filter(col("s").isNotNull)
+      .select(col("s"), col("c_ab"), col("c_a"))
     val vocabDf = stored.agg(max(col("v")).as("__v0"))
       .select(when(col("__v0") > lit(0L), col("__v0"))
-        .otherwise(raise_error(lit("empty stored LM model")).cast("long"))
+        .otherwise(raise_error(
+          lit("stored LM model has an empty vocabulary")).cast("long"))
         .as("__vocab"))
     val v = col("__vocab")
     val qKnown = floor(lit(1e9) * log(

@@ -303,6 +303,38 @@ class DsirSubstringSuite extends SparkSuite {
     }
   }
 
+  test("LM serving form: zero-bigram reference still serves (sentinel carries V)") {
+    // A reference of single-token documents has a NONEMPTY vocabulary
+    // but zero surviving bigrams. Before the sentinel row, the stored
+    // model frame was empty, V was lost with it, and serving raised
+    // 'empty stored LM model' where the inline build validly scores
+    // every batch bigram as unknown (P = 1/V) — a degenerate-reference
+    // divergence from the bit-identical contract. The sentinel
+    // (s = NULL, v) keeps V in the store; this pins served == inline
+    // on exactly that reference.
+    val docs = Seq(
+      (0L, "alpha"), (1L, "beta"), (2L, "gamma"),
+      (10L, "alpha beta"), (11L, "gamma alpha novel"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lmzero").toString
+    docs.write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+    val ref = stored.filter(col("doc_id") <= 2)
+    val batch = stored.filter(col("doc_id") >= 10)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val served = graft.operators.Lm.scoreBatchPrebuilt(ref, path, batch,
+      topM = 1000, variant = "zerobigram")
+      .collect().map(key).toSet
+    val (lm, vocabDf) = graft.operators.Lm.bigramLmPlan(ref, topM = 1000)
+    val inline = graft.operators.Lm.lmScoreWith(batch, lm, vocabDf)
+      .collect().map(key).toSet
+    assert(served == inline && served.nonEmpty, s"served=$served inline=$inline")
+    // both batch docs score (all-unknown bigrams), n_bigrams = 1 and 2
+    assert(served.map(_._1) == Set(10L, 11L))
+  }
+
   test("edge-whitespace documents equal their normalized twins (lm/dsir/substring convention pin)") {
     // The r14 lm-oracle co-edit moved operator AND oracle to the
     // nonempty-token convention in lockstep; this fixture pins the

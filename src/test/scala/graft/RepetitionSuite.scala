@@ -105,6 +105,86 @@ class RepetitionSuite extends SparkSuite {
     }
   }
 
+  /** The six gate rules re-derived independently from the collection
+    * [[reference]] profile — the property oracle for the single-walk
+    * fold in [[RepetitionKernel.gopherKeep]].
+    */
+  private def keepReference(s: String, minTokens: Long, maxTokens: Long): Boolean = {
+    val p = reference(s)
+    val (nLines, nDupLines, dupLineChars, lineChars) = (p(0), p(1), p(2), p(3))
+    val (top2, dup5, nTokens, tokenChars) = (p(4), p(5), p(6), p(7))
+    nTokens >= minTokens && nTokens <= maxTokens &&
+      tokenChars >= nTokens * 3 && tokenChars <= nTokens * 10 &&
+      nDupLines * 10 <= nLines * 3 &&
+      dupLineChars * 5 <= lineChars &&
+      top2 * 5 <= tokenChars &&
+      dup5 * 20 <= tokenChars * 3
+  }
+
+  test("randomized: gopher_keep fold matches the rule-by-rule reference and gopherGate") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // bounds chosen INSIDE the generated token-count range so both the
+    // min and max token rules actually flip; word lengths straddle the
+    // 3..10 avg-chars band; small pools make duplicate lines, dominant
+    // 2-grams and repeated 5-grams all occur organically
+    val (lo, hi) = (5L, 15L)
+    val word = Gen.oneOf("a", "bb", "ccc", "dddd", "eeeeee",
+      "ffffffff", "gggggggggggg", "ccc", "dddd")
+    val sep = Gen.frequency(6 -> Gen.const(" "), 2 -> Gen.const("\n"),
+      1 -> Gen.const("\t"), 1 -> Gen.const("\n\n"))
+    val doc = for {
+      n <- Gen.choose(0, 22) // straddles [5, 15]
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(n, sep)
+      // sometimes append a repeated block so dup-5-gram / dup-line
+      // rules fire on long documents too
+      rep <- Gen.oneOf("", "ccc dddd ccc dddd ccc\nccc dddd ccc dddd ccc")
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString + rep
+    val params = Gen.Parameters.default
+    val generated = (0 until 250).flatMap(i => doc.apply(params, Seed(23L + i)))
+    // hand-built boundary docs: exact-equality edges of every rule
+    val boundary = Seq(
+      ("ccc " * 4).trim, // 4 tokens < lo
+      ("ccc " * 5).trim, // 5 tokens, avg chars = 3 exactly (keep edge)
+      ("bb " * 5).trim, // avg chars 2 < 3 (drop edge)
+      ("ccc " * 15).trim, // 15 tokens = hi (keep edge)
+      ("ccc " * 16).trim, // 16 tokens > hi
+      ("gggggggggggg " * 6).trim, // avg chars 12 > 10
+      // 10 lines, 3 duplicate instances: nDup*10 = 30 == nLines*3 (keep)
+      (Seq.fill(3)("eeeeee") ++ (1 to 7).map(i => "dddd" + i)).mkString("\n"),
+      // 10 lines, 4 duplicate instances: 40 > 30 (drop)
+      (Seq.fill(4)("eeeeee") ++ (1 to 6).map(i => "dddd" + i)).mkString("\n"),
+      // a guaranteed KEEP: 15 distinct 4-char tokens, one line — every
+      // rule passes with margin (top2 = 9 chars, 45 <= tokenChars 60)
+      (1 to 15).map(i => f"w$i%03d").mkString(" "))
+    val texts = (generated ++ boundary).distinct
+    // 1) the kernel fold matches the independent rule-by-rule oracle
+    texts.foreach { s =>
+      val got = RepetitionKernel.gopherKeep(UTF8String.fromString(s), lo, hi)
+      assert(got == keepReference(s, lo, hi),
+        s"fold diverged on doc=${s.replace("\n", "\\n")}")
+    }
+    // 2) through Spark, the filter-safe expression and the
+    // profile-extract gate frame agree with each other AND the oracle
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val viaKeep = df.filter(graft.functions.RepetitionFunctions
+        .gopher_keep(col("text"), lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaGate = graft.operators.Curation.gopherGate(df, lo, hi)
+      .filter(col("keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = texts.zipWithIndex.collect {
+      case (s, i) if keepReference(s, lo, hi) => i.toLong
+    }.toSet
+    assert(viaKeep == viaGate && viaKeep == expect)
+    // the sweep must actually exercise both verdicts
+    assert(expect.nonEmpty && expect.size < texts.size)
+  }
+
   test("gopher_keep equals gopherGate's keep verdict on sf0.001 docs") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf("sf0.001"))

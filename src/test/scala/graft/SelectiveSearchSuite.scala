@@ -129,6 +129,37 @@ class SelectiveSearchSuite extends SparkSuite {
       s"expected the raise_error guard, got: $messages")
   }
 
+  test("selectWithDecay excludes out-of-domain (negative) ranks") {
+    // A malformed selection row with rank = -1 must receive NO budget
+    // and contribute NO output rows: the pre-inline form inner-joined
+    // against a ranks 0..t-1 lookup, so out-of-domain ranks were
+    // silently excluded, and the inlined fold keeps that join-era
+    // domain explicitly via rank BETWEEN 0 AND t-1 (a bare `rank < t`
+    // would feed the fold an empty repeat array and hand such rows the
+    // FULL ceil(nb) budget). `select`'s plain `rank < t` path is the
+    // documented contrast: there a negative rank still selects the
+    // shard, matching the reference's unguarded boolean mask.
+    val malformed = selection
+      .union(Seq((0, 0, -1)).toDF("query", "shard", "rank"))
+    // query 0 shard 0 already holds rank 0, so give the -1 row its own
+    // shard to make any leaked budget visible: use a fresh frame where
+    // (query 0, shard 1) has ONLY the malformed rank
+    val sel2 = Seq((0, 0, 0), (0, 1, -1), (0, 2, 1)).toDF("query", "shard", "rank")
+    val out = SelectiveSearch.selectWithDecay(sel2, results, 3, 0.5)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // shard 1 (the negative-rank row) must be absent entirely
+    assert(!out.contains((0, 1)), s"negative rank leaked budget: $out")
+    // and the well-formed rows still flow (rank 0 -> budget 2 buckets)
+    assert(out.contains((0, 0)))
+    // the original fixture plus a duplicate-shard malformed row is
+    // also unchanged vs the clean fixture (the -1 row adds nothing)
+    val a = SelectiveSearch.selectWithDecay(malformed, results, 3, 0.5)
+      .collect().toSeq
+    val b = SelectiveSearch.selectWithDecay(selection, results, 3, 0.5)
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("missing columns raise MissingColumnException") {
     intercept[MissingColumnException](
       SelectiveSearch.select(selection.drop("rank"), results, 1))
