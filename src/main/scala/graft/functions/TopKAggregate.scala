@@ -95,9 +95,17 @@ case class TopKByScore(
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreExpr.eval(input)
-    val i = idExpr.eval(input)
-    if (s != null && i != null)
-      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Number].longValue())
+    if (s != null) {
+      val sd = s.asInstanceOf[Double]
+      // lazy id: once the buffer is full, a row losing on score alone
+      // cannot enter regardless of its id — skip evaluating idExpr.
+      // Score ties still evaluate (the id is the tiebreak). NaN
+      // behavior is unchanged: a full buffer rejected NaN before too.
+      if (buf.size < buf.k || sd >= buf.scores(0)) {
+        val i = idExpr.eval(input)
+        if (i != null) buf.insert(sd, i.asInstanceOf[Number].longValue())
+      }
+    }
     buf
   }
 
@@ -228,10 +236,22 @@ case class TopKByScoreTag(
 
   override def update(buf: TopKTagBuffer, input: InternalRow): TopKTagBuffer = {
     val s = scoreExpr.eval(input)
-    val t = tagExpr.eval(input)
-    // clone: the UTF8String points into a reused row buffer
-    if (s != null && t != null)
-      buf.insert(s.asInstanceOf[Double], t.asInstanceOf[UTF8String].clone())
+    if (s != null) {
+      val sd = s.asInstanceOf[Double]
+      // lazy tag: once the buffer is full, a row losing on score alone
+      // cannot enter regardless of its tag — skip evaluating the
+      // (possibly expensive, e.g. concat_ws-packed) tag expression
+      // entirely. Each group keeps k of its whole candidate set, so at
+      // corpus scale nearly every row takes this rejection path. Score
+      // ties still evaluate: the tag is the tiebreak. NaN behavior is
+      // unchanged (a full buffer rejected NaN before too).
+      if (buf.size < buf.k || sd >= buf.scores(0)) {
+        val t = tagExpr.eval(input)
+        // clone: the UTF8String points into a reused row buffer
+        if (t != null)
+          buf.insert(sd, t.asInstanceOf[UTF8String].clone())
+      }
+    }
     buf
   }
 
