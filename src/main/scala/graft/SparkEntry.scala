@@ -1471,6 +1471,42 @@ object SparkEntry {
         docs, "doc_id", Seq(col("doc_id").asc))
     }),
 
+    // ...and the two serving forms COMPOSED, end-to-end — the
+    // ingest-side twin of curation_pipeline: an arriving batch
+    // (doc_id%5==0) is screened against the standing corpus's STORED
+    // substring dup-key table (drop any doc whose window already
+    // occurs >=2 times in the corpus), survivors are scored under the
+    // PINNED DSIR model of the same corpus, and the screened+scored
+    // batch is packed into 512-token training sequences per language
+    // with the score attached. Per call, ZERO corpus passes: both
+    // artifacts ride the same IndexStore entries the individual
+    // *_prebuilt rows serve from (identical corpus frame + variant —
+    // the store-reuse contract). The batch-side work is ingest-sized:
+    // screen join + row-local score fold + one narrow per-lang
+    // window; survivors deliberately recomputed per consumer (two
+    // cheap batch passes beat a persist materialization — the r14b
+    // lesson). scored∩packed both exclude zero-token docs (no
+    // features <=> no bins), so the inner join loses nothing.
+    "ingest_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val path = s"$dir/documents.parquet"
+      val hit = graft.operators.SubstringDedup.dupScreenBatchPrebuilt(
+        corpus, path, batch, windowTokens = 20, variant = "holdout5")
+        .select("doc_id").distinct()
+      val survivors = batch.join(hit, Seq("doc_id"), "left_anti")
+      val scored = graft.operators.Dsir.scoreBatchPrebuilt(
+        corpus, path, survivors, col("lang") === "en",
+        variant = "holdout5-en")
+      val packed = graft.operators.Packing.packSequences(
+        survivors, TextFunctions.tokenCount(col("text")), Seq("lang"),
+        "doc_id", seqLen = 512L)
+      graft.core.StaticRange.denseIdSort(
+        packed.join(scored, Seq("doc_id")),
+        docs, "doc_id", Seq(col("doc_id").asc, col("bin_id").asc))
+    }),
+
     // DSIR-style hashed n-gram importance weights (Xie et al. 2023):
     // every document scored by ln-likelihood-ratio of its hashed
     // unigram+bigram features under the English slice vs the raw
@@ -3414,6 +3450,69 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_feats,
          |       CAST(sum(q) AS DOUBLE) / 1e9 AS logweight
          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the dup_screen_prebuilt, dsir_weights_prebuilt and
+    // pack_sequences chains composed: screen the batch (doc_id%5=0)
+    // against the corpus (doc_id%5<>0) >=2-occurrence window keys,
+    // drop hit docs, score survivors under the corpus model, pack
+    // survivors per lang every 512 tokens, attach the score
+    "ingest_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_filter($TokensExpr, x -> x <> '') AS ws
+         |           FROM documents),
+         |cw AS (SELECT ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 1, 12))::BIGINT AS h1,
+         |              ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 13, 12))::BIGINT AS h2
+         |       FROM (SELECT * FROM t WHERE doc_id % 5 <> 0),
+         |            unnest(generate_series(1, len(ws) - 19)) AS u(i)
+         |       WHERE len(ws) >= 20),
+         |d AS (SELECT h1, h2 FROM cw GROUP BY h1, h2 HAVING count(*) >= 2),
+         |bw AS (SELECT doc_id,
+         |              ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 1, 12))::BIGINT AS h1,
+         |              ('0x' || substr(md5(array_to_string(ws[i:i+19], ' ')), 13, 12))::BIGINT AS h2
+         |       FROM (SELECT * FROM t WHERE doc_id % 5 = 0),
+         |            unnest(generate_series(1, len(ws) - 19)) AS u(i)
+         |       WHERE len(ws) >= 20),
+         |hit AS (SELECT DISTINCT doc_id FROM bw JOIN d USING (h1, h2)),
+         |surv AS (SELECT * FROM t WHERE doc_id % 5 = 0
+         |         AND doc_id NOT IN (SELECT doc_id FROM hit)),
+         |cfe AS (
+         |  SELECT lang, unnest(ws) AS f FROM t WHERE doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT lang, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i+1])) AS f FROM t WHERE doc_id % 5 <> 0),
+         |cb AS (SELECT lang, ('0x' || substr(md5(f), 1, 12))::BIGINT % 8192 AS bucket
+         |       FROM cfe),
+         |tc AS (SELECT bucket, count(*) AS c_t FROM cb WHERE lang = 'en' GROUP BY bucket),
+         |tt AS (SELECT COALESCE(sum(c_t), 0) AS n_t FROM tc),
+         |rc AS (SELECT bucket, count(*) AS c_r FROM cb GROUP BY bucket),
+         |rt AS (SELECT COALESCE(sum(c_r), 0) AS n_r FROM rc),
+         |bfe AS (
+         |  SELECT doc_id, unnest(ws) AS f FROM surv
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i+1])) AS f FROM surv),
+         |bb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 12))::BIGINT % 8192 AS bucket
+         |       FROM bfe),
+         |q AS (SELECT bb.doc_id,
+         |        CAST(floor(1e9 * ln(
+         |          (CAST(COALESCE(tc.c_t, 0) + 1 AS DOUBLE) / CAST(tt.n_t + 8192 AS DOUBLE)) /
+         |          (CAST(COALESCE(rc.c_r, 0) + 1 AS DOUBLE) / CAST(rt.n_r + 8192 AS DOUBLE)))) AS BIGINT) AS q
+         |      FROM bb LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+         |           CROSS JOIN tt CROSS JOIN rt),
+         |sc AS (SELECT doc_id, count(*) AS n_feats,
+         |              CAST(sum(q) AS DOUBLE) / 1e9 AS logweight
+         |       FROM q GROUP BY doc_id),
+         |pc AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tok,
+         |         CAST(sum(len(ws)) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+         |       FROM surv WHERE len(ws) > 0),
+         |pb AS (SELECT doc_id, lang, e - n_tok AS st, e,
+         |         unnest(generate_series((e - n_tok) // 512, (e - 1) // 512)) AS bin_id
+         |       FROM pc)
+         |SELECT pb.doc_id, pb.lang, pb.bin_id,
+         |       least(pb.e, (pb.bin_id + 1) * 512) - greatest(pb.st, pb.bin_id * 512) AS tok_in_bin,
+         |       sc.n_feats, sc.logweight
+         |FROM pb JOIN sc USING (doc_id)
+         |ORDER BY doc_id, bin_id""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH t AS (SELECT doc_id, lang, list_filter($TokensExpr, x -> x <> '') AS ws
