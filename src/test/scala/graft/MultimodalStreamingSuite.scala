@@ -238,6 +238,76 @@ class MultimodalStreamingSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming: ingest composition (dup screen -> DSIR score) matches the batch pipeline across arrival waves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The registered ingest_pipeline row composes the two serving
+    // forms in batch; this pins the STREAMING twins composed the same
+    // way — screens as stateless queries, the doc-grain dup gate at
+    // compaction (per the screen scaladocs' division of labour) — and
+    // does it across TWO arrival waves, so incremental arrival is
+    // pinned equal to one-shot batch processing (doc-grain ops must
+    // not depend on micro-batch boundaries).
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "en", s"intro one two $boiler tail alpha"),
+      (2L, "en", s"other opening words $boiler different ending here"),
+      (3L, "en", "the cat sat on the mat quietly today"),
+      (4L, "de", "der hund sitzt auf dem baum heute"))
+      .toDF("doc_id", "lang", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ingestpar").toString
+    corpus.write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+    val arrivals = Seq(
+      (100L, "x", s"fresh start $boiler and then new text"), // boilerplate: screened out
+      (101L, "x", "the cat sat on the mat again"),           // kept, target-like
+      (102L, "x", "der hund auf dem baum wieder einmal"),    // kept, off-target
+      (103L, "x", "short clean"))                            // < w tokens: no window, kept
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // batch composition (the ingest_pipeline pre-pack stage)
+    val batchDf = arrivals.toDF("doc_id", "lang", "text")
+    val hit = graft.operators.SubstringDedup.dupScreenBatchPrebuilt(
+      stored, path, batchDf, windowTokens = 8, variant = "ingestparity")
+      .select("doc_id").distinct()
+    val batchScored = graft.operators.Dsir.scoreBatchPrebuilt(
+      stored, path, batchDf.join(hit, Seq("doc_id"), "left_anti"),
+      col("lang") === "en", buckets = 64, variant = "ingestparity-en")
+      .collect().map(key).toSet
+    // streaming: both screens as independent stateless queries over
+    // the same arrivals in two waves
+    val dupKeys = graft.operators.SubstringDedup.storedDupKeys(
+      stored, path, windowTokens = 8, variant = "ingestparity")
+    val msMarks = MemoryStream[(Long, String, String)]
+    val marksQ = graft.streaming.DocsStream.substringDupScreenKeys(
+      msMarks.toDF().toDF("doc_id", "lang", "text"), dupKeys,
+      windowTokens = 8)
+      .writeStream.format("memory").queryName("ingest_marks")
+      .outputMode("append").start()
+    val msScores = MemoryStream[(Long, String, String)]
+    val scoresQ = graft.streaming.DocsStream.dsirScoreScreen(
+      msScores.toDF().toDF("doc_id", "lang", "text"), stored,
+      col("lang") === "en", buckets = 64)
+      .writeStream.format("memory").queryName("ingest_scores")
+      .outputMode("append").start()
+    try {
+      val (wave1, wave2) = arrivals.splitAt(2)
+      msMarks.addData(wave1); msScores.addData(wave1)
+      marksQ.processAllAvailable(); scoresQ.processAllAvailable()
+      msMarks.addData(wave2); msScores.addData(wave2)
+      marksQ.processAllAvailable(); scoresQ.processAllAvailable()
+      // compaction: drop every doc the screen marked, keep the scores
+      val streamScored = spark.table("ingest_scores")
+        .join(spark.table("ingest_marks").select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        .collect().map(key).toSet
+      assert(streamScored == batchScored,
+        s"stream $streamScored != batch $batchScored")
+      assert(streamScored.map(_._1) == Set(101L, 102L, 103L))
+    } finally { marksQ.stop(); scoresQ.stop() }
+  }
+
   test("streaming: token-id encode against a fitted vocabulary matches batch") {
     // the vocabulary is a fit artifact; the encode pass is a
     // stateless stream-static broadcast join, so an ingest stream
