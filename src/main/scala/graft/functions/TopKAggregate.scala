@@ -61,10 +61,22 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  /** (score, id) pairs ordered best-first. */
+  /** (score, id) pairs ordered best-first. The comparator is a total
+    * order even when NaN scores were admitted (possible while the
+    * buffer is filling): NaN sorts last — consistent with a full
+    * buffer rejecting NaN — and ±0.0 stay one equivalence class under
+    * the id tiebreak. A naive `s1 > s2 || (s1 == s2 && ...)` is
+    * inconsistent under NaN and makes TimSort throw.
+    */
   def sortedPairs: Array[(Double, Long)] = {
     val out = (0 until size).map(i => (scores(i), ids(i))).toArray
-    out.sortWith { case ((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2) }
+    out.sortWith { case ((s1, i1), (s2, i2)) =>
+      if (s1 > s2) true
+      else if (s2 > s1) false
+      else if (s1 == s2) i1 < i2
+      else if (s1.isNaN) s2.isNaN && i1 < i2
+      else true // s1 real, s2 NaN
+    }
   }
 }
 
@@ -205,11 +217,17 @@ final class TopKTagBuffer(val k: Int) {
     }
   }
 
-  /** (score, tag) pairs ordered best-first. */
+  /** (score, tag) pairs ordered best-first — total order under NaN
+    * scores, same contract as [[TopKBuffer.sortedPairs]].
+    */
   def sortedPairs: Array[(Double, UTF8String)] = {
     val out = (0 until size).map(i => (scores(i), tags(i))).toArray
     out.sortWith { case ((s1, t1), (s2, t2)) =>
-      s1 > s2 || (s1 == s2 && t1.compareTo(t2) < 0)
+      if (s1 > s2) true
+      else if (s2 > s1) false
+      else if (s1 == s2) t1.compareTo(t2) < 0
+      else if (s1.isNaN) s2.isNaN && t1.compareTo(t2) < 0
+      else true // s1 real, s2 NaN
     }
   }
 }
@@ -312,13 +330,24 @@ case class TopKByScoreTag(
 object TopKFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
-  /** Aggregate column: per-group top-k (score desc, id asc) pairs. */
+  /** Aggregate column: per-group top-k (score desc, id asc) pairs.
+    *
+    * Conditional-evaluation contract: once a group's buffer holds k
+    * entries, `id` is NOT evaluated for rows whose score alone loses
+    * to the current heap-min (score ties still evaluate — the id is
+    * the tiebreak). Like Spark's own short-circuit operators, `id`
+    * must therefore be pure and non-erroring on rejected rows: an id
+    * expression that throws (raise_error, ANSI cast overflow) or has
+    * side effects may not fire on every input row.
+    */
   def top_k(score: Column, id: Column, k: Int): Column =
     column(TopKByScore(expression(score.cast("double")),
       expression(id.cast("long")), k).toAggregateExpression())
 
   /** Aggregate column: per-group top-k (score desc, tag asc) pairs,
-    * tag a string.
+    * tag a string. Same conditional-evaluation contract as [[top_k]]:
+    * `tag` is skipped on score-rejected rows once the buffer is full,
+    * so it must be pure and non-erroring on rejected rows.
     */
   def top_k_tag(score: Column, tag: Column, k: Int): Column =
     column(TopKByScoreTag(expression(score.cast("double")),

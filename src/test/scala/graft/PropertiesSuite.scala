@@ -438,6 +438,129 @@ class PropertiesSuite extends SparkSuite {
     }
   }
 
+  test("top_k/top_k_tag update: lazy score-gate equals eager insert (ties, nulls, NaN)") {
+    // Drives the aggregates' update() directly (not the buffer), the one
+    // path PropertiesSuite previously bypassed: the r16 lazy gate
+    // `buf.size < k || sd >= scores(0)` must admit exactly the rows the
+    // pre-gate eager path admitted — including heap-min score ties
+    // (>= not >), null score/id rows, and NaN scores — and must skip
+    // evaluating the id/tag child on score-rejected rows.
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnaryExpression}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{TopKBuffer, TopKByScore, TopKByScoreTag, TopKTagBuffer}
+
+    // counts eval() calls so the test can assert the gate really skips
+    case class CountingRef(child: Expression, hits: AtomicInteger)
+      extends UnaryExpression with CodegenFallback {
+      override def dataType: DataType = child.dataType
+      override def eval(input: InternalRow): Any = {
+        hits.incrementAndGet(); child.eval(input)
+      }
+      override protected def withNewChildInternal(c: Expression): CountingRef =
+        copy(child = c)
+    }
+
+    // deterministic stream: 5 distinct scores (constant heap-min ties),
+    // null scores, null ids, optional NaN
+    def rows(seed: Long, n: Int, withNaN: Boolean): Seq[(java.lang.Double, java.lang.Long)] =
+      (0 until n).map { i =>
+        val h = seed * 6364136223846793005L + i * 1442695040888963407L
+        val m = ((h >>> 16) % 13).toInt
+        val s: java.lang.Double =
+          if (m == 0) null
+          else if (withNaN && m == 1) Double.NaN
+          else (h % 5).toDouble
+        val id: java.lang.Long =
+          if (m == 2) null else java.lang.Long.valueOf((h >>> 32) % 9)
+        (s, id)
+      }
+
+    for {
+      n <- Seq(0, 1, 3, 17, 300)
+      k <- Seq(1, 2, 5, 64)
+      seed <- Seq(1L, 7L, 99L)
+      withNaN <- Seq(false, true)
+    } {
+      val xs = rows(seed, n, withNaN)
+
+      // --- long-id aggregate ---
+      val idHits = new AtomicInteger(0)
+      val agg = TopKByScore(
+        BoundReference(0, DoubleType, nullable = true),
+        CountingRef(BoundReference(1, LongType, nullable = true), idHits), k)
+      val viaUpdate = xs.foldLeft(agg.createAggregationBuffer()) { (b, r) =>
+        agg.update(b, InternalRow(r._1, r._2))
+      }
+      // eager reference: the pre-r16 update body — eval score, eval id
+      // unconditionally, insert when both non-null
+      val viaEagerInsert = new TopKBuffer(k)
+      xs.foreach { case (s, id) =>
+        if (s != null && id != null) viaEagerInsert.insert(s, id)
+      }
+      // NaN-tolerant pair equality: compare canonical score bits
+      def got(b: TopKBuffer) = b.sortedPairs.toSeq.map { case (s, i) =>
+        (java.lang.Double.doubleToLongBits(s), i)
+      }
+      assert(got(viaUpdate) == got(viaEagerInsert),
+        s"update != eager insert: n=$n k=$k seed=$seed nan=$withNaN")
+      // NaN-free case is also pinned against a plain sort-truncate
+      if (!withNaN) {
+        val ref = xs.collect { case (s, id) if s != null && id != null =>
+          (s.doubleValue(), id.longValue())
+        }.sortWith { case ((s1, i1), (s2, i2)) =>
+          s1 > s2 || (s1 == s2 && i1 < i2)
+        }.take(k).map { case (s, i) => (java.lang.Double.doubleToLongBits(s), i) }
+        assert(got(viaUpdate) == ref,
+          s"update != sort-truncate: n=$n k=$k seed=$seed")
+      }
+      // laziness: with 5 score values and k small, a long stream must
+      // reject most rows on score alone without touching idExpr
+      val nonNullScores = xs.count(_._1 != null)
+      if (n == 300 && k <= 2 && !withNaN) {
+        assert(idHits.get() < nonNullScores,
+          s"id child evaluated on every row (gate never skipped): k=$k seed=$seed")
+      }
+
+      // --- string-tag aggregate (same stream, tags derived from ids) ---
+      val tagHits = new AtomicInteger(0)
+      val tagAgg = TopKByScoreTag(
+        BoundReference(0, DoubleType, nullable = true),
+        CountingRef(BoundReference(1, StringType, nullable = true), tagHits), k)
+      val tagViaUpdate = xs.foldLeft(tagAgg.createAggregationBuffer()) { (b, r) =>
+        val t = if (r._2 == null) null else UTF8String.fromString(s"t${r._2}")
+        tagAgg.update(b, InternalRow(r._1, t))
+      }
+      val tagEager = new TopKTagBuffer(k)
+      xs.foreach { case (s, id) =>
+        if (s != null && id != null)
+          tagEager.insert(s, UTF8String.fromString(s"t$id"))
+      }
+      def gotT(b: TopKTagBuffer) = b.sortedPairs.toSeq.map { case (s, t) =>
+        (java.lang.Double.doubleToLongBits(s), t.toString)
+      }
+      assert(gotT(tagViaUpdate) == gotT(tagEager),
+        s"tag update != eager insert: n=$n k=$k seed=$seed nan=$withNaN")
+    }
+
+    // pinpoint the tie-admission boundary the gate must preserve: a
+    // full buffer whose heap-min score equals the incoming score must
+    // still evaluate the id and admit on a winning tiebreak
+    val tieAgg = TopKByScore(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true), 2)
+    val tieBuf = Seq((5.0, 10L), (5.0, 20L), (5.0, 1L), (4.0, 0L))
+      .foldLeft(tieAgg.createAggregationBuffer()) { (b, r) =>
+        tieAgg.update(b, InternalRow(java.lang.Double.valueOf(r._1),
+          java.lang.Long.valueOf(r._2)))
+      }
+    assert(tieBuf.sortedPairs.toSeq == Seq((5.0, 1L), (5.0, 10L)),
+      "heap-min score tie with winning id must enter (>= gate, not >)")
+  }
+
   test("chunkByTokens: full coverage and exact overlap for every (window, stride)") {
     // grid sweep in the suite's deterministic style: every token of
     // every doc appears in >= 1 chunk; consecutive chunks overlap by
