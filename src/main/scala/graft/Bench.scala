@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   * board converges to attributable medians (see the rescue loop).
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
@@ -31,9 +31,71 @@ object Bench {
     * means ambient noise hit SOME pass of this row — the row is
     * unattributable, not necessarily slow.
     */
-  private def spread(xs: Seq[Double]): Double = {
+  private[graft] def spread(xs: Seq[Double]): Double = {
     val m = median(xs)
     if (m <= 0) 0.0 else (xs.max - xs.min) / m
+  }
+
+  /** The REPORTED spread: median-centered and trimmed to the
+    * configured rep count. For unrescued rows (exactly `reps` samples)
+    * this IS the plain spread, but a rescued row keeps its loaded-era
+    * outlier reps in the sample set forever, so its all-reps spread
+    * can never clear even after the extra passes converge the median
+    * (the first loaded-board run of the rescue loop: 49 rows rescued,
+    * medians within 4% of the idle board, all 49 still flagged). The
+    * attribution question after rescue is "do a MAJORITY of reps agree
+    * on the median" — judged on the `reps` samples closest to it: a
+    * TRANSIENT noise window leaves a tight majority (unflagged, median
+    * attributable) while dispersed samples leave none (still flagged).
+    * Caveat (disclosed, not gated): load that persists UNIFORMLY
+    * through the rescue passes inflates the majority itself and the
+    * row unflags with an inflated median — conservative direction
+    * (inflates spark_sec, worsening our own ratios), and rescued rows
+    * publish their raw all-reps spread in BENCH_DETAIL (`spreads_raw`)
+    * so the evidence the trim discards stays in the artifact.
+    */
+  private[graft] def trimmedSpread(xs: Seq[Double], reps: Int): Double = {
+    val m = median(xs)
+    spread(xs.sortBy(t => math.abs(t - m)).take(reps))
+  }
+
+  /** Locate the `"queries": {...}` object in a JSON text and return it
+    * verbatim, or None if absent. Two hardening points over a naive
+    * indexOf+brace count: the key match must be a KEY (followed by
+    * optional whitespace and ':'), so a string VALUE containing the
+    * token cannot anchor the scan; and the depth scan is string-aware
+    * (skips over double-quoted spans, honoring backslash escapes), so
+    * a brace inside a string value cannot unbalance it. The current
+    * baseline file is machine-generated numeric-only JSON where
+    * neither case arises — this keeps a future hand-edited file from
+    * silently yielding an empty or truncated baseline map.
+    */
+  private[graft] def extractQueriesObject(txt: String): Option[String] = {
+    val key = """"queries"\s*:""".r
+    key.findFirstMatchIn(txt).flatMap { m =>
+      val open = txt.indexOf('{', m.end)
+      if (open < 0) None
+      else {
+        var depth = 0
+        var i = open
+        var inString = false
+        var close = -1
+        while (close < 0 && i < txt.length) {
+          val c = txt.charAt(i)
+          if (inString) {
+            if (c == '\\') i += 1 // skip escaped char (incl. \")
+            else if (c == '"') inString = false
+          } else c match {
+            case '"' => inString = true
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close < 0) None else Some(txt.substring(open, close + 1))
+      }
+    }
   }
 
   /** 1-minute loadavg, so the recorded artifact carries a host-load
@@ -195,27 +257,12 @@ object Bench {
       name -> (if (failedNames(name)) None
                else Some(median(repTimes(name).toSeq)))
     }
-    // the REPORTED spread is median-centered and trimmed to the
-    // configured rep count: for unrescued rows (exactly `reps`
-    // samples) this IS the plain spread, but a rescued row keeps its
-    // loaded-era outlier reps in the sample set forever, so its
-    // all-reps spread can never clear even after the extra passes
-    // converge the median (the first loaded-board run of the rescue
-    // loop: 49 rows rescued, medians within 4% of the idle board,
-    // all 49 still flagged). The attribution question after rescue
-    // is "do a MAJORITY of reps agree on the median" — judged on the
-    // `reps` samples closest to it: a transient noise window leaves
-    // a tight majority (unflagged, median attributable), while load
-    // that persisted through the rescue passes leaves no tight
-    // majority (still flagged, correctly). `rescued_rows` keeps the
-    // disclosure that extra passes were taken.
-    def trimmedSpread(xs: Seq[Double]): Double = {
-      val m = median(xs)
-      spread(xs.sortBy(t => math.abs(t - m)).take(reps))
-    }
+    // reported spread = median-centered trim to `reps` samples (see
+    // trimmedSpread scaladoc); rescued rows additionally publish their
+    // raw all-reps spread below so the trim can't hide the evidence
     val spreads: Map[String, Double] = selected.collect {
       case (name, _) if !failedNames(name) =>
-        name -> trimmedSpread(repTimes(name).toSeq)
+        name -> trimmedSpread(repTimes(name).toSeq, reps)
     }.toMap
     val unstable = spreads.count(_._2 > 0.5)
     // the driver captures only the LAST 2000 chars of stdout and
@@ -267,25 +314,17 @@ object Bench {
       val txt = java.nio.file.Files.readString(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_duckdb.json")))
-      val keyAt = txt.indexOf("\"queries\"")
-      val open = txt.indexOf('{', keyAt)
-      if (keyAt < 0 || open < 0) Map.empty
-      else {
-        var depth = 0
-        var i = open
-        var close = -1
-        while (close < 0 && i < txt.length) {
-          txt.charAt(i) match {
-            case '{' => depth += 1
-            case '}' => depth -= 1; if (depth == 0) close = i
-            case _ =>
-          }
-          i += 1
-        }
-        val obj = txt.substring(open, if (close < 0) txt.length else close + 1)
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(obj)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val m = Bench.extractQueriesObject(txt) match {
+        case Some(obj) =>
+          """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(obj)
+            .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+        case None =>
+          System.err.println(
+            "[bench] no \"queries\": {...} object found in baseline file — " +
+              "ratios will be absent from this board")
+          Map.empty[String, Double]
       }
+      m
     } catch { case _: Throwable => Map.empty }
     // the oracled-and-timed set, collected ONCE — ratios, adjusted
     // ratios, and the gate aggregates below all derive from it, so
@@ -314,7 +353,16 @@ object Bench {
     // comparing boards should treat those rows as unattributable
     val spreadJson = results.collect {
       case (k, Some(_)) => "\"" + k + f"""\":${spreads(k)}%.2f"""
-    }.mkString(""","spreads":{""", ",", "}")
+    }.mkString(""","spreads":{""", ",", "}") +
+      // rescued rows also record the UNTRIMMED all-reps spread: the
+      // trimmed flag judges majority agreement, but a genuinely
+      // bimodal row (plan instability, not host load) shows a tight
+      // majority and unflags — the raw number keeps that bimodality
+      // visible in the artifact. Disclosure only, no gate change.
+      rescued.toSeq.sorted.collect {
+        case k if !failedNames(k) =>
+          "\"" + k + f"""\":${spread(repTimes(k).toSeq)}%.2f"""
+      }.mkString(""","spreads_raw":{""", ",", "}")
     val unstableJson = spreads.filter(_._2 > 0.5).keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString(""","unstable_rows":[""", ",", "]") +
       rescued.toSeq.sorted
