@@ -92,6 +92,39 @@ object IndexStore {
       key => key._1.read.parquet(key._2))
   }
 
+  /** Delete every store entry whose name starts with `prefix` and
+    * return the deleted entry names (sorted). Manual hygiene tool for
+    * orphans left by format-version bumps (e.g. the `lmbig-*-v1-*`
+    * entries stranded when the LM store moved to v2): a bumped reader
+    * can never match the old manifests, so the entries are dead disk
+    * that nothing would otherwise reclaim. Deliberately called from
+    * NOWHERE automatically — pruning while another session lazily
+    * scans an entry would violate the single-writer contract above,
+    * so reclamation stays an explicit operator action.
+    */
+  def prune(prefix: String): Seq[String] = {
+    require(prefix.nonEmpty,
+      "prune needs a non-empty prefix (an empty one would wipe the whole store)")
+    val base = new java.io.File(baseDir)
+    val victims = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .sortBy(_.getName).toSeq
+    victims.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+      // drop memoized readers of the deleted data path for every
+      // session — a stale entry would serve a frame whose files are
+      // gone and fail confusingly on first action
+      val dataPath = new java.io.File(dir, "data").getPath
+      readCache.keySet.removeIf(_._2 == dataPath)
+    }
+    victims.map(_.getName)
+  }
+
   /** Memoized store reads per (session, path): `read.parquet`
     * rebuilds a file index and re-reads footers on EVERY call — pure
     * per-serving-call floor for frames that change only when

@@ -186,4 +186,33 @@ class IndexStoreSuite extends SparkSuite {
       .collect().map(_.toSeq).toSeq
     assert(viaStore == viaInline)
   }
+
+  test("prune deletes exactly the prefix-matched entries and invalidates readers") {
+    // simulate a version bump: v1 entries orphaned, v2 is current
+    val stem = uniqueName("test-prune")
+    def build = Seq((1L, "a")).toDF("id", "v")
+    IndexStore.readOrBuild(spark, s"$stem-v1-x", "fp")(build)
+    IndexStore.readOrBuild(spark, s"$stem-v1-y", "fp")(build)
+    IndexStore.readOrBuild(spark, s"$stem-v2-x", "fp")(build)
+    def onDisk(name: String) = new java.io.File(IndexStore.baseDir, name).exists()
+    assert(onDisk(s"$stem-v1-x") && onDisk(s"$stem-v1-y") && onDisk(s"$stem-v2-x"))
+
+    val deleted = IndexStore.prune(s"$stem-v1")
+    assert(deleted == Seq(s"$stem-v1-x", s"$stem-v1-y"))
+    assert(!onDisk(s"$stem-v1-x") && !onDisk(s"$stem-v1-y"),
+      "v1 entries must be gone")
+    assert(onDisk(s"$stem-v2-x"), "current-version entry must survive")
+
+    // a pruned name rebuilds cleanly (no stale memoized reader serving
+    // a deleted data path)
+    var rebuilds = 0
+    val back = IndexStore.readOrBuild(spark, s"$stem-v1-x", "fp") {
+      rebuilds += 1; build
+    }
+    assert(rebuilds == 1 && back.count() == 1)
+
+    // pruning nothing is a no-op; the empty prefix is refused
+    assert(IndexStore.prune(s"$stem-nonexistent").isEmpty)
+    intercept[IllegalArgumentException](IndexStore.prune(""))
+  }
 }
