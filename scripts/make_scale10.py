@@ -5,7 +5,10 @@ documents AND lineitem (the selective-search family's fixture source)
 at target/scale10/, with the other tables symlinked so graft.Bench
 and the DuckDB twin read one directory.
 
-Usage: python3 scripts/make_scale10.py [sf_dir] [out_dir]
+Usage: python3 scripts/make_scale10.py [sf_dir] [out_dir] [replicas]
+
+`replicas` (default 10) sets the blow-up factor — e.g. 30 builds the
+scale30 corpus for trajectory spot probes.
 
 (Dev-loop tool, driver-side python; the engine itself is pure
 Scala/Spark.)
@@ -22,6 +25,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main() -> int:
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "target/scale10"
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(outdir, exist_ok=True)
     con = duckdb.connect()
     con.execute(
@@ -34,7 +38,7 @@ def main() -> int:
     con.execute(f"""
         COPY (
           SELECT doc_id + k * {n} AS doc_id, text, lang, source, n_chars
-          FROM d CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
+          FROM d CROSS JOIN (SELECT unnest(generate_series(0, {replicas - 1})) AS k)
           ORDER BY doc_id
         ) TO '{outdir}/documents.parquet' (FORMAT PARQUET)""")
     con.execute(
@@ -45,7 +49,7 @@ def main() -> int:
     con.execute(f"""
         COPY (
           SELECT l_orderkey + k * {maxo} AS l_orderkey, {rest}
-          FROM li CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
+          FROM li CROSS JOIN (SELECT unnest(generate_series(0, {replicas - 1})) AS k)
           ORDER BY l_orderkey, l_linenumber
         ) TO '{outdir}/lineitem.parquet' (FORMAT PARQUET)""")
     for t in TABLES:
