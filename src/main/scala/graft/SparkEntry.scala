@@ -548,22 +548,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // Near-dup cluster resolution: transitive closure of the minhash
-    // candidate pairs (min-label propagation with pointer doubling,
-    // O(log) rounds of (id, label)-wide joins) -> every document
-    // mapped to its component minimum; is_survivor marks the one doc
-    // a curation pipeline keeps per component. Per-pair drops are NOT
-    // transitive — pairs (1,3),(2,3) would keep both 1 and 2.
-    "neardup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val comp = graft.operators.Components.connectedComponents(
-        Dedup.minHashCandidates(docs))
-      docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("component"),
-          (coalesce(col("label"), col("doc_id")) === col("doc_id"))
-            .cast("int").as("is_survivor"))
-        .orderBy("doc_id")
-    }),
+    // candidate pairs -> every document mapped to its component
+    // minimum; is_survivor marks the one doc a curation pipeline
+    // keeps per component. Per-pair drops are NOT transitive — pairs
+    // (1,3),(2,3) would keep both 1 and 2. Exact duplicates are
+    // collapsed to one representative BEFORE pairing/clustering
+    // (identical texts band-match a priori, so components and their
+    // minima are unchanged — suite-pinned); on a duplicate-heavy
+    // corpus that keeps the pair graph proportional to DISTINCT
+    // content instead of C(copies,2) per group (r17 skew corpus:
+    // 2.58M pairs -> the distributed label loop; collapsed: driver
+    // union-find territory).
+    "neardup_clusters" -> ((s, dir) =>
+      Dedup.neardupComponents(Tables.documents(s, dir))
+        .select(col("id").as("doc_id"), col("label").as("component"),
+          (col("label") === col("id")).cast("int").as("is_survivor"))
+        .orderBy("doc_id")),
 
     // Incremental ingest dedup: near-dup candidates touching the NEW
     // batch (doc_id % 5 == 0 plays the day's ingest) against the

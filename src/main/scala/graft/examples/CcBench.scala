@@ -6,11 +6,14 @@ import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.operators.{Components, Dedup}
 
-/** Dev probe: phase-by-phase wall time of the neardup_clusters path at
-  * sf0.1 under bench-like session conf.
+/** Dev probe: phase-by-phase wall time of the neardup_clusters path
+  * under bench-like session conf. Optional arg: the sf dir (default
+  * sf0.1) — r17 runs it on target/skew10 for the adversarial-skew
+  * attribution.
   */
 object CcBench {
   def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -30,9 +33,9 @@ object CcBench {
       spark.catalog.clearCache()
       println(s"=== rep $rep")
       val pairs = t("minhash") {
-        val p = Dedup.minHashCandidates(Tables.documents(spark, "/root/testdata/sf0.1"))
+        val p = Dedup.minHashCandidates(Tables.documents(spark, dir))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        p.count()
+        println(s"CC_PAIRS ${p.count()}")
         p
       }
       val (labels, rounds) = t("cc_loop") {

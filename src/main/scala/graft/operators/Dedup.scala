@@ -360,6 +360,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), sigAgreement(numHashes).as("est_jaccard"))
   }
 
+  /** Near-duplicate component label for EVERY document: (id, label)
+    * where label = the minimum id of the doc's transitive minhash/LSH
+    * near-dup cluster (docs in no cluster are their own label) — the
+    * [[minHashCandidates]] → connected-components composition with
+    * EXACT duplicates collapsed to one representative first.
+    *
+    * Why the collapse is free of semantic risk: the minhash signature
+    * is a pure function of the text, so identical texts match on
+    * every band — a duplicate GROUP is a clique in the candidate
+    * graph a priori, and contracting it to its min-id representative
+    * changes no component and no component minimum. Docs with no
+    * shingles (< n tokens, or null text) never enter the pair graph,
+    * so they bypass the collapse too and stay singletons even when
+    * textually identical — exactly the uncollapsed behavior.
+    *
+    * Why it matters at scale: duplicate-heavy corpora are the NORM
+    * (crawl snapshots repeat boilerplate millions of times), and a
+    * g-copy group contributes C(g,2) candidate pairs — the round-17
+    * adversarial-skew corpus (100-copy hot domain) pushed the pair
+    * list to 2.58M edges and the component resolution from the driver
+    * fast path into 13 distributed label rounds (3.3 → 24.4 s).
+    * Collapsing first makes the pair graph size a function of DISTINCT
+    * content, which is what the near-dup machinery is for; signature,
+    * banding, and pair work all shrink with it.
+    */
+  def neardupComponents(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    // docs that can enter the pair graph at all (>= 1 word shingle);
+    // evaluated per doc, pre-collapse, so a group of identical
+    // shingle-less docs stays one singleton PER DOC, as uncollapsed
+    val canPair = docs.filter(
+      size(TextFunctions.wordShingles(col(textCol), n)) > 0)
+    val fp = canPair.select(col(idCol), md5(col(textCol)).as("fp"))
+    // one representative per distinct content: the group min id —
+    // also the group's component-minimum contribution by construction
+    val reps = fp.groupBy(col("fp")).agg(min(col(idCol)).as("rep_id"))
+    val repDocs = docs.join(
+      reps.select(col("rep_id").as(idCol)), Seq(idCol), "left_semi")
+    val comp = Components.connectedComponents(
+      minHashCandidates(repDocs, textCol, idCol, n, numHashes, bands))
+    // expand back: doc -> fp -> rep -> component label (rep_id when
+    // the rep paired with nothing), then the shingle-less remainder
+    // as self-labeled singletons
+    val viaRep = fp.join(reps, Seq("fp"))
+      .join(comp.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+      .select(col(idCol), coalesce(col("label"), col("rep_id")).as("label"))
+    docs.select(col(idCol)).join(viaRep, Seq(idCol), "left")
+      .select(col(idCol).as("id"),
+        coalesce(col("label"), col(idCol)).as("label"))
+  }
+
   /** Exact n-gram Jaccard for every pair sharing at least one shingle.
     * Small-input / verification path: explode distinct shingles, self-
     * join on the shingle, count intersections, derive |union| from the

@@ -351,4 +351,48 @@ class TextDedupSuite extends SparkSuite {
     assert(err.getMessage.contains("empty reference vocabulary"),
       s"wrong failure: $err")
   }
+
+  test("neardupComponents: exact-collapse equals the uncollapsed composition") {
+    // the uncollapsed reference: components over minhash candidates of
+    // ALL docs, absent docs as self-labeled singletons — exactly the
+    // pre-r17 neardup_clusters shape
+    def reference(docs: DataFrame): Seq[(Long, Long)] = {
+      val comp = graft.operators.Components.connectedComponents(
+        Dedup.minHashCandidates(docs))
+      docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("label"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    def collapsed(docs: DataFrame): Seq[(Long, Long)] =
+      Dedup.neardupComponents(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+    // adversarial frame: two exact-dup groups (one 5-copy hot group),
+    // a near-dup bridging both base texts, unrelated docs, identical
+    // SHINGLE-LESS docs (must stay separate singletons), a null text
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "pack my box with five dozen liquor jugs for the long trip"
+    val hot = (10L to 14L).map(i => (i, a))
+    val dupB = Seq((20L, b), (21L, b))
+    val bridge = Seq((30L,
+      "the quick brown fox jumps over the lazy dog again and often"))
+    val rest = Seq(
+      (40L, "completely unrelated content about databases and queries"),
+      (41L, "x y"), (42L, "x y"), // < 3 tokens: no shingles, stay apart
+      (43L, null.asInstanceOf[String]))
+    val docs = (hot ++ dupB ++ bridge ++ rest).toDF("doc_id", "text")
+    val got = collapsed(docs)
+    assert(got == reference(docs))
+    // the hot group resolved to one component under its min id
+    assert(got.filter(t => t._1 >= 10L && t._1 <= 14L).map(_._2).distinct == Seq(10L))
+    // shingle-less identical docs are separate singletons
+    assert(got.find(_._1 == 41L).get._2 == 41L)
+    assert(got.find(_._1 == 42L).get._2 == 42L)
+    assert(got.find(_._1 == 43L).get._2 == 43L)
+
+    // and on real data: sf0.001 documents
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(collapsed(real) == reference(real))
+  }
 }
