@@ -388,28 +388,36 @@ object Dedup {
   def neardupComponents(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    // docs that can enter the pair graph at all (>= 1 word shingle);
-    // evaluated per doc, pre-collapse, so a group of identical
-    // shingle-less docs stays one singleton PER DOC, as uncollapsed
-    val canPair = docs.filter(
-      size(TextFunctions.wordShingles(col(textCol), n)) > 0)
-    val fp = canPair.select(col(idCol), md5(col(textCol)).as("fp"))
+    // ONE keyed pass over the corpus text (md5 + shingle-presence),
+    // persisted because it is consumed three times below (group
+    // minima, rep expansion, singleton remainder) — unpersisted, the
+    // tokenize+hash pass would re-run per consumer, the exact
+    // corpus-pass multiplication this operator exists to avoid.
+    // `can` marks docs that can enter the pair graph at all (>= 1
+    // word shingle); evaluated per doc, pre-collapse, so a group of
+    // identical shingle-less docs stays one singleton PER DOC,
+    // exactly as the uncollapsed composition leaves it.
+    val keyed = docs.select(col(idCol), md5(col(textCol)).as("fp"),
+        coalesce(size(TextFunctions.wordShingles(col(textCol), n)) > 0,
+          lit(false)).as("can"))
+      .transform(graft.core.OpCaches.persistTracked)
     // one representative per distinct content: the group min id —
     // also the group's component-minimum contribution by construction
-    val reps = fp.groupBy(col("fp")).agg(min(col(idCol)).as("rep_id"))
+    val reps = keyed.filter(col("can"))
+      .groupBy(col("fp")).agg(min(col(idCol)).as("rep_id"))
     val repDocs = docs.join(
       reps.select(col("rep_id").as(idCol)), Seq(idCol), "left_semi")
     val comp = Components.connectedComponents(
       minHashCandidates(repDocs, textCol, idCol, n, numHashes, bands))
     // expand back: doc -> fp -> rep -> component label (rep_id when
     // the rep paired with nothing), then the shingle-less remainder
-    // as self-labeled singletons
-    val viaRep = fp.join(reps, Seq("fp"))
+    // as self-labeled singletons via union (no second corpus join)
+    val viaRep = keyed.filter(col("can")).join(reps, Seq("fp"))
       .join(comp.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
-      .select(col(idCol), coalesce(col("label"), col("rep_id")).as("label"))
-    docs.select(col(idCol)).join(viaRep, Seq(idCol), "left")
       .select(col(idCol).as("id"),
-        coalesce(col("label"), col(idCol)).as("label"))
+        coalesce(col("label"), col("rep_id")).as("label"))
+    viaRep.union(keyed.filter(!col("can"))
+      .select(col(idCol).as("id"), col(idCol).as("label")))
   }
 
   /** Exact n-gram Jaccard for every pair sharing at least one shingle.
