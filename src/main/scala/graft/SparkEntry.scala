@@ -305,6 +305,13 @@ object SparkEntry {
     // lag/lead analytics: per-user inter-event gaps (the analytic
     // window family beyond running sums/ranks) — gap to the previous
     // event in ms, first event per user has no predecessor (null)
+    // The plain per-user window is the MEASURED winner at every bench
+    // scale including the r17 hot-key corpus (one user owning 50% of
+    // 1M events sorts in-task in ~0.1 s; the blocked decomposition's
+    // repair joins cost more than they save below ~10^7 rows/key).
+    // SkewScan.lagSkewSafe is the suite-pinned escape hatch for
+    // corpora whose hottest key exceeds a single task's sort budget —
+    // see SCALING.md round 17 for the crossover measurement.
     "event_gaps" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"),
@@ -1070,7 +1077,9 @@ object SparkEntry {
     }),
 
     // Sessionization (relational form): 30-min-gap user sessions via
-    // lag + cumulative-sum windows; exact-cents totals
+    // lag + cumulative-sum windows; exact-cents totals. Same
+    // window-vs-blocked decision as event_gaps above:
+    // SkewScan.sessionizeSkewSafe is the pinned hot-key escape hatch.
     "sessionize_batch" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("t"), col("event_id"))

@@ -775,4 +775,87 @@ class OperatorsSuite extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
     assert(re.toSeq == out.toSeq)
   }
+
+  test("SkewScan blocked lag/sessionize are bit-identical to the window forms") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.SkewScan
+    // adversarial stream: one hot key spanning many blocks, ties in t
+    // (ordered by id), events exactly ON block edges, empty-block
+    // gaps, a key entirely inside one block, a singleton key.
+    // blockSpan = 10 forces constant boundary crossings.
+    val rows =
+      // hot key 1: 200 events, steps of 3 (crosses every block), with
+      // planted ties every 7th event and a long silent gap
+      (0 until 200).map { i =>
+        val t = if (i < 100) i * 3L else 5000L + (i - 100) * 3L
+        (1L, 1000L + i, if (i % 7 == 0 && i > 0) t - 3L else t, i * 10L)
+      } ++
+      // key 2: all inside one block
+      Seq((2L, 1L, 5L, 100L), (2L, 2L, 6L, 100L), (2L, 3L, 6L, 100L)) ++
+      // key 3: exactly on block edges (t = 0, 10, 20)
+      Seq((3L, 1L, 0L, 1L), (3L, 2L, 10L, 2L), (3L, 3L, 20L, 3L)) ++
+      // key 4: singleton
+      Seq((4L, 9L, 123L, 7L))
+    val ev = rows.toDF("user_id", "event_id", "t", "vc")
+      .repartition(7) // ensure a real shuffle, not a pre-sorted input
+
+    // lag: blocked vs plain window
+    val wRef = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    val refLag = ev.withColumn("prev", lag(col("t"), 1).over(wRef))
+      .orderBy("user_id", "t", "event_id")
+      .collect().map(_.toSeq).toSeq
+    val gotLag = SkewScan.lagBlocked(ev, "user_id", "t", "event_id",
+        "prev", blockSpan = 10L)
+      .select("user_id", "event_id", "t", "vc", "prev")
+      .orderBy("user_id", "t", "event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(gotLag == refLag)
+
+    // sessionize: blocked vs the sessionize_batch window form
+    // (gap = 25 so the hot key's silent stretch splits sessions)
+    def refSessions(gap: Long) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      ev.withColumn("prev", lag(col("t"), 1).over(w))
+        .withColumn("new_s",
+          (col("prev").isNull || (col("t") - col("prev")) > gap).cast("int"))
+        .withColumn("sidx", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sidx"))
+        .agg(min(col("t")).as("session_start_ms"),
+          max(col("t")).as("session_end_ms"),
+          count(lit(1)).cast("int").as("n_events"),
+          (sum(col("vc")).cast("double") / 100).as("total_value"))
+        .drop("sidx")
+        .orderBy("user_id", "session_start_ms")
+        .collect().map(_.toSeq).toSeq
+    }
+    for (gap <- Seq(3L, 25L, 1000000L)) {
+      val got = SkewScan.sessionizeBlocked(ev, "user_id", "t",
+          "event_id", "vc", gap, blockSpan = 10L)
+        .orderBy("user_id", "session_start_ms")
+        .collect().map(_.toSeq).toSeq
+      assert(got == refSessions(gap), s"gap=$gap")
+    }
+
+    // hybrid routers: threshold 50 forces key 1 (200 rows) through the
+    // blocked path and keys 2-4 through the window path, so the union
+    // seam itself is under test; a huge threshold (pure window) and a
+    // zero threshold (pure blocked) pin the degenerate routes too
+    for (threshold <- Seq(0L, 50L, 1000000L)) {
+      val gotLagH = SkewScan.lagSkewSafe(ev, "user_id", "t", "event_id",
+          "prev", hotThreshold = threshold, blockSpan = 10L)
+        .select("user_id", "event_id", "t", "vc", "prev")
+        .orderBy("user_id", "t", "event_id")
+        .collect().map(_.toSeq).toSeq
+      assert(gotLagH == refLag, s"lagSkewSafe threshold=$threshold")
+      val gotSesH = SkewScan.sessionizeSkewSafe(ev, "user_id", "t",
+          "event_id", "vc", gap = 25L, hotThreshold = threshold,
+          blockSpan = 10L)
+        .orderBy("user_id", "session_start_ms")
+        .collect().map(_.toSeq).toSeq
+      assert(gotSesH == refSessions(25L), s"sessionizeSkewSafe threshold=$threshold")
+    }
+  }
 }
