@@ -64,7 +64,14 @@ object SkewScanProbe {
         base(d), "user_id", "t", "event_id", "vc", 1800000L)),
       "ses_hybrid" -> (d => SkewScan.sessionizeSkewSafe(
         base(d), "user_id", "t", "event_id", "vc", 1800000L,
-        hotThreshold = 100000L)))
+        hotThreshold = 100000L)),
+      // the registered rows end in an output sort — these isolate
+      // whether the skew delta rides the window or the final range
+      // exchange fed by the hot hash partition
+      "lag_window_sorted" -> (d => lagWindow(base(d))
+        .orderBy(col("user_id").asc, col("t").asc, col("event_id").asc)),
+      "ses_window_sorted" -> (d => sesWindow(base(d))
+        .orderBy("user_id", "session_start_ms")))
 
     val times = scala.collection.mutable.Map[(String, String),
       Vector[Double]]().withDefaultValue(Vector.empty)
