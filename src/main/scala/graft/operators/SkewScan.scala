@@ -26,6 +26,20 @@ import org.apache.spark.sql.functions._
   * the same block, and summaries carry exact values — every output
   * row is bit-identical to the single-partition window form
   * (suite-pinned in OperatorsSuite).
+  *
+  * WHEN TO USE WHICH (measured, SCALING.md round 17): the plain
+  * window form wins at every scale where the hottest key fits a
+  * task's sort budget — a 500k-row hot key sorts in-task in ~0.2 s
+  * while blocking everything pays repair joins whose summary frame is
+  * input-sized for sparse keys. Register the window form by default;
+  * switch to the [[lagSkewSafe]]/[[sessionizeSkewSafe]] hybrids when
+  * keys can exceed ~10^6–10^7 rows (the `hotThreshold` knob — only
+  * above-threshold keys pay the blocked machinery, and the hot-key
+  * list is ≤ rows/threshold entries so it always broadcasts). Note
+  * the downstream caveat either way: any operator hash-partitioned by
+  * a hot key hands its NEXT exchange a single-task read of that key's
+  * rows, so end-to-end per-task work is bounded by rows-per-key
+  * unless the hot key is spread (which the blocked forms do).
   */
 object SkewScan {
 
