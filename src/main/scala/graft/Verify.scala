@@ -34,6 +34,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+      // release the previous query's tracked persists (same hygiene
+      // as Bench): 100+ queries each persisting an operator-internal
+      // frame would otherwise accumulate cached blocks for the whole
+      // run instead of holding only the live query's
+      graft.core.OpCaches.release()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
