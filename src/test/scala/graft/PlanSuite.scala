@@ -389,4 +389,18 @@ class PlanSuite extends SparkSuite {
     // exchange sampling job
     assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
   }
+
+  test("neardup_clusters rides the persisted keyed frame and broadcast expansion") {
+    val p = plan("neardup_clusters")
+    // the (fp, can) corpus pass is persisted and consumed from cache —
+    // tokenize+md5 must not re-run per consumer (the r17 regression
+    // the persist closed: 4.04 -> 1.90 s on the skew corpus)
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    // group-representative and component expansion joins broadcast at
+    // this scale (reps/labels are distillates, never corpus-sized
+    // shuffle sides here)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // singleton remainder attaches by union, not a second corpus join
+    assert(p.contains("Union"), p.take(3000))
+  }
 }
