@@ -800,8 +800,13 @@ object SparkEntry {
     // blocking EXHAUSTIVE (pigeonhole: <= 3 flipped bits leave one
     // band intact), so banded Spark == all-pairs oracle. The FNV
     // kernel variant stays unit-test-pinned.
+    // collapsed form (r17): exact duplicates contract to one rep
+    // before banding and the full pair set reconstructs afterward —
+    // output-identical (suite-pinned), but the band join is quadratic
+    // per bucket in duplicate copies, so dup-heavy corpora pay g² for
+    // what distinct content answers (10× corpus: 26 s -> see SCALING)
     "simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 3,
+      Dedup.simHashPairsCollapsed(Tables.documents(s, dir), maxHamming = 3,
         signature = graft.functions.HashFunctions.simhash_md5)
         .orderBy("id_a", "id_b")),
 

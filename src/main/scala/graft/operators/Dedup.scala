@@ -583,6 +583,64 @@ object Dedup {
     * projection is registered with [[graft.core.OpCaches]] for
     * caller release.
     */
+  /** [[simHashPairs]] with exact duplicates contracted to one
+    * representative before banding and the FULL pair set reconstructed
+    * afterward — output-identical (suite-pinned), because the
+    * signature is a pure function of the text: identical texts share
+    * every band and every pairwise distance, so (x ∈ group A, y ∈
+    * group B) is a result pair iff (rep_A, rep_B) is, at the same
+    * hamming, and within-group pairs sit at hamming 0. Null-text docs
+    * are excluded from grouping — a null signature never band-matches,
+    * so they produce no pairs in either form.
+    *
+    * Why: the band self-join is quadratic PER BUCKET in duplicate
+    * copies — a g-copy group inflates its buckets' join products g²
+    * and the distinct that follows by the same factor, while the
+    * RESULT only needs the content-level pairs plus a streamed
+    * expansion (two chained explodes, output-proportional rows, no
+    * combination arrays). The r17 10× corpus (10 copies of every
+    * text): 26 s banded-over-copies vs the collapsed form's
+    * distinct-content banding. Same insight as [[neardupComponents]],
+    * with expansion instead of contraction because this operator's
+    * contract is the pair LIST, not the clusters.
+    */
+  def simHashPairsCollapsed(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      signature: Column => Column = graft.functions.HashFunctions.simhash64): DataFrame = {
+    // one keyed corpus pass; groups are consumed three times below
+    val groups = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"),
+        min(col(idCol)).as("rep_id"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val repDocs = docs.join(
+      groups.select(col("rep_id").as(idCol)), Seq(idCol), "left_semi")
+    val repPairs = simHashPairs(repDocs, textCol, idCol, maxHamming, signature)
+    // within-group pairs stream through two generators (output-sized
+    // rows; a C(g,2) combination ARRAY would put g² structs in one
+    // row — the postings-form hazard documented above)
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    // cross-group: every member pair of a matched rep pair, same
+    // distance; least/greatest restores the (id_a < id_b) orientation
+    // because group id ranges interleave
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("id_a"), col("ids").as("ids_a")),
+        Seq("id_a"))
+      .join(groups.select(col("rep_id").as("id_b"), col("ids").as("ids_b")),
+        Seq("id_b"))
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
+  }
+
   def simHashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
       signature: Column => Column = graft.functions.HashFunctions.simhash64): DataFrame = {

@@ -395,4 +395,42 @@ class TextDedupSuite extends SparkSuite {
     val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     assert(collapsed(real) == reference(real))
   }
+
+  test("simHashPairsCollapsed is output-identical to simHashPairs") {
+    import graft.functions.HashFunctions.simhash_md5
+    def pairs(df: DataFrame, form: (DataFrame, String, String, Int,
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column) => DataFrame) =
+      form(df, "text", "doc_id", 3, simhash_md5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+    // adversarial frame: a 5-copy dup group with ids INTERLEAVED with
+    // another group's (least/greatest orientation under test), a
+    // near-dup within hamming 3 of the first text, identical empty
+    // texts (signature 0 — they pair), null texts (no signature — they
+    // must not), an unrelated far text
+    val a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val b = "pack my box with five dozen liquor jugs before the long trip home now"
+    val docs = Seq(
+      (1L, a), (3L, a), (5L, a), (7L, a), (9L, a), // group A, odd ids
+      (2L, b), (4L, b), (6L, b),                   // group B interleaved
+      (10L, a + " x"),                             // near-dup of A (maybe <= 3 bits)
+      (20L, ""), (21L, ""),                        // empty-text dups: sig 0, pair
+      (30L, null.asInstanceOf[String]), (31L, null.asInstanceOf[String]),
+      (40L, "completely different content about spark catalyst plans"))
+      .toDF("doc_id", "text")
+    val ref = pairs(docs, Dedup.simHashPairs(_, _, _, _, _))
+    val got = pairs(docs, Dedup.simHashPairsCollapsed(_, _, _, _, _))
+    assert(got == ref)
+    // the dup groups themselves must be present (sanity that the
+    // frame exercises the expansion, not just equality of emptiness)
+    assert(ref.contains((1L, 3L, 0)) && ref.contains((2L, 4L, 0))
+      && ref.contains((20L, 21L, 0)))
+    assert(!ref.exists(p => p._1 == 30L || p._2 == 30L || p._1 == 31L || p._2 == 31L),
+      "null-text docs must produce no pairs")
+
+    // real data equivalence: sf0.001 documents
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(pairs(real, Dedup.simHashPairsCollapsed(_, _, _, _, _)) ==
+      pairs(real, Dedup.simHashPairs(_, _, _, _, _)))
+  }
 }
