@@ -579,6 +579,21 @@ object Dedup {
     * `maxHamming = 4` a pair can spread one flipped bit into each
     * band and be missed.
     *
+    * Saturation limit (measured r17): a 16-bit band key has 65k
+    * possible values, so bucket sizes grow LINEARLY with distinct-
+    * content count and the per-bucket join products quadratically —
+    * [[simHashPairsCollapsed]] removes the duplicate-copy factor (the
+    * dominant term on real corpora), but a corpus with ≳10^7 distinct
+    * documents saturates the band space itself. The billion-scale
+    * shape is Manku/Jain/Das Sarma's multi-table prefix blocking
+    * (WWW 2007): b blocks with keys formed from k-block combinations
+    * (t ≤ b−k errors tolerated), e.g. 7 blocks / 4-block 36-bit keys
+    * / C(7,4)=35 tables for hamming ≤ 3 — 35n emitted rows buy
+    * near-unique buckets. Not implemented here: at every corpus this
+    * engine benches, the 4-band form with collapse wins outright, and
+    * the wider scheme is a mechanical generalization of this same
+    * band-explode + [[bandedCandidatePairs]] skeleton.
+    *
     * Cache lifecycle: as [[minHashCandidates]] — the (id, sig)
     * projection is registered with [[graft.core.OpCaches]] for
     * caller release.
