@@ -433,4 +433,20 @@ class TextDedupSuite extends SparkSuite {
     assert(pairs(real, Dedup.simHashPairsCollapsed(_, _, _, _, _)) ==
       pairs(real, Dedup.simHashPairs(_, _, _, _, _)))
   }
+
+  test("collapse forms on empty and all-null corpora") {
+    import graft.functions.HashFunctions.simhash_md5
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val nulls = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.simHashPairsCollapsed(
+      empty, "text", "doc_id", 3, simhash_md5).count() == 0)
+    assert(Dedup.simHashPairsCollapsed(
+      nulls, "text", "doc_id", 3, simhash_md5).count() == 0)
+    assert(Dedup.neardupComponents(empty).count() == 0)
+    // null-text docs are singletons labeled by their own id
+    assert(Dedup.neardupComponents(nulls)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 2L)))
+  }
 }
