@@ -85,9 +85,15 @@ class PropertiesSuite extends SparkSuite {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     // strings over a whitespace-heavy alphabet: multi-byte UTF-8,
-    // every Java-regex \s separator, leading/trailing runs, empties
+    // every Java-regex \s separator, leading/trailing runs, empties.
+    // The trailing escaped pieces (r17, mirrored on all six alphabets
+    // in this suite): \u000b is \s (explicit twin of the raw VT char
+    // already present), \u0001 is a control char that is NOT \s, NBSP
+    // is multi-byte non-space, and the emoji is 4-byte UTF-8 — the
+    // byte-walk edges a `b <= 0x20` shortcut would get wrong.
     val piece = Gen.oneOf("a", "bb", "ccc", "Ω≈", "x1", " ", "  ",
-      "\t", "\n", "", "\f", "\r", "\r\n", "")
+      "\t", "\n", "", "\f", "\r", "\r\n", "",
+      "\u000b", "\u0001", "\u00a0", "\ud83d\ude00")
     val genText = Gen.choose(0, 12).flatMap(k =>
       Gen.listOfN(k, piece).map(_.mkString))
     val params = Gen.Parameters.default
@@ -111,7 +117,8 @@ class PropertiesSuite extends SparkSuite {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val piece = Gen.oneOf("a", "bb", "ccc", "Ω≈", "x1", " ", "  ",
-      "\t", "\n", "", "\f", "\r", "\r\n", "")
+      "\t", "\n", "", "\f", "\r", "\r\n", "",
+      "\u000b", "\u0001", "\u00a0", "\ud83d\ude00")
     val genText = Gen.choose(0, 12).flatMap(k =>
       Gen.listOfN(k, piece).map(_.mkString))
     val params = Gen.Parameters.default
@@ -149,7 +156,8 @@ class PropertiesSuite extends SparkSuite {
     // the same whitespace-heavy alphabet as the other kernel pins,
     // plus repeated pieces so counts exceed 1
     val piece = Gen.oneOf("a", "bb", "a", "ccc", "Ω≈", "x1", " ", "  ",
-      "\t", "\n", "", "\f", "\r", "\r\n", "bb")
+      "\t", "\n", "", "\f", "\r", "\r\n", "bb",
+      "\u000b", "\u0001", "\u00a0", "\ud83d\ude00")
     val genText = Gen.choose(0, 14).flatMap(k =>
       Gen.listOfN(k, piece).map(_.mkString(" ")))
     val params = Gen.Parameters.default
@@ -176,7 +184,8 @@ class PropertiesSuite extends SparkSuite {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val piece = Gen.oneOf("a", "bb", "a", "ccc", "Ω≈", "a", "x1", " ",
-      "  ", "\t", "\n", "", "\f", "\r", "\r\n", "bb")
+      "  ", "\t", "\n", "", "\f", "\r", "\r\n", "bb",
+      "\u000b", "\u0001", "\u00a0", "\ud83d\ude00")
     val genText = Gen.choose(0, 14).flatMap(k =>
       Gen.listOfN(k, piece).map(_.mkString(" ")))
     val params = Gen.Parameters.default
@@ -209,7 +218,8 @@ class PropertiesSuite extends SparkSuite {
     // UTF-8, every Java-regex \s separator, leading/trailing runs,
     // empties — the edge cases where Pattern.split semantics bite
     val piece = Gen.oneOf("a", "bb", "ccc", "Ω≈", "x1", " ", "  ",
-      "\t", "\n", "", "\f", "\r", "\r\n", "", "")
+      "\t", "\n", "", "\f", "\r", "\r\n", "", "",
+      "\u000b", "\u0001", "\u00a0", "\ud83d\ude00")
     val genText = Gen.choose(0, 12).flatMap(k =>
       Gen.listOfN(k, piece).map(_.mkString))
     val params = Gen.Parameters.default
@@ -248,7 +258,8 @@ class PropertiesSuite extends SparkSuite {
     val piece = Gen.oneOf(
       "the", "of", "la", "de", "le", "und", "der", "est", "en", "y",
       "thee", "d", "xyz", "a1!", "Ω≈…", "...", "?!", "42", "",
-      " ", "  ", "\t", "\n", "\f", "\r", "", "\r\n")
+      " ", "  ", "\t", "\n", "\f", "\r", "", "\r\n",
+      "\u000b", "\u0001", "\u00a0", "\ud83d\ude00")
     val genText = Gen.choose(0, 16).flatMap(k =>
       Gen.listOfN(k, piece).map(_.mkString(" ")))
     val params = Gen.Parameters.default
