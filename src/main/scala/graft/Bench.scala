@@ -60,20 +60,29 @@ object Bench {
   }
 
   /** Locate the `"queries": {...}` object in a JSON text and return it
-    * verbatim, or None if absent. Two hardening points over a naive
+    * verbatim, or None if absent. Three hardening points over a naive
     * indexOf+brace count: the key match must be a KEY (followed by
     * optional whitespace and ':'), so a string VALUE containing the
-    * token cannot anchor the scan; and the depth scan is string-aware
-    * (skips over double-quoted spans, honoring backslash escapes), so
-    * a brace inside a string value cannot unbalance it. The current
-    * baseline file is machine-generated numeric-only JSON where
-    * neither case arises — this keeps a future hand-edited file from
-    * silently yielding an empty or truncated baseline map.
+    * token cannot anchor the scan; the VALUE must itself be an object —
+    * the first non-whitespace character after the colon is required to
+    * be '{', so `"queries": 3, "env": {...}` yields None instead of
+    * silently capturing a later unrelated object; and the depth scan
+    * is string-aware (skips over double-quoted spans, honoring
+    * backslash escapes), so a brace inside a string value cannot
+    * unbalance it. The current baseline file is machine-generated
+    * numeric-only JSON where none of these arise — this keeps a future
+    * hand-edited file from silently yielding a wrong or truncated
+    * baseline map.
     */
   private[graft] def extractQueriesObject(txt: String): Option[String] = {
     val key = """"queries"\s*:""".r
     key.findFirstMatchIn(txt).flatMap { m =>
-      val open = txt.indexOf('{', m.end)
+      // the value must BE an object: skip whitespace only, then
+      // require '{' — indexOf would leap over a scalar value into
+      // whatever object comes next in the file
+      var v = m.end
+      while (v < txt.length && txt.charAt(v).isWhitespace) v += 1
+      val open = if (v < txt.length && txt.charAt(v) == '{') v else -1
       if (open < 0) None
       else {
         var depth = 0

@@ -109,20 +109,35 @@ object IndexStore {
     val victims = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
       .sortBy(_.getName).toSeq
-    victims.foreach { dir =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
+    val removed = victims.filter { dir =>
+      // delete() results are CHECKED: a locked/undeletable file must
+      // not report the entry as pruned — a half-deleted entry (data
+      // gone, manifest alive, or vice versa) is exactly the state the
+      // manifest protocol can't represent. rm returns whether the
+      // whole subtree went away; failures are reported on stderr and
+      // EXCLUDED from the returned names so the caller's ledger only
+      // lists entries that are actually gone.
+      def rm(f: java.io.File): Boolean = {
+        val children =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).forall(rm)
+          else true
+        children && (f.delete() || !f.exists())
       }
-      rm(dir)
-      // drop memoized readers of the deleted data path for every
-      // session — a stale entry would serve a frame whose files are
-      // gone and fail confusingly on first action
+      val ok = rm(dir)
+      if (!ok) System.err.println(
+        s"[IndexStore] prune: could not fully delete ${dir.getPath} — " +
+          "entry excluded from the pruned list; remove it manually")
+      // drop memoized readers of the (possibly partially) deleted data
+      // path for every session — a stale entry would serve a frame
+      // whose files are gone and fail confusingly on first action.
+      // Invalidate even on FAILED deletion: some data files may
+      // already be gone.
       val dataPath = new java.io.File(dir, "data").getPath
       readCache.keySet.removeIf(_._2 == dataPath)
+      ok
     }
-    victims.map(_.getName)
+    removed.map(_.getName)
   }
 
   /** Memoized store reads per (session, path): `read.parquet`

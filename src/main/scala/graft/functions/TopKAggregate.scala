@@ -51,7 +51,22 @@ final class TopKBuffer(val k: Int) {
     val ti = ids(a); ids(a) = ids(b); ids(b) = ti
   }
 
+  /** NaN scores are REJECTED at admission: a full buffer always
+    * rejected NaN (`worse(NaN, …)` and `… worse(…, NaN)` are both
+    * false under IEEE comparison), but a NaN admitted while the buffer
+    * was still FILLING could sit at the heap root and, never being
+    * "worse" than any candidate, freeze the buffer — every later row,
+    * however good, was rejected by both the eager eviction test and
+    * the aggregate's lazy score gate. Rejecting NaN uniformly (treat a
+    * NaN score like a null score: the row does not participate) makes
+    * the filling and full phases consistent and removes the frozen
+    * heap. Note this is a deliberate divergence from Spark/DuckDB ORDER
+    * BY semantics, where NaN sorts LARGEST — but that ordering was
+    * never implemented here (the full-buffer path always dropped NaN),
+    * and the aggregate's contract is top-k by a real-valued score.
+    */
   def insert(score: Double, id: Long): Unit = {
+    if (score.isNaN) return
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1
       siftUp(size - 1)
@@ -61,12 +76,12 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  /** (score, id) pairs ordered best-first. The comparator is a total
-    * order even when NaN scores were admitted (possible while the
-    * buffer is filling): NaN sorts last — consistent with a full
-    * buffer rejecting NaN — and ±0.0 stay one equivalence class under
-    * the id tiebreak. A naive `s1 > s2 || (s1 == s2 && ...)` is
-    * inconsistent under NaN and makes TimSort throw.
+  /** (score, id) pairs ordered best-first. NaN can no longer enter the
+    * buffer (rejected at [[insert]]), but the comparator stays a total
+    * order under NaN anyway (NaN would sort last; ±0.0 stay one
+    * equivalence class under the id tiebreak) — a naive
+    * `s1 > s2 || (s1 == s2 && ...)` is inconsistent under NaN and
+    * makes TimSort throw, and a defensive sort costs nothing here.
     */
   def sortedPairs: Array[(Double, Long)] = {
     val out = (0 until size).map(i => (scores(i), ids(i))).toArray
@@ -111,8 +126,10 @@ case class TopKByScore(
       val sd = s.asInstanceOf[Double]
       // lazy id: once the buffer is full, a row losing on score alone
       // cannot enter regardless of its id — skip evaluating idExpr.
-      // Score ties still evaluate (the id is the tiebreak). NaN
-      // behavior is unchanged: a full buffer rejected NaN before too.
+      // Score ties still evaluate (the id is the tiebreak). A NaN
+      // score passes the filling-phase gate but insert() rejects it
+      // (see TopKBuffer.insert); a full buffer's gate rejects it here
+      // (NaN >= real is false) — either way the row never enters.
       if (buf.size < buf.k || sd >= buf.scores(0)) {
         val i = idExpr.eval(input)
         if (i != null) buf.insert(sd, i.asInstanceOf[Number].longValue())
@@ -205,9 +222,12 @@ final class TopKTagBuffer(val k: Int) {
   }
 
   /** `tag` must be OWNED by the buffer (clone row-backed values before
-    * inserting — update() does).
+    * inserting — update() does). NaN scores are rejected at admission,
+    * same rationale as [[TopKBuffer.insert]]: a NaN admitted while
+    * filling froze the heap.
     */
   def insert(score: Double, tag: UTF8String): Unit = {
+    if (score.isNaN) return
     if (size < k) {
       scores(size) = score; tags(size) = tag; size += 1
       siftUp(size - 1)
@@ -261,8 +281,9 @@ case class TopKByScoreTag(
       // (possibly expensive, e.g. concat_ws-packed) tag expression
       // entirely. Each group keeps k of its whole candidate set, so at
       // corpus scale nearly every row takes this rejection path. Score
-      // ties still evaluate: the tag is the tiebreak. NaN behavior is
-      // unchanged (a full buffer rejected NaN before too).
+      // ties still evaluate: the tag is the tiebreak. NaN scores never
+      // enter: a full buffer's gate rejects them here, the filling
+      // phase rejects them in insert() (see TopKTagBuffer.insert).
       if (buf.size < buf.k || sd >= buf.scores(0)) {
         val t = tagExpr.eval(input)
         // clone: the UTF8String points into a reused row buffer

@@ -43,8 +43,15 @@ import org.apache.spark.sql.functions._
   */
 object SkewScan {
 
+  // typed Column API, not a SQL string (a backtick in the column name
+  // would break `expr` parsing): floor of the double division is a
+  // monotone non-decreasing, deterministic function of t, which is all
+  // the decomposition needs — block ranges disjoint and increasing,
+  // equal t in equal blocks. (Epoch-ms magnitudes sit well inside a
+  // double's 53-bit exact-integer range, so the division is monotone
+  // even under rounding.)
   private def blk(tCol: String, blockSpan: Long): Column =
-    expr(s"`$tCol` div $blockSpan")
+    floor(col(tCol) / lit(blockSpan.toDouble))
 
   /** `lag(t, 1)` over (key, (t, id)-ordered stream), blocked: returns
     * the input columns plus `prevCol` (null for each key's first
@@ -103,13 +110,17 @@ object SkewScan {
   def lagSkewSafe(df: DataFrame, keyCol: String, tCol: String,
       idCol: String, prevCol: String, hotThreshold: Long = 1000000L,
       blockSpan: Long = 3600L * 1000): DataFrame = {
-    val hot = broadcast(hotKeys(df, keyCol, hotThreshold))
-    val cold = df.join(hot, Seq(keyCol), "left_anti")
+    // three consumers (hot-key count agg, left_anti, left_semi) —
+    // persist so an expensive upstream plan is scanned once, not
+    // three times (same discipline as Dedup.neardupComponents)
+    val in = graft.core.OpCaches.persistTracked(df)
+    val hot = broadcast(hotKeys(in, keyCol, hotThreshold))
+    val cold = in.join(hot, Seq(keyCol), "left_anti")
     val wCold = Window.partitionBy(col(keyCol))
       .orderBy(col(tCol).asc, col(idCol).asc)
     wireOrder(df,
       cold.withColumn(prevCol, lag(col(tCol), 1).over(wCold))
-        .unionByName(lagBlocked(df.join(hot, Seq(keyCol), "left_semi"),
+        .unionByName(lagBlocked(in.join(hot, Seq(keyCol), "left_semi"),
           keyCol, tCol, idCol, prevCol, blockSpan)))
   }
 
@@ -122,8 +133,10 @@ object SkewScan {
       idCol: String, valCol: String, gap: Long,
       hotThreshold: Long = 1000000L,
       blockSpan: Long = 3600L * 1000): DataFrame = {
-    val hot = broadcast(hotKeys(ev, keyCol, hotThreshold))
-    val cold = ev.join(hot, Seq(keyCol), "left_anti")
+    // persist against the triple consumption, as in lagSkewSafe
+    val in = graft.core.OpCaches.persistTracked(ev)
+    val hot = broadcast(hotKeys(in, keyCol, hotThreshold))
+    val cold = in.join(hot, Seq(keyCol), "left_anti")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tCol).asc, col(idCol).asc)
     val coldSessions = cold
@@ -141,7 +154,7 @@ object SkewScan {
         (sum(col(valCol)).cast("double") / 100).as("total_value"))
       .drop("__sidx")
     coldSessions.unionByName(sessionizeBlocked(
-      ev.join(hot, Seq(keyCol), "left_semi"),
+      in.join(hot, Seq(keyCol), "left_semi"),
       keyCol, tCol, idCol, valCol, gap, blockSpan))
   }
 

@@ -83,4 +83,15 @@ class BenchSuite extends AnyFunSuite {
     // unterminated object -> None (loud absence), not a truncated map
     assert(Bench.extractQueriesObject("""{"queries": {"q1": 1.0""").isEmpty)
   }
+
+  test("extractQueriesObject: non-object value must not capture a later object") {
+    // the value itself must be '{' — a scalar "queries" followed by an
+    // unrelated object used to silently yield that object's map
+    assert(Bench.extractQueriesObject("""{"queries": 3, "env": {"a": 1}}""").isEmpty)
+    assert(Bench.extractQueriesObject(
+      """{"queries": [1, 2], "env": {"a": 1}}""").isEmpty)
+    // whitespace (including newlines) between colon and brace is fine
+    assert(Bench.extractQueriesObject("{\"queries\":\n  {\"q1\": 1.0}}") ==
+      Some("""{"q1": 1.0}"""))
+  }
 }

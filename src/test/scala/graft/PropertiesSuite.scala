@@ -518,16 +518,19 @@ class PropertiesSuite extends SparkSuite {
       }
       assert(got(viaUpdate) == got(viaEagerInsert),
         s"update != eager insert: n=$n k=$k seed=$seed nan=$withNaN")
-      // NaN-free case is also pinned against a plain sort-truncate
-      if (!withNaN) {
-        val ref = xs.collect { case (s, id) if s != null && id != null =>
+      // pinned against a plain sort-truncate in ALL cases: NaN scores
+      // are rejected at admission (like null scores), so the reference
+      // drops them too — this pins the r18 fix for the frozen-heap
+      // hazard (a NaN admitted while filling could reach the heap root
+      // and permanently reject every later row)
+      val ref = xs.collect {
+        case (s, id) if s != null && !s.isNaN && id != null =>
           (s.doubleValue(), id.longValue())
-        }.sortWith { case ((s1, i1), (s2, i2)) =>
-          s1 > s2 || (s1 == s2 && i1 < i2)
-        }.take(k).map { case (s, i) => (java.lang.Double.doubleToLongBits(s), i) }
-        assert(got(viaUpdate) == ref,
-          s"update != sort-truncate: n=$n k=$k seed=$seed")
-      }
+      }.sortWith { case ((s1, i1), (s2, i2)) =>
+        s1 > s2 || (s1 == s2 && i1 < i2)
+      }.take(k).map { case (s, i) => (java.lang.Double.doubleToLongBits(s), i) }
+      assert(got(viaUpdate) == ref,
+        s"update != sort-truncate: n=$n k=$k seed=$seed nan=$withNaN")
       // laziness: with 5 score values and k small, a long stream must
       // reject most rows on score alone without touching idExpr
       val nonNullScores = xs.count(_._1 != null)
