@@ -19,6 +19,52 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Default duplicate-mass gate for the exact-dup collapse forms
+    * ([[neardupComponents]], [[simHashPairsCollapsed]]): collapse only
+    * when more than this fraction of non-null-text rows are duplicate
+    * copies. Below it the collapse's two extra stage waves cost more
+    * than the C(g,2) pair inflation they remove (measured sf0.1,
+    * 8 duplicates in 6k docs: simhash_pairs 0.58 → 1.17 s collapsed;
+    * the 10×/skew corpora at 90%/50% duplicate mass win 17×/13×).
+    * 5% is conservative: at that mass the inflation is still ≤ ~1.1×
+    * for uniform copy counts, so the direct form stays cheap.
+    */
+  val DefaultDupGate = 0.05
+
+  /** Approximate fraction of non-null `textCol` rows that are exact
+    * duplicate copies: (n − distinct(text)) / n, with distinct
+    * estimated by HLL++ over a 64-bit text hash — one cheap
+    * DETERMINISTIC aggregate job (sketches merge map-side; no
+    * distinct-value shuffle, unlike an exact count_distinct whose
+    * exchange would carry every distinct hash — at 100 TB that is
+    * billions of rows for a yes/no answer). Deterministic because
+    * HLL++ is a pure function of the input value set, so gate
+    * decisions are reproducible run-to-run. Clamped at 0: the
+    * estimator's ±2% error can put the estimate above n on
+    * duplicate-free corpora.
+    */
+  private[graft] def duplicateMassFraction(docs: DataFrame,
+      textCol: String): Double = {
+    val r = docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col(textCol))).as("d"))
+      .head()
+    val n = r.getLong(0)
+    if (n == 0L) 0.0 else math.max(0.0, (n - r.getLong(1)).toDouble / n)
+  }
+
+  /** Gate shared by the collapse forms: collapse iff the corpus'
+    * duplicate-mass fraction exceeds `dupGate`. The endpoints skip
+    * the probe job entirely — `dupGate < 0` forces collapse and
+    * `dupGate >= 1` forces the direct form without touching the data
+    * (the suite pins both paths output-identical through these).
+    */
+  private[graft] def collapseWorthIt(docs: DataFrame, textCol: String,
+      dupGate: Double): Boolean =
+    if (dupGate < 0) true
+    else if (dupGate >= 1) false
+    else duplicateMassFraction(docs, textCol) > dupGate
+
   /** Exact duplicate clustering by full-content hash: every doc mapped
     * to (fingerprint, cluster keeper = min id, cluster size, is_dup).
     * One shuffle (window over fp).
@@ -387,7 +433,20 @@ object Dedup {
     */
   def neardupComponents(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, dupGate: Double = DefaultDupGate): DataFrame = {
+    // duplicate-mass gate: on duplicate-LIGHT corpora the collapse's
+    // keyed pass + expansion are two extra stage waves buying nothing
+    // (sf0.1, 8 dups: 0.96 → 1.57 s), so route them to the direct
+    // composition — pinned output-identical to the collapsed path in
+    // TextDedupSuite, so the gate changes cost only, never results
+    if (!collapseWorthIt(docs, textCol, dupGate)) {
+      val comp = Components.connectedComponents(
+        minHashCandidates(docs, textCol, idCol, n, numHashes, bands))
+      return docs
+        .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .select(col(idCol).as("id"),
+          coalesce(col("label"), col(idCol)).as("label"))
+    }
     // ONE keyed pass over the corpus text (md5 + shingle-presence),
     // persisted because it is consumed three times below (group
     // minima, rep expansion, singleton remainder) — unpersisted, the
@@ -621,7 +680,15 @@ object Dedup {
     */
   def simHashPairsCollapsed(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
-      signature: Column => Column = graft.functions.HashFunctions.simhash64): DataFrame = {
+      signature: Column => Column = graft.functions.HashFunctions.simhash64,
+      dupGate: Double = DefaultDupGate): DataFrame = {
+    // duplicate-mass gate (see collapseWorthIt): duplicate-light
+    // corpora keep the direct banded form — the collapse pass +
+    // pair expansion cost ~2 stage waves for nothing when the band
+    // buckets carry no copy inflation (sf0.1, 8 dups: 0.58 → 1.17 s).
+    // Output-identical either way (suite-pinned), cost-only gate.
+    if (!collapseWorthIt(docs, textCol, dupGate))
+      return simHashPairs(docs, textCol, idCol, maxHamming, signature)
     // one keyed corpus pass; groups are consumed three times below
     val groups = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), md5(col(textCol)).as("fp"))

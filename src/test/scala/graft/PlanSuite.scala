@@ -390,17 +390,29 @@ class PlanSuite extends SparkSuite {
     assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
   }
 
-  test("neardup_clusters rides the persisted keyed frame and broadcast expansion") {
+  test("neardup_clusters routes direct on duplicate-light corpora, collapsed plan pinned") {
+    // sf0.001 documents are duplicate-light, so the r18 duplicate-mass
+    // gate must route the REGISTERED query to the direct composition:
+    // no exact-dup collapse machinery (rep_id) in the plan. At this
+    // pair count the components resolve on the DRIVER (fast path), so
+    // the final plan is just the doc scan broadcast-joined against the
+    // label literal — the minhash work ran in the eager sub-jobs.
     val p = plan("neardup_clusters")
-    // the (fp, can) corpus pass is persisted and consumed from cache —
-    // tokenize+md5 must not re-run per consumer (the r17 regression
-    // the persist closed: 4.04 -> 1.90 s on the skew corpus)
-    assert(p.contains("InMemoryTableScan"), p.take(3000))
-    // group-representative and component expansion joins broadcast at
-    // this scale (reps/labels are distillates, never corpus-sized
-    // shuffle sides here)
+    assert(!p.contains("rep_id"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
-    // singleton remainder attaches by union, not a second corpus join
-    assert(p.contains("Union"), p.take(3000))
+
+    // the collapse route (forced) keeps its r17 shape: the (fp, can)
+    // corpus pass persisted and consumed from cache — tokenize+md5
+    // must not re-run per consumer (the regression the persist closed:
+    // 4.04 -> 1.90 s on the skew corpus) — broadcast expansion joins,
+    // and the singleton remainder attached by union, not a second
+    // corpus join
+    val pc = graft.operators.Dedup.neardupComponents(
+        Tables.documents(spark, sf("sf0.001")), dupGate = -1.0)
+      .queryExecution.executedPlan.toString
+    assert(pc.contains("rep_id"), pc.take(3000))
+    assert(pc.contains("InMemoryTableScan"), pc.take(3000))
+    assert(pc.contains("BroadcastHashJoin"), pc.take(3000))
+    assert(pc.contains("Union"), pc.take(3000))
   }
 }

@@ -364,8 +364,11 @@ class TextDedupSuite extends SparkSuite {
           coalesce(col("label"), col("doc_id")).as("label"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     }
+    // dupGate = -1 FORCES the collapse path: the default gate would
+    // route duplicate-light frames (like sf0.001 documents below) to
+    // the direct composition and make this pin vacuous
     def collapsed(docs: DataFrame): Seq[(Long, Long)] =
-      Dedup.neardupComponents(docs)
+      Dedup.neardupComponents(docs, dupGate = -1.0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
 
     // adversarial frame: two exact-dup groups (one 5-copy hot group),
@@ -403,6 +406,11 @@ class TextDedupSuite extends SparkSuite {
       form(df, "text", "doc_id", 3, simhash_md5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
         .toSeq.sorted
+    // dupGate = -1 forces the collapse path (the default gate would
+    // route duplicate-light frames to the direct form, voiding the pin)
+    def collapsedForced(df: DataFrame, t: String, i: String, h: Int,
+        sig: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.simHashPairsCollapsed(df, t, i, h, sig, dupGate = -1.0)
     // adversarial frame: a 5-copy dup group with ids INTERLEAVED with
     // another group's (least/greatest orientation under test), a
     // near-dup within hamming 3 of the first text, identical empty
@@ -419,7 +427,7 @@ class TextDedupSuite extends SparkSuite {
       (40L, "completely different content about spark catalyst plans"))
       .toDF("doc_id", "text")
     val ref = pairs(docs, Dedup.simHashPairs(_, _, _, _, _))
-    val got = pairs(docs, Dedup.simHashPairsCollapsed(_, _, _, _, _))
+    val got = pairs(docs, collapsedForced)
     assert(got == ref)
     // the dup groups themselves must be present (sanity that the
     // frame exercises the expansion, not just equality of emptiness)
@@ -430,7 +438,7 @@ class TextDedupSuite extends SparkSuite {
 
     // real data equivalence: sf0.001 documents
     val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    assert(pairs(real, Dedup.simHashPairsCollapsed(_, _, _, _, _)) ==
+    assert(pairs(real, collapsedForced) ==
       pairs(real, Dedup.simHashPairs(_, _, _, _, _)))
   }
 
@@ -439,14 +447,71 @@ class TextDedupSuite extends SparkSuite {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val nulls = Seq((1L, null.asInstanceOf[String]),
       (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    assert(Dedup.simHashPairsCollapsed(
-      empty, "text", "doc_id", 3, simhash_md5).count() == 0)
-    assert(Dedup.simHashPairsCollapsed(
-      nulls, "text", "doc_id", 3, simhash_md5).count() == 0)
-    assert(Dedup.neardupComponents(empty).count() == 0)
-    // null-text docs are singletons labeled by their own id
-    assert(Dedup.neardupComponents(nulls)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
-      Set((1L, 1L), (2L, 2L)))
+    // pin BOTH gate routes (forced collapse and forced direct) plus
+    // the default gate (whose probe must handle zero non-null rows)
+    for (gate <- Seq(-1.0, Dedup.DefaultDupGate, 2.0)) {
+      assert(Dedup.simHashPairsCollapsed(
+        empty, "text", "doc_id", 3, simhash_md5, gate).count() == 0)
+      assert(Dedup.simHashPairsCollapsed(
+        nulls, "text", "doc_id", 3, simhash_md5, gate).count() == 0)
+      assert(Dedup.neardupComponents(empty, dupGate = gate).count() == 0)
+      // null-text docs are singletons labeled by their own id
+      assert(Dedup.neardupComponents(nulls, dupGate = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 1L), (2L, 2L)))
+    }
+  }
+
+  test("duplicate-mass gate: fraction probe and threshold-boundary routing") {
+    import graft.functions.HashFunctions.simhash_md5
+    // fraction probe: all-distinct ~0 (clamped at 0 against HLL error),
+    // 10-copy corpus ~0.9, nulls excluded from both terms
+    val distinctDocs = (0L until 200L)
+      .map(i => (i, s"unique text number $i with some words"))
+      .toDF("doc_id", "text")
+    val copies = (0L until 200L)
+      .map(i => (i, s"copied text number ${i % 20} repeated enough"))
+      .toDF("doc_id", "text")
+    val fDistinct = Dedup.duplicateMassFraction(distinctDocs, "text")
+    val fCopies = Dedup.duplicateMassFraction(copies, "text")
+    assert(fDistinct < 0.05, s"all-distinct fraction $fDistinct")
+    assert(fCopies > 0.8 && fCopies <= 0.95, s"10-copy fraction $fCopies")
+    val withNulls = copies.unionByName(
+      Seq((900L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(math.abs(
+      Dedup.duplicateMassFraction(withNulls, "text") - fCopies) < 1e-12,
+      "null-text rows must not move the fraction")
+
+    // threshold boundary: collapse iff fraction > gate (strict), pinned
+    // AT the measured fraction (not >) and just below it. The probe is
+    // deterministic (HLL++ is a pure function of the value set), so
+    // using the measured fraction as the boundary is stable. Routing
+    // observed via the plan: only the collapse paths alias "rep_id".
+    def usesCollapse(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("rep_id")
+    val atGate = Dedup.simHashPairsCollapsed(
+      copies, "text", "doc_id", 3, simhash_md5, fCopies)
+    val belowGate = Dedup.simHashPairsCollapsed(
+      copies, "text", "doc_id", 3, simhash_md5, fCopies - 1e-9)
+    assert(!usesCollapse(atGate), "fraction == gate must route direct")
+    assert(usesCollapse(belowGate), "fraction > gate must route collapsed")
+    // both routes produce identical pair sets
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairSet(atGate) == pairSet(belowGate))
+
+    // same boundary for neardupComponents
+    val ndAt = Dedup.neardupComponents(copies, dupGate = fCopies)
+    val ndBelow = Dedup.neardupComponents(copies, dupGate = fCopies - 1e-9)
+    assert(!usesCollapse(ndAt) && usesCollapse(ndBelow))
+    def labelSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelSet(ndAt) == labelSet(ndBelow))
+
+    // endpoint gates skip the probe and force the route
+    assert(usesCollapse(Dedup.simHashPairsCollapsed(
+      distinctDocs, "text", "doc_id", 3, simhash_md5, -1.0)))
+    assert(!usesCollapse(Dedup.simHashPairsCollapsed(
+      copies, "text", "doc_id", 3, simhash_md5, 1.0)))
   }
 }
