@@ -84,6 +84,38 @@ class BenchSuite extends AnyFunSuite {
     assert(Bench.extractQueriesObject("""{"queries": {"q1": 1.0""").isEmpty)
   }
 
+  test("trimmedMedian / medianDivergence: even-sized bimodal sample diverges") {
+    // even split: the all-reps median (2.0) lies BETWEEN the modes —
+    // a value no rep produced; the trimmed majority snaps to a mode
+    val bimodalEven = Seq(1.0, 1.0, 3.0, 3.0)
+    assert(Bench.median(bimodalEven) == 2.0)
+    assert(Bench.medianDivergence(bimodalEven, 3) > 0.4,
+      s"got ${Bench.medianDivergence(bimodalEven, 3)}")
+    // a transient-noise rescue (tight majority around the median) has
+    // near-zero divergence: trim is centered on the untrimmed median
+    val rescuedClean = Seq(1.0, 4.0, 1.05, 1.02, 0.98)
+    assert(Bench.medianDivergence(rescuedClean, 3) < 0.1)
+    // degenerate: all-equal and zero-median samples do not divide by 0
+    assert(Bench.medianDivergence(Seq(2.0, 2.0, 2.0), 3) == 0.0)
+    assert(Bench.medianDivergence(Seq(0.0, 0.0, 0.0), 3) == 0.0)
+  }
+
+  test("bimodalSuspect: raw >> trimmed spread flags; plain noise does not") {
+    // persistent bimodality: raw spread large, trimmed majority tight
+    val bimodal = Seq(1.0, 1.02, 1.01, 3.0, 3.02)
+    assert(Bench.spread(bimodal) > 0.5)
+    assert(Bench.trimmedSpread(bimodal, 3) <= 0.5)
+    assert(Bench.bimodalSuspect(bimodal, 3))
+    // dispersed samples: raw and trimmed both large (still flagged as
+    // unstable elsewhere, but not a BIMODAL shape — ratio under 2x)
+    val dispersed = Seq(1.0, 1.5, 2.2, 3.0, 4.0)
+    assert(!Bench.bimodalSuspect(dispersed, 3))
+    // tight row: raw spread small — never a suspect even though the
+    // trimmed spread can be near zero (the 0.5 floor guards the ratio)
+    val tight = Seq(1.0, 1.01, 1.02, 1.04, 1.03)
+    assert(!Bench.bimodalSuspect(tight, 3))
+  }
+
   test("extractQueriesObject: non-object value must not capture a later object") {
     // the value itself must be '{' — a scalar "queries" followed by an
     // unrelated object used to silently yield that object's map
