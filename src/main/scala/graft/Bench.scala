@@ -85,18 +85,26 @@ object Bench {
     if (m <= 0) 0.0 else math.abs(trimmedMedian(xs, reps) - m) / m
   }
 
-  /** A rescued row whose raw all-reps spread stays large (> 0.5) while
-    * its trimmed spread converged (raw > 2x trimmed): the shape of
-    * PLAN INSTABILITY or persistent bimodality rather than a transient
-    * noise window (which leaves raw high too, but here the trimmed
-    * majority's tightness relative to the raw dispersion is the
-    * signature worth surfacing). Disclosure only (`bimodal_suspects`
-    * in BENCH_DETAIL) — empty on a clean board.
+  /** A rescued row showing TWO modes rather than one transient spike.
+    * The typical benign rescue is a single noise-window outlier among
+    * otherwise-tight reps — dropping the one sample farthest from the
+    * median collapses its spread, so it is NOT a suspect. Genuine
+    * bimodality (plan instability: two stable plans alternating)
+    * keeps the spread large even after the single-outlier drop while
+    * the trimmed majority looks converged — that contradiction is the
+    * signature worth surfacing. Requires more samples than `reps`
+    * (i.e. an actually-rescued row): an unrescued row's spread is
+    * already reported directly. Disclosure only (`bimodal_suspects`
+    * in BENCH_DETAIL) — empty on a clean board, where rescues are
+    * single-spike shaped (the first criterion, raw > 2x trimmed,
+    * flagged 3-4 ordinary rescued rows per idle board — pure noise).
     */
-  private[graft] def bimodalSuspect(xs: Seq[Double], reps: Int): Boolean = {
-    val raw = spread(xs)
-    raw > 0.5 && raw > 2 * trimmedSpread(xs, reps)
-  }
+  private[graft] def bimodalSuspect(xs: Seq[Double], reps: Int): Boolean =
+    xs.size > reps && {
+      val m = median(xs)
+      val withoutFarthest = xs.sortBy(t => -math.abs(t - m)).drop(1)
+      trimmedSpread(xs, reps) <= 0.5 && spread(withoutFarthest) > 0.5
+    }
 
   /** Locate the `"queries": {...}` object in a JSON text and return it
     * verbatim, or None if absent. Three hardening points over a naive
@@ -356,15 +364,23 @@ object Bench {
     // signals (any one triggers, each env-tunable) cause ONE full
     // re-measurement, and the better board is recorded wholesale (so
     // spreads/rescues/medians stay internally consistent):
-    //  - agg_ratio > SPARK_GRAFT_AGG_GATE (default 1.27, just above
-    //    the idle band): the primary signal — it is anchored to the
-    //    frozen DuckDB numbers, exactly the drift being guarded.
-    //    Skipped for SPARK_GRAFT_ONLY subsets (subset rows read
-    //    30-40% high by the warm-board effect, ratios are biased).
+    //  - agg_ratio > SPARK_GRAFT_AGG_GATE (default 1.10, just above
+    //    the r18 idle band of ~1.00-1.05): the primary signal — it is
+    //    anchored to the frozen DuckDB numbers, exactly the drift
+    //    being guarded. A residually-loaded r18 board read 1.127 vs
+    //    1.009 idle, so the gate must sit close. Skipped for
+    //    SPARK_GRAFT_ONLY subsets (subset rows read 30-40% high by
+    //    the warm-board effect, ratios are biased). If a future round
+    //    legitimately raises the idle band past the gate, every board
+    //    measures twice (disclosed in board_retry) until the default
+    //    is re-tuned — 2x bench wall time, never a wrong artifact.
     //  - canary row (SPARK_GRAFT_CANARY, default j4_cartesian — a
     //    zero-data-dependence constant-work row) median >
-    //    SPARK_GRAFT_CANARY_GATE (default 0.25 s, ~2x its idle
-    //    floor): catches inflation when ratios are unavailable.
+    //    SPARK_GRAFT_CANARY_GATE (default 0.20 s, ~2.7x its idle
+    //    floor of ~0.07 s): catches gross scheduler interference when
+    //    ratios are unavailable (mild uniform load does NOT move the
+    //    canary — measured flat at 0.075 on a +12%-inflated board —
+    //    hence the agg gate is primary).
     //  - load_post > SPARK_GRAFT_LOAD_GATE (default 6.0): extreme
     //    ambient load, a last-resort catch (our own 32-thread bursts
     //    keep loadavg 2-4 even idle, so the bar is high).
@@ -373,9 +389,9 @@ object Bench {
     // extra measurement, never a hidden result. The gate decision and
     // both boards' summaries are disclosed in BENCH_DETAIL
     // (`board_retry`).
-    val aggGate = sys.env.getOrElse("SPARK_GRAFT_AGG_GATE", "1.27").toDouble
+    val aggGate = sys.env.getOrElse("SPARK_GRAFT_AGG_GATE", "1.10").toDouble
     val canaryName = sys.env.getOrElse("SPARK_GRAFT_CANARY", "j4_cartesian")
-    val canaryGate = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE", "0.25").toDouble
+    val canaryGate = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE", "0.20").toDouble
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "6.0").toDouble
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BOARD_RETRIES", "1").toInt
     def noiseTrigger(b: Board): Option[String] = {

@@ -100,20 +100,24 @@ class BenchSuite extends AnyFunSuite {
     assert(Bench.medianDivergence(Seq(0.0, 0.0, 0.0), 3) == 0.0)
   }
 
-  test("bimodalSuspect: raw >> trimmed spread flags; plain noise does not") {
-    // persistent bimodality: raw spread large, trimmed majority tight
+  test("bimodalSuspect: two modes flag; a single transient spike does not") {
+    // persistent bimodality: a second mode survives dropping the one
+    // farthest sample, while the trimmed majority looks converged
     val bimodal = Seq(1.0, 1.02, 1.01, 3.0, 3.02)
-    assert(Bench.spread(bimodal) > 0.5)
     assert(Bench.trimmedSpread(bimodal, 3) <= 0.5)
     assert(Bench.bimodalSuspect(bimodal, 3))
-    // dispersed samples: raw and trimmed both large (still flagged as
-    // unstable elsewhere, but not a BIMODAL shape — ratio under 2x)
+    // the TYPICAL benign rescue — one noise-window outlier among tight
+    // reps — collapses when the single farthest sample is dropped
+    // (the first criterion flagged 3-4 such rows per idle board)
+    val oneSpike = Seq(1.0, 4.0, 1.05, 1.02, 0.98)
+    assert(!Bench.bimodalSuspect(oneSpike, 3))
+    // dispersed samples: trimmed majority never converged — reported
+    // as unstable, not as bimodal
     val dispersed = Seq(1.0, 1.5, 2.2, 3.0, 4.0)
     assert(!Bench.bimodalSuspect(dispersed, 3))
-    // tight row: raw spread small — never a suspect even though the
-    // trimmed spread can be near zero (the 0.5 floor guards the ratio)
-    val tight = Seq(1.0, 1.01, 1.02, 1.04, 1.03)
-    assert(!Bench.bimodalSuspect(tight, 3))
+    // tight rescued row and unrescued rows are never suspects
+    assert(!Bench.bimodalSuspect(Seq(1.0, 1.01, 1.02, 1.04, 1.03), 3))
+    assert(!Bench.bimodalSuspect(Seq(1.0, 3.0, 1.0), 3))
   }
 
   test("extractQueriesObject: non-object value must not capture a later object") {
