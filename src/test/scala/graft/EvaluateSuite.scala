@@ -63,6 +63,37 @@ class EvaluateSuite extends SparkSuite {
       SelectiveSearch.evaluateStepwise(shards, results, m, 3).collect().toSeq)
   }
 
+  test("arrival walk equals explode at sweep scale (100 queries x 32 steps)") {
+    // the EvalSweepProbe shape, shrunk to suite budget: hash-derived
+    // ranks/relevance across MANY partitions and steps, so the walk's
+    // re-shuffle + per-partition run-boundary keying is exercised on
+    // input far larger than the 2x3 fixture (the probe pins the same
+    // equality at 1k x 64 with the per-step loop too)
+    val nQ = 100; val nS = 32; val perShard = 10
+    val sel = spark.range(nQ.toLong * nS)
+      .select(($"id" / nS).cast("long").as("query"),
+        ($"id" % nS).cast("int").as("shard"))
+      .withColumn("rank", (row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query")
+          .orderBy(xxhash64($"query", $"shard"))) - 1).cast("int"))
+    val res = spark.range(nQ.toLong * nS * perShard)
+      .select(($"id" / (nS * perShard)).cast("long").as("query"),
+        (($"id" / perShard) % nS).cast("int").as("shard"), $"id".as("k"))
+      .withColumn("global_rank", (row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query")
+          .orderBy(xxhash64($"k"))) - 1).cast("long"))
+      .withColumn("rel", (pmod(xxhash64($"k", lit(7)), lit(10)) < 3).cast("int"))
+      .drop("k")
+      .repartition(8) // destroy any incidental query clustering
+    val m = Seq(precisionAt(10), precisionAt(5))
+    def mat(df: DataFrame) = df
+      .select($"query", $"step", round($"p_10", 9), round($"p_5", 9))
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val arrival = mat(SelectiveSearch.evaluateArrival(sel, res, m, nS))
+    assert(arrival.size == nQ * nS)
+    assert(arrival == mat(SelectiveSearch.evaluateExplode(sel, res, m, nS)))
+  }
+
   test("bucketed evaluate equals the bucketed per-step loop") {
     val bucketShards = Seq(
       (0, 0, 0, 0), (0, 0, 1, 3), (0, 1, 0, 1), (0, 1, 1, 4), (0, 2, 0, 2), (0, 2, 1, 5),

@@ -857,5 +857,14 @@ class OperatorsSuite extends SparkSuite {
         .collect().map(_.toSeq).toSeq
       assert(gotSesH == refSessions(25L), s"sessionizeSkewSafe threshold=$threshold")
     }
+
+    // the hybrids consume their input three times (hot-key count,
+    // left_anti, left_semi) — the r18 persist must show in the plan,
+    // or an expensive upstream would be scanned thrice
+    val hybridPlan = SkewScan.lagSkewSafe(ev, "user_id", "t", "event_id",
+      "prev", hotThreshold = 50L, blockSpan = 10L)
+      .queryExecution.executedPlan.toString
+    assert(hybridPlan.contains("InMemoryTableScan"), hybridPlan.take(2000))
+    graft.core.OpCaches.release()
   }
 }
