@@ -677,6 +677,14 @@ object Dedup {
     * distinct-content banding. Same insight as [[neardupComponents]],
     * with expansion instead of contraction because this operator's
     * contract is the pair LIST, not the clusters.
+    *
+    * EAGERNESS: the default `dupGate` runs the duplicate-mass probe as
+    * a job at CALL time (this function was fully lazy before r18);
+    * batch-only as a result. A streaming or strictly-lazy caller
+    * passes an endpoint gate (`dupGate < 0` collapse / `>= 1` direct)
+    * to skip the probe. [[neardupComponents]] was already eager
+    * (component resolution runs driver-side actions), so its gate
+    * changes nothing there.
     */
   def simHashPairsCollapsed(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
