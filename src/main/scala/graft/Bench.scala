@@ -396,8 +396,15 @@ object Bench {
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BOARD_RETRIES", "1").toInt
     def noiseTrigger(b: Board): Option[String] = {
       val agg = if (only.isEmpty) b.aggRatio else None
-      val canary = b.repTimes.get(canaryName).filter(_.nonEmpty)
-        .map(ts => median(ts.toSeq))
+      // medianOf, not a raw repTimes read: runPass records the elapsed
+      // time of FAILED reps too (a regression must not masquerade as a
+      // fast median), and a broken canary that burns >gate seconds
+      // before throwing would otherwise trip the noise gate on every
+      // board — doubling bench wall time forever while board_retry
+      // blames the host. A failed canary contributes no noise signal.
+      val canary = if (b.failed(canaryName)) None
+        else b.repTimes.get(canaryName).filter(_.nonEmpty)
+          .map(ts => median(ts.toSeq))
       if (agg.exists(_ > aggGate))
         Some(f"agg_ratio ${agg.get}%.3f > $aggGate%.2f")
       else if (canary.exists(_ > canaryGate))
@@ -420,9 +427,18 @@ object Bench {
     }) boards += measureBoard(warm = false)
     // fewer failures first, then lower total: noise only ever ADDS
     // time, so of two complete boards the faster one is the better
-    // estimate of the idle truth
+    // estimate of the idle truth. The total is computed over the
+    // INTERSECTION of the boards' non-failed rows — each board's own
+    // `total` silently excludes its failed rows' medians, so two
+    // boards tied on failure COUNT but failing different queries
+    // would otherwise be ranked by incomparable sums (the board that
+    // failed the slower query reads "faster" purely by exclusion).
+    val commonOk: Set[String] = boards
+      .map(b => selected.map(_._1).filterNot(b.failed).toSet)
+      .reduce(_ intersect _)
     val chosen = boards.zipWithIndex
-      .minBy { case (b, _) => (b.failed.size, b.total) }
+      .minBy { case (b, _) =>
+        (b.failed.size, commonOk.toSeq.flatMap(b.medianOf).sum) }
     val board = chosen._1
     val repTimes = board.repTimes
     val failedNames = board.failed

@@ -113,18 +113,28 @@ object IndexStore {
       // delete() results are CHECKED: a locked/undeletable file must
       // not report the entry as pruned — a half-deleted entry (data
       // gone, manifest alive, or vice versa) is exactly the state the
-      // manifest protocol can't represent. rm returns whether the
-      // whole subtree went away; failures are reported on stderr and
-      // EXCLUDED from the returned names so the caller's ledger only
-      // lists entries that are actually gone.
+      // manifest protocol can't represent. Two disciplines keep a
+      // partial failure safe: the MANIFEST GOES FIRST (mirroring
+      // readOrBuild's manifest-written-last ordering, so an entry
+      // with any file undeleted can never re-validate as fresh and
+      // silently serve partial parquet), and child deletion does NOT
+      // short-circuit (every reclaimable sibling is still attempted
+      // after a locked one — the old forall walk abandoned the rest
+      // of a multi-GB entry over one stuck 4 KB part file). rm
+      // returns whether the whole subtree went away; failures are
+      // reported on stderr and EXCLUDED from the returned names so
+      // the caller's ledger only lists entries that are actually gone.
       def rm(f: java.io.File): Boolean = {
         val children =
           if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).forall(rm)
+            Option(f.listFiles()).getOrElse(Array.empty)
+              .map(rm).forall(identity)
           else true
         children && (f.delete() || !f.exists())
       }
-      val ok = rm(dir)
+      val meta = new java.io.File(dir, "_graft_manifest")
+      val metaGone = !meta.exists() || meta.delete() || !meta.exists()
+      val ok = metaGone && rm(dir)
       if (!ok) System.err.println(
         s"[IndexStore] prune: could not fully delete ${dir.getPath} — " +
           "entry excluded from the pruned list; remove it manually")

@@ -108,7 +108,9 @@ object EvalSweepProbe {
         f.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"EVALSWEEP $tag median ${ts.sorted.apply(ts.size / 2)}%.2f s  " +
+      // Bench.median, not sorted(size/2): the latter is the UPPER
+      // middle element at even rep counts, biasing every form high
+      println(f"EVALSWEEP $tag median ${graft.Bench.median(ts)}%.2f s  " +
         ts.map(t => f"$t%.2f").mkString("[", ", ", "]"))
     }
     // warm

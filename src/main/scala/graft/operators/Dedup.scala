@@ -442,7 +442,12 @@ object Dedup {
     if (!collapseWorthIt(docs, textCol, dupGate)) {
       val comp = Components.connectedComponents(
         minHashCandidates(docs, textCol, idCol, n, numHashes, bands))
-      return docs
+      // join on the id PROJECTION, not the raw caller frame: a docs
+      // frame that already carries a `label` column (a common name in
+      // labeling pipelines) would make the coalesce reference
+      // ambiguous — and only on duplicate-light corpora, since the
+      // collapsed path below projects before joining
+      return docs.select(col(idCol))
         .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
         .select(col(idCol).as("id"),
           coalesce(col("label"), col(idCol)).as("label"))

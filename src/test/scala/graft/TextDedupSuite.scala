@@ -514,4 +514,26 @@ class TextDedupSuite extends SparkSuite {
     assert(!usesCollapse(Dedup.simHashPairsCollapsed(
       copies, "text", "doc_id", 3, simhash_md5, 1.0)))
   }
+
+  test("neardupComponents tolerates a caller frame carrying a label column") {
+    // regression: the direct (duplicate-light) route used to join the
+    // RAW caller frame against the component frame and coalesce on
+    // col("label") — ambiguous when docs itself has a `label` column
+    // (a common name in labeling pipelines), and data-dependent: the
+    // same frame with >gate duplicate mass took the collapsed path,
+    // which projects before joining, and worked. Both routes must
+    // ignore caller columns beyond (idCol, textCol).
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, a, 99L), (2L, a, 98L),
+      (3L, "pack my box with five dozen liquor jugs now", 97L))
+      .toDF("doc_id", "text", "label")
+    def labels(gate: Double) =
+      Dedup.neardupComponents(docs, dupGate = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = labels(1.0)    // forced direct — the route that threw
+    val collapsed = labels(-1.0)
+    assert(direct == collapsed, s"$direct vs $collapsed")
+    assert(direct == Set((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
 }
