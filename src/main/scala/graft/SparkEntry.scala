@@ -549,10 +549,23 @@ object SparkEntry {
         Tables.documents(s, dir), Seq("lang"), "doc_id", 50)
         .orderBy("lang", "smp_rank")),
 
-    // Near-dedup, scale path: MinHash signatures + LSH band join
-    "minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.minHashCandidates(Tables.documents(s, dir))
-        .orderBy("id_a", "id_b")),
+    // Near-dedup, scale path: MinHash signatures + LSH band join.
+    // The registered form is the duplicate-mass-gated collapse (r18):
+    // duplicate-light corpora (this sf dir) route to the direct
+    // banded form; copy-heavy corpora band only distinct content and
+    // stream the pair expansion — the 100x replica corpus measured
+    // 87.7 s direct vs 5.8 s collapsed, same output (suite-pinned).
+    // The pair list is quadratic in copies BY CONTRACT (152M rows at
+    // 100x), so the output sort rides the probed-bounds pass: a
+    // sampling orderBy would re-execute the whole expansion once just
+    // to pick range splits (measured 24.6 vs 5.8 s unsorted)
+    "minhash_lsh_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.core.StaticRange.denseIdSort(
+        Dedup.minHashCandidatesCollapsed(docs),
+        docs.select(col("doc_id").as("id_a")), "id_a",
+        Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
+    }),
 
     // Near-dup cluster resolution: transitive closure of the minhash
     // candidate pairs -> every document mapped to its component
@@ -805,10 +818,18 @@ object SparkEntry {
     // output-identical (suite-pinned), but the band join is quadratic
     // per bucket in duplicate copies, so dup-heavy corpora pay g² for
     // what distinct content answers (10× corpus: 26 s -> see SCALING)
-    "simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairsCollapsed(Tables.documents(s, dir), maxHamming = 3,
-        signature = graft.functions.HashFunctions.simhash_md5)
-        .orderBy("id_a", "id_b")),
+    // output sort via probed bounds, as minhash_lsh_pairs: the pair
+    // list is copy-quadratic by contract and a sampling orderBy
+    // re-executes the expansion once to pick splits (25M rows at the
+    // 100x corpus: 3.2 s sampled vs 1.7 s unsorted)
+    "simhash_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.core.StaticRange.denseIdSort(
+        Dedup.simHashPairsCollapsed(docs, maxHamming = 3,
+          signature = graft.functions.HashFunctions.simhash_md5),
+        docs.select(col("doc_id").as("id_a")), "id_a",
+        Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
+    }),
 
     // ANN baseline: brute-force cosine top-k (exact integer-quantized
     // dot products -> engine-portable doubles)

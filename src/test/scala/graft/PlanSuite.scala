@@ -263,7 +263,12 @@ class PlanSuite extends SparkSuite {
     // same multi-partition shuffle + local sort, no sampling job);
     // a sampled rangepartitioning would also be acceptable, a
     // single-partition sort would not.
-    for (name <- Seq("c6_select", "u1_union_all")) {
+    // the pair lists ride the same probed-bounds route since r18: a
+    // sampling orderBy re-executes the whole pair expansion once to
+    // pick range splits (copy-quadratic output: 152M rows at the 100x
+    // corpus, 24.6 s sampled vs 5.8 s unsorted)
+    for (name <- Seq("c6_select", "u1_union_all",
+        "simhash_pairs", "minhash_lsh_pairs")) {
       val p = plan(name).toLowerCase
       assert(p.contains("rangepartitioning") ||
           p.contains("shufflepartitionidpassthrough"),

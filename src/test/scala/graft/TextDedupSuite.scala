@@ -442,6 +442,86 @@ class TextDedupSuite extends SparkSuite {
       pairs(real, Dedup.simHashPairs(_, _, _, _, _)))
   }
 
+  test("minHashCandidatesCollapsed is output-identical to minHashCandidates") {
+    def pairs(df: DataFrame, form: DataFrame => DataFrame) =
+      form(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 16).toInt))
+        .toSeq.sorted
+    // dupGate = -1 forces the collapse path (the default gate would
+    // route duplicate-light frames to the direct form, voiding the pin)
+    def collapsedForced(df: DataFrame) =
+      Dedup.minHashCandidatesCollapsed(df, dupGate = -1.0)
+    def direct(df: DataFrame) = Dedup.minHashCandidates(df)
+    // adversarial frame: a 5-copy dup group with ids INTERLEAVED with
+    // another group's (least/greatest orientation under test), a
+    // near-dup sharing most of the first text's shingles, identical
+    // SHINGLE-LESS texts (< 3 tokens: no signature in either form —
+    // the spot where minhash differs from simhash, whose empty-text
+    // signature is 0 and pairs), null texts, an unrelated far text
+    val a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val b = "pack my box with five dozen liquor jugs before the long trip home now"
+    val docs = Seq(
+      (1L, a), (3L, a), (5L, a), (7L, a), (9L, a), // group A, odd ids
+      (2L, b), (4L, b), (6L, b),                   // group B interleaved
+      (10L, a + " extra"),                         // near-dup of A
+      (20L, "two words"), (21L, "two words"),      // shingle-less dups
+      (30L, null.asInstanceOf[String]), (31L, null.asInstanceOf[String]),
+      (40L, "completely different content about spark catalyst plan rules"))
+      .toDF("doc_id", "text")
+    val ref = pairs(docs, direct)
+    val got = pairs(docs, collapsedForced)
+    assert(got == ref)
+    // the dup groups must be present at est_jaccard 1.0 (sanity that
+    // the frame exercises the expansion, not equality of emptiness)
+    assert(ref.contains((1L, 3L, 16)) && ref.contains((2L, 4L, 16)))
+    assert(!ref.exists(p => Seq(20L, 21L, 30L, 31L).exists(
+      i => p._1 == i || p._2 == i)),
+      "shingle-less and null-text docs must produce no pairs")
+
+    // real data equivalence: sf0.001 documents
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(pairs(real, collapsedForced) == pairs(real, direct))
+
+    // threshold-boundary routing, via the rep_id plan discriminator
+    // (same convention as the simhash/neardup gate test)
+    val copies = (0L until 200L)
+      .map(i => (i, s"copied text number ${i % 20} repeated quite enough times"))
+      .toDF("doc_id", "text")
+    val f = Dedup.duplicateMassFraction(copies, "text")
+    def usesCollapse(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("rep_id")
+    val atGate = Dedup.minHashCandidatesCollapsed(copies, dupGate = f)
+    val belowGate = Dedup.minHashCandidatesCollapsed(copies, dupGate = f - 1e-9)
+    assert(!usesCollapse(atGate), "fraction == gate must route direct")
+    assert(usesCollapse(belowGate), "fraction > gate must route collapsed")
+    assert(pairs(copies, _ => atGate) == pairs(copies, _ => belowGate))
+  }
+
+  test("registered pair queries: probed-bounds sort equals the sampling orderBy") {
+    // the registered simhash_pairs / minhash_lsh_pairs ride
+    // StaticRange.denseIdSort keyed on id_a with bounds probed from
+    // the docs table — (id_a, id_b) pairs are distinct, so the total
+    // order is unique and the rows must be IDENTICAL, in order, to
+    // the sampling orderBy the oracle mirrors
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("simhash_pairs", "minhash_lsh_pairs")) {
+      val got = graft.SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      graft.core.OpCaches.release()
+      val sorted = (name match {
+        case "simhash_pairs" =>
+          Dedup.simHashPairsCollapsed(graft.Tables.documents(spark, dir),
+            maxHamming = 3,
+            signature = graft.functions.HashFunctions.simhash_md5)
+        case _ =>
+          Dedup.minHashCandidatesCollapsed(graft.Tables.documents(spark, dir))
+      }).orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(got == sorted, s"$name: probed-bounds order diverges")
+      graft.core.OpCaches.release()
+    }
+  }
+
   test("collapse forms on empty and all-null corpora") {
     import graft.functions.HashFunctions.simhash_md5
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -454,6 +534,10 @@ class TextDedupSuite extends SparkSuite {
         empty, "text", "doc_id", 3, simhash_md5, gate).count() == 0)
       assert(Dedup.simHashPairsCollapsed(
         nulls, "text", "doc_id", 3, simhash_md5, gate).count() == 0)
+      assert(Dedup.minHashCandidatesCollapsed(empty, dupGate = gate)
+        .count() == 0)
+      assert(Dedup.minHashCandidatesCollapsed(nulls, dupGate = gate)
+        .count() == 0)
       assert(Dedup.neardupComponents(empty, dupGate = gate).count() == 0)
       // null-text docs are singletons labeled by their own id
       assert(Dedup.neardupComponents(nulls, dupGate = gate)
