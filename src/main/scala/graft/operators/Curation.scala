@@ -73,7 +73,15 @@ object Curation {
       else narrowRaw
     val counts = narrow.groupBy(strata: _*)
       .agg(ceil(count(lit(1)) * fraction).cast("int").as("__k"))
-    val maxK = counts.agg(max(col("__k"))).head().getInt(0)
+    // an EMPTY input yields an empty result, not a driver error: max
+    // over zero strata is NULL. Not hypothetical — a gate that passes
+    // nothing, or an all-contaminated corpus (the r18 100x replica
+    // corpus hit exactly this: ids stride 5000 ≡ 53 mod 97, coprime,
+    // so every text had a copy in the doc_id%97 benchmark slice and
+    // the curation pipeline's decontaminated frame was empty).
+    val maxKRow = counts.agg(max(col("__k"))).head()
+    if (maxKRow.isNullAt(0)) return df.limit(0)
+    val maxK = maxKRow.getInt(0)
     val kept = narrow
       .groupBy(strata: _*)
       .agg(graft.functions.TopKFunctions

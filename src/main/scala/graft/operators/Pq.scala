@@ -113,7 +113,11 @@ object Pq {
         if (distortion(fitted) <= distortion(sample)) fitted else sample
       }.toArray
     } else {
-      val dim = prep.select(size(col("v"))).head().getInt(0)
+      // loud require, not head()'s NoSuchElementException, when the
+      // corpus is empty — a codebook cannot be fit on zero vectors
+      val dimRow = prep.select(size(col("v"))).head(1)
+      require(dimRow.nonEmpty, "cannot fit a PQ codebook: empty corpus")
+      val dim = dimRow(0).getInt(0)
       require(dim % m == 0, s"m=$m must divide dim=$dim")
       val sub = dim / m
       val sample = codebookFromPrep(prep, m, ksub, idCol)

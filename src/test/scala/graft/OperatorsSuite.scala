@@ -82,6 +82,24 @@ class OperatorsSuite extends SparkSuite {
     assert(nw == ww, s"${(ww -- nw).take(3)} / ${(nw -- ww).take(3)}")
   }
 
+  test("topFractionBounded forms return empty on an EMPTY input, same schema") {
+    // regression: max(__k) over zero strata is NULL and the driver
+    // read threw ROW_VALUE_IS_NULL — hit for real when the 100x
+    // replica corpus left the curation pipeline's decontaminated
+    // frame empty (every text had a copy in the benchmark slice)
+    import graft.operators.Curation
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "grp", "score")
+      .filter(col("score") > 0) // a non-trivially-empty plan, like the pipeline
+    val bounded = Curation.topFractionBounded(
+      empty, col("score"), Seq("grp"), "id", 0.5)
+    assert(bounded.count() == 0)
+    assert(bounded.columns.toSeq == Seq("id", "grp", "score"))
+    val narrow = Curation.topFractionBoundedNarrow(
+      empty, col("score"), Seq("grp"), "id", 0.5, scoreName = "score")
+    assert(narrow.count() == 0)
+    assert(narrow.columns.toSeq == Seq("grp", "score", "id"))
+  }
+
   test("planted embedding near-dups: default ivf knobs hit recall >= 0.9, exact precision") {
     import graft.operators.Similarity
     // 500 random 32-dim vectors + 60 planted near-dups (base + small
