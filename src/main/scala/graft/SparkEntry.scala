@@ -589,12 +589,18 @@ object SparkEntry {
     // batch (doc_id % 5 == 0 plays the day's ingest) against the
     // existing corpus — new-vs-old and new-vs-new pairs only, the
     // corpus is never self-joined
+    // duplicate-mass-gated collapse (r18): copy-heavy corpora contract
+    // batch ∪ corpus by content before the band probe — the direct
+    // probe is |new-in-bucket| × bucket size, so batch × corpus copies
+    // of one text multiply (100× corpus: 22 s direct)
     "minhash_incremental_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.incrementalMinHashCandidates(
-        docs.filter(col("doc_id") % 5 === 0),
-        docs.filter(col("doc_id") % 5 =!= 0))
-        .orderBy("id_a", "id_b")
+      graft.core.StaticRange.denseIdSort(
+        Dedup.incrementalMinHashCandidatesCollapsed(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0)),
+        docs.select(col("doc_id").as("id_a")), "id_a",
+        Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
     }),
 
     // ...and its serving twin: the corpus's banded signature index

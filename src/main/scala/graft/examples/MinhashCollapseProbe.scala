@@ -60,6 +60,23 @@ object MinhashCollapseProbe {
         .orderBy("id_a", "id_b"))
     for (k <- Seq(1, 4, 8)) time(s"collapsed_dense${k}x")(
       dense(Dedup.minHashCandidatesCollapsed(docs, dupGate = -1.0), k))
+    // incremental family: direct vs collapsed, unsorted (the r18
+    // registered batch split: doc_id%5 plays the ingest)
+    def nd = docs.filter(col("doc_id") % 5 === 0)
+    def cp = docs.filter(col("doc_id") % 5 =!= 0)
+    time("inc_direct_nosort")(
+      Dedup.incrementalMinHashCandidates(nd, cp))
+    time("inc_collapsed_nosort")(
+      Dedup.incrementalMinHashCandidatesCollapsed(nd, cp, dupGate = -1.0))
+    println("MHPROBE inc output rows: " +
+      Dedup.incrementalMinHashCandidatesCollapsed(nd, cp, dupGate = -1.0)
+        .count())
+    graft.core.OpCaches.release()
+    time("inc_collapsed_dense8x")(dense(
+      Dedup.incrementalMinHashCandidatesCollapsed(nd, cp, dupGate = -1.0), 8))
+    time("inc_collapsed_sorted")(
+      Dedup.incrementalMinHashCandidatesCollapsed(nd, cp, dupGate = -1.0)
+        .orderBy("id_a", "id_b"))
     // the simhash twin under the identical harness, for the cross-
     // family comparison SCALING quotes
     time("simhash_nosort")(

@@ -310,6 +310,95 @@ object Dedup {
       .select(col("id_a"), col("id_b"), sigAgreement(numHashes).as("est_jaccard"))
   }
 
+  /** [[incrementalMinHashCandidates]] with exact duplicates contracted
+    * across batch ∪ corpus before signing/banding — the incremental
+    * member of the r17/r18 collapse family. Purity argument as
+    * [[minHashCandidatesCollapsed]]: identical texts share every band
+    * and every agreement estimate, so the rep-level incremental probe
+    * (reps of groups containing ≥ 1 NEW doc play the batch side)
+    * generates a rep pair iff the direct form generates any member
+    * pair, and the expansion restores exactly the pairs TOUCHING the
+    * batch: within-group (x.id < y.id, x or y new, estimate 1.0) and
+    * cross-group (every member pair of a matched rep pair with x or y
+    * new, the reps' estimate). Members ride per-group as (id, new)
+    * struct arrays — group-sized, never C(g,2) combination arrays.
+    * Shingle-less and null-text docs never sign and are excluded
+    * symmetrically. Same disjoint-id contract as the direct form.
+    *
+    * Why: the direct form's probe is |new-in-bucket| × bucket size
+    * per band bucket — batch AND corpus copies of one text multiply,
+    * so a copy-heavy corpus pays (batch copies × corpus copies) per
+    * duplicated text. The r18 100× replica corpus (100 copies of
+    * every text, batch = the doc_id%5 slice) measured the direct
+    * form at 22 s; banding distinct content bounds the probe by
+    * DISTINCT batch content × distinct-bucket size.
+    *
+    * EAGERNESS: the default `dupGate` probes duplicate mass over
+    * batch ∪ corpus at call time; endpoints (< 0 collapse / >= 1
+    * direct) skip the probe — streaming callers and the suites pin
+    * routes through them.
+    */
+  def incrementalMinHashCandidatesCollapsed(newDocs: DataFrame,
+      corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      dupGate: Double = DefaultDupGate): DataFrame = {
+    val union = newDocs.select(col(idCol), col(textCol))
+      .union(corpus.select(col(idCol), col(textCol)))
+    if (!collapseWorthIt(union, textCol, dupGate))
+      return incrementalMinHashCandidates(newDocs, corpus, textCol, idCol,
+        n, numHashes, bands)
+    val tagged = newDocs
+      .select(col(idCol), col(textCol), lit(true).as("__new"))
+      .union(corpus.select(col(idCol), col(textCol), lit(false).as("__new")))
+    // one keyed pass over batch ∪ corpus; consumed three times below
+    // (rep split, within-group expansion, cross-group expansion)
+    val groups = tagged
+      .filter(coalesce(
+        size(TextFunctions.wordShingles(col(textCol), n)) > 0, lit(false)))
+      .select(col(idCol), col("__new"), md5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("rep_id"),
+        sort_array(collect_list(struct(
+          col(idCol).as("id"), col("__new").as("nw")))).as("members"),
+        max(col("__new")).as("has_new"))
+      .transform(graft.core.OpCaches.persistTracked)
+    // rep-level probe: has-new groups' reps are the "batch", the rest
+    // the "corpus" — a rep pair appears iff ≥ 1 side has a new member,
+    // exactly when the direct form emits ≥ 1 touching member pair
+    def repTexts(ids: DataFrame) = tagged
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+    val repPairs = incrementalMinHashCandidates(
+      repTexts(groups.filter(col("has_new"))
+        .select(col("rep_id").as(idCol))),
+      repTexts(groups.filter(!col("has_new"))
+        .select(col("rep_id").as(idCol))),
+      textCol, idCol, n, numHashes, bands)
+    // within-group: each unordered pair once via id order, touching
+    // the batch; identical signatures estimate exactly 1.0
+    val within = groups
+      .filter(col("has_new") && size(col("members")) >= 2)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x.id") < col("y.id") && (col("x.nw") || col("y.nw")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    // cross-group: every member pair of a matched rep pair that
+    // touches the batch, at the reps' estimate; least/greatest
+    // restores (id_a < id_b) because group id ranges interleave
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("id_a"),
+        col("members").as("ms_a")), Seq("id_a"))
+      .join(groups.select(col("rep_id").as("id_b"),
+        col("members").as("ms_b")), Seq("id_b"))
+      .select(explode(col("ms_a")).as("x"), col("ms_b"), col("est_jaccard"))
+      .select(col("x"), explode(col("ms_b")).as("y"), col("est_jaccard"))
+      .filter(col("x.nw") || col("y.nw"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"), col("est_jaccard"))
+    within.unionByName(cross)
+  }
+
   /** [[minHashCandidates]] with exact duplicates contracted to one
     * representative before signing/banding and the FULL candidate-pair
     * set reconstructed afterward — output-identical (suite-pinned),

@@ -498,6 +498,86 @@ class TextDedupSuite extends SparkSuite {
     assert(pairs(copies, _ => atGate) == pairs(copies, _ => belowGate))
   }
 
+  test("incrementalMinHashCandidatesCollapsed is output-identical to the direct form") {
+    def pairs(nd: DataFrame, c: DataFrame,
+        form: (DataFrame, DataFrame) => DataFrame) =
+      form(nd, c).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 16).toInt))
+        .toSeq.sorted
+    def collapsedForced(nd: DataFrame, c: DataFrame) =
+      Dedup.incrementalMinHashCandidatesCollapsed(nd, c, dupGate = -1.0)
+    def direct(nd: DataFrame, c: DataFrame) =
+      Dedup.incrementalMinHashCandidates(nd, c)
+    // adversarial frame: dup groups SPLIT across batch and corpus
+    // (within-group pairs must touch the batch: batch-batch and
+    // batch-corpus yes, corpus-corpus no), an all-corpus dup group
+    // (only cross pairs against a new near-dup may surface it), a
+    // batch near-dup of a corpus group, shingle-less dups straddling
+    // the split, nulls, an unrelated text
+    val a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val b = "pack my box with five dozen liquor jugs before the long trip home now"
+    val newDocs = Seq(
+      (101L, a), (103L, a),              // batch members of group A
+      (110L, a + " extra"),              // batch near-dup of A
+      (120L, "two words"),               // shingle-less (corpus twin below)
+      (130L, null.asInstanceOf[String]),
+      (140L, "completely different content about spark catalyst plan rules"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, a), (3L, a), (5L, a),         // corpus members of group A
+      (2L, b), (4L, b), (6L, b),         // all-corpus group B
+      (20L, "two words"),
+      (30L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ref = pairs(newDocs, corpus, direct)
+    val got = pairs(newDocs, corpus, collapsedForced)
+    assert(got == ref)
+    // sanity: batch-batch and batch-corpus dup pairs present at 1.0,
+    // corpus-corpus absent, group B emits nothing (no new member
+    // bands near it), shingle-less/null emit nothing
+    assert(ref.contains((101L, 103L, 16)) && ref.contains((1L, 101L, 16)))
+    assert(!ref.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!ref.exists(p => Seq(2L, 4L, 6L, 20L, 30L, 120L, 130L).exists(
+      i => p._1 == i || p._2 == i)))
+
+    // real data equivalence: the registered sf0.001 batch/corpus split
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rNew = real.filter(col("doc_id") % 5 === 0)
+    val rOld = real.filter(col("doc_id") % 5 =!= 0)
+    assert(pairs(rNew, rOld, collapsedForced) == pairs(rNew, rOld, direct))
+
+    // threshold boundary via the rep_id plan discriminator, over the
+    // batch ∪ corpus duplicate mass
+    val copies = (0L until 200L)
+      .map(i => (i, s"copied text number ${i % 20} repeated quite enough times"))
+      .toDF("doc_id", "text")
+    val cNew = copies.filter(col("doc_id") % 5 === 0)
+    val cOld = copies.filter(col("doc_id") % 5 =!= 0)
+    val f = Dedup.duplicateMassFraction(copies, "text")
+    def usesCollapse(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("rep_id")
+    val atGate =
+      Dedup.incrementalMinHashCandidatesCollapsed(cNew, cOld, dupGate = f)
+    val belowGate =
+      Dedup.incrementalMinHashCandidatesCollapsed(cNew, cOld, dupGate = f - 1e-9)
+    assert(!usesCollapse(atGate) && usesCollapse(belowGate))
+    def ps(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ps(atGate) == ps(belowGate))
+    // empty batch and empty corpus, both routes
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    for (gate <- Seq(-1.0, 2.0)) {
+      assert(Dedup.incrementalMinHashCandidatesCollapsed(
+        empty, copies, dupGate = gate).count() == 0)
+      assert(Dedup.incrementalMinHashCandidatesCollapsed(
+        cNew, empty, dupGate = gate).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Dedup.incrementalMinHashCandidates(cNew, empty).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+  }
+
   test("registered pair queries: probed-bounds sort equals the sampling orderBy") {
     // the registered simhash_pairs / minhash_lsh_pairs ride
     // StaticRange.denseIdSort keyed on id_a with bounds probed from
