@@ -888,10 +888,20 @@ object SparkEntry {
     // cells sharpen the vote: A=24 at C=ceil(sqrt(16n)) measures
     // recall 0.998 at sf0.1 — above r4's 0.969 at C=n/16, A=16 — at
     // equal wall time (SCALING.md).
-    "embedding_neardup_pairs" -> ((s, dir) =>
-      Similarity.ivfNearDupPairs(Tables.embeddings(s, dir), threshold = 0.3,
-        assignments = 24, minSharedCells = 2)
-        .orderBy("id_a", "id_b")),
+    // duplicate-mass-gated exact-dup collapse (r18): copy-heavy
+    // vector corpora contract identical prepared vectors before cell
+    // assignment — the cell self-join is quadratic per cell in
+    // copies (the 100x replica embeddings corpus ran the direct form
+    // into tens of minutes); output sort rides probed bounds like
+    // the text pair rows
+    "embedding_neardup_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.core.StaticRange.denseIdSort(
+        Similarity.ivfNearDupPairsCollapsed(e, threshold = 0.3,
+          assignments = 24, minSharedCells = 2),
+        e.select(col("vec_id").as("id_a")), "id_a",
+        Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
+    }),
 
     // Incremental-ingest semantic dedup: new vectors (vec_id < 40)
     // probed against the standing corpus (vec_id >= 40) — centroids
@@ -945,20 +955,16 @@ object SparkEntry {
     // (pointer-doubling CC), keep the min-id vector per cluster —
     // the composed keep-one form of embedding_neardup_pairs +
     // neardup_clusters, over vectors instead of text
+    // r18: the component resolution rides the exact-dup collapse
+    // (ivfNearDupComponentsCollapsed, the neardupComponents shape
+    // over vectors) — copy-heavy corpora never materialize the
+    // member-level pair list before CC
     "semantic_dedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // embeddings carries its own `label` (class) column — rename
-      // the CC label before joining to avoid the ambiguity
-      val comp = graft.operators.Components.connectedComponents(
-        Similarity.ivfNearDupPairs(e, threshold = 0.3,
-          assignments = 24, minSharedCells = 2))
-        .withColumnRenamed("id", "vec_id")
-        .withColumnRenamed("label", "__cc")
-      e.join(comp, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("__cc"), col("vec_id")).as("component"),
-          (coalesce(col("__cc"), col("vec_id")) === col("vec_id"))
-            .cast("int").as("is_survivor"))
+      Similarity.ivfNearDupComponentsCollapsed(e, threshold = 0.3,
+        assignments = 24, minSharedCells = 2)
+        .select(col("id").as("vec_id"), col("label").as("component"),
+          (col("label") === col("id")).cast("int").as("is_survivor"))
         .orderBy("vec_id")
     }),
 

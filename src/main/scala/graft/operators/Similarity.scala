@@ -44,9 +44,30 @@ object Similarity {
   def norm2Q(a: Column): Column =
     graft.functions.VectorFunctions.dot_long(a, a)
 
-  /** Cosine from exact integer parts (one double division at the end). */
-  def cosineQ(dot: Column, na2: Column, nb2: Column): Column =
-    dot.cast("double") / sqrt((na2 * nb2).cast("double"))
+  /** Cosine from exact integer parts (one double division at the
+    * end). A zero-norm side yields NaN EXPLICITLY: under ANSI mode
+    * (Spark 4 default) even a double division raises DIVIDE_BY_ZERO,
+    * so the bare `dot / sqrt(na2 * nb2)` form crashed the entire IVF
+    * family the moment a degenerate vector entered a corpus — the
+    * NaN contract [[assignCos]] documents (and every threshold
+    * filter relies on: NaN >= t is false) never held on the error
+    * path. Found by the r18 zero-vector collapse pins.
+    */
+  def cosineQ(dot: Column, na2: Column, nb2: Column): Column = {
+    val den = sqrt((na2 * nb2).cast("double"))
+    when(den === 0.0d, lit(Double.NaN))
+      .otherwise(dot.cast("double") / den)
+  }
+
+  /** NaN-REJECTING threshold test for the near-dup family: Spark's
+    * `>=` ranks NaN ABOVE every value, so a bare `cosine >= t` would
+    * pass a zero-norm vector's NaN cosine and glue degenerate
+    * vectors to every cell-mate. Degenerate vectors never pair —
+    * the same admission rule the bounded top-k aggregate applies to
+    * NaN scores, so k-NN and threshold results agree on them.
+    */
+  private[operators] def thresholdPass(cosine: Column, t: Double): Column =
+    cosine >= t && !isnan(cosine)
 
   /** [[cosineQ]] for centroid ASSIGNMENT scoring: a zero-norm vector's
     * 0/0 = NaN cosine becomes -Infinity, so every assignment path
@@ -152,7 +173,7 @@ object Similarity {
     a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(thresholdPass(col("cosine"), threshold))
   }
 
   // ----- IVF: the ANN scale path ------------------------------------
@@ -692,7 +713,172 @@ object Similarity {
       superCells: Int = 0, superProbes: Int = 2): DataFrame =
     ivfScoredPairs(corpus, numCentroids, assignments, minSharedCells,
       embCol, idCol, centroids, superCells, superProbes)
-      .filter(col("cosine") >= threshold)
+      .filter(thresholdPass(col("cosine"), threshold))
+
+  /** [[ivfNearDupPairs]] with exact-duplicate VECTORS contracted to
+    * one representative before cell assignment and the full pair set
+    * reconstructed afterward — the embedding member of the r17/r18
+    * exact-dup collapse family ([[graft.operators.Dedup.minHashCandidatesCollapsed]]
+    * is the text twin). The contraction key is the PREPARED
+    * representation (quantized `v`, `n2`): everything downstream —
+    * centroid assignment, shared-cell counts, exact cosine — is a
+    * pure function of (v, n2) and the shared centroid frame, so
+    * members of a group behave identically to their rep and the
+    * expanded output is bit-identical to the direct form
+    * (suite-pinned). The centroid COUNT and SAMPLE come from the
+    * FULL corpus exactly as the direct form computes them, so the
+    * cell structure itself is unchanged.
+    *
+    * Within-group pairs share all `assignments` cells, so they are
+    * candidates iff assignments >= minSharedCells (both forms), at
+    * the rep's self-cosine — computed through the same
+    * cosineQ(dotQ(v,v), n2, n2) expression the direct form would
+    * evaluate, so degenerate zero-norm vectors yield the same NaN
+    * and drop at the threshold filter identically.
+    *
+    * Why: the cell self-join is quadratic PER CELL in duplicate
+    * copies — g identical vectors co-occupy all their cells and
+    * contribute g² join rows per cell before the shared-cell
+    * aggregate. The r18 100× replica embeddings corpus (100 copies
+    * of every vector, A=24) ran the direct form into tens of
+    * minutes; the collapsed form bounds cell work by DISTINCT
+    * vectors and streams the output-proportional expansion.
+    *
+    * EAGERNESS: the default `dupGate` probes duplicate mass
+    * (xxhash64 over the raw embedding column — finer than (v, n2),
+    * so it only ever merges truly identical inputs) at call time;
+    * endpoint gates (< 0 / >= 1) skip the probe.
+    */
+  def ivfNearDupPairsCollapsed(corpus: DataFrame, threshold: Double,
+      numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      centroids: Option[DataFrame] = None,
+      superCells: Int = 0, superProbes: Int = 2,
+      dupGate: Double = graft.operators.Dedup.DefaultDupGate): DataFrame = {
+    if (!graft.operators.Dedup.collapseWorthIt(corpus, embCol, dupGate))
+      return ivfNearDupPairs(corpus, threshold, numCentroids, assignments,
+        minSharedCells, embCol, idCol, centroids, superCells, superProbes)
+    val (groups, repPairsAll) = collapsedRepPieces(corpus, numCentroids,
+      assignments, minSharedCells, embCol, idCol, centroids,
+      superCells, superProbes)
+    val repPairs = repPairsAll.filter(thresholdPass(col("cosine"), threshold))
+    // within-group: each unordered pair once via id order, at the
+    // rep's self-cosine; candidates in both forms iff the shared
+    // assignment count clears the vote
+    val within =
+      if (assignments >= minSharedCells)
+        groups.filter(size(col("ids")) >= 2)
+          .select(explode(col("ids")).as("x"), col("ids"),
+            cosineQ(dotQ(col("v"), col("v")), col("n2"), col("n2"))
+              .as("cosine"))
+          .select(col("x"), explode(col("ids")).as("y"), col("cosine"))
+          .filter(col("x") < col("y"))
+          .filter(thresholdPass(col("cosine"), threshold))
+          .select(col("x").as("id_a"), col("y").as("id_b"), col("cosine"))
+      else
+        groups.sparkSession.emptyDataFrame
+          .select(lit(0L).as("id_a"), lit(0L).as("id_b"),
+            lit(0.0).as("cosine")).limit(0)
+    // cross-group: every member pair of a matched rep pair, same
+    // cosine; least/greatest restores (id_a < id_b)
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("id_a"), col("ids").as("ids_a")),
+        Seq("id_a"))
+      .join(groups.select(col("rep_id").as("id_b"), col("ids").as("ids_b")),
+        Seq("id_b"))
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("cosine"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("cosine"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("cosine"))
+    within.unionByName(cross)
+  }
+
+  /** Shared contraction pieces behind the collapsed embedding forms:
+    * `groups` = one row per DISTINCT prepared vector ((v, n2) key,
+    * rep_id = group min id, sorted member ids; persisted — consumed
+    * by rep split and both expansions) and the rep-level scored pairs
+    * (UNFILTERED by any threshold — callers apply their own). The
+    * centroid count and sample come from the FULL corpus, so the
+    * cell structure matches the direct form exactly.
+    */
+  private def collapsedRepPieces(corpus: DataFrame, numCentroids: Int,
+      assignments: Int, minSharedCells: Int, embCol: String, idCol: String,
+      centroids: Option[DataFrame], superCells: Int,
+      superProbes: Int): (DataFrame, DataFrame) = {
+    val cp = prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val cent = centroids.getOrElse {
+      val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
+      centroidSample(cp, c, idCol)
+    }
+    val groups = cp.groupBy(col("v"), col("n2"))
+      .agg(min(col(idCol)).as("rep_id"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val repCp = cp.join(groups.select(col("rep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val multi =
+      if (superCells > 0)
+        nearestCentroidsTwoLevel(repCp, cent, assignments, idCol,
+          superCells, superProbes)
+      else nearestCentroids(repCp, cent, assignments, idCol)
+    (groups, ivfScoredPairsFrom(repCp, multi, minSharedCells, idCol))
+  }
+
+  /** Near-dup COMPONENT label for every vector — the collapsed
+    * composition [[ivfNearDupPairsCollapsed]] → connected components
+    * → member labels, without ever materializing the member-level
+    * pair list (the [[graft.operators.Dedup.neardupComponents]]
+    * shape, over vectors). Output: (id, label) where label is the
+    * component minimum id (vectors in no cluster label themselves).
+    *
+    * A duplicate group is a clique a priori only when its members
+    * can pair at all: self-cosine >= threshold (identical vectors
+    * score exactly cosineQ(dotQ(v,v), n2, n2) — NaN for zero-norm
+    * vectors, which never pair in the direct form) and
+    * assignments >= minSharedCells. INELIGIBLE groups stay one
+    * singleton PER MEMBER, exactly as the uncollapsed composition
+    * leaves them; their reps still enter the rep pair stage, where
+    * the same cosine filter silences them identically.
+    */
+  def ivfNearDupComponentsCollapsed(corpus: DataFrame, threshold: Double,
+      numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      centroids: Option[DataFrame] = None,
+      superCells: Int = 0, superProbes: Int = 2,
+      dupGate: Double = graft.operators.Dedup.DefaultDupGate): DataFrame = {
+    if (!graft.operators.Dedup.collapseWorthIt(corpus, embCol, dupGate)) {
+      val comp = graft.operators.Components.connectedComponents(
+        ivfNearDupPairs(corpus, threshold, numCentroids, assignments,
+          minSharedCells, embCol, idCol, centroids, superCells, superProbes))
+      return corpus.select(col(idCol))
+        .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .select(col(idCol).as("id"),
+          coalesce(col("label"), col(idCol)).as("label"))
+    }
+    val (groups, repPairsAll) = collapsedRepPieces(corpus, numCentroids,
+      assignments, minSharedCells, embCol, idCol, centroids,
+      superCells, superProbes)
+    val comp = graft.operators.Components.connectedComponents(
+      repPairsAll.filter(thresholdPass(col("cosine"), threshold))
+        .select(col("id_a"), col("id_b")))
+    val elig = groups.withColumn("__elig",
+      lit(assignments >= minSharedCells) &&
+        thresholdPass(
+          cosineQ(dotQ(col("v"), col("v")), col("n2"), col("n2")),
+          threshold))
+    // eligible members inherit their rep's component (rep_id when the
+    // rep paired with nothing — rep_id is the group minimum, so
+    // component minima are preserved); ineligible members self-label
+    val viaRep = elig.filter(col("__elig"))
+      .select(col("rep_id"), explode(col("ids")).as("id"))
+      .join(comp.withColumnRenamed("id", "rep_id")
+        .withColumnRenamed("label", "__cl"), Seq("rep_id"), "left")
+      .select(col("id"), coalesce(col("__cl"), col("rep_id")).as("label"))
+    viaRep.unionByName(elig.filter(!col("__elig"))
+      .select(explode(col("ids")).as("id"))
+      .select(col("id"), col("id").as("label")))
+  }
 
   /** The shared IVF-blocked candidate + exact-cosine stage behind
     * [[ivfNearDupPairs]] (threshold verify) and [[knnJoin]] (top-k
@@ -780,7 +966,7 @@ object Similarity {
         col("n2").as("nb2")), Seq("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(thresholdPass(col("cosine"), threshold))
   }
 
   /** The IVF MULTI-assignment index behind the near-dup family:
@@ -900,7 +1086,7 @@ object Similarity {
       .join(corpusVecs, Seq("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(thresholdPass(col("cosine"), threshold))
   }
 
   /** Corpus-wide approximate k-NN SELF-join: every vector's k

@@ -128,6 +128,56 @@ class SimilaritySuite extends SparkSuite {
     assert(ivf.map(t => (t._1, t._2)).toSet == Set((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
+  test("ivfNearDupPairsCollapsed / ComponentsCollapsed equal the direct forms") {
+    // adversarial frame: two exact-dup VECTOR groups with interleaved
+    // ids (5-copy and 3-copy), a near-dup of the first base, an
+    // orthogonal vector, and a 2-copy ZERO-vector group (NaN cosine:
+    // must produce no pairs and stay per-member singletons)
+    val a = Seq(1f, 0f, 0f); val b = Seq(0f, 1f, 0f)
+    val docs = vecs(
+      1L -> a, 3L -> a, 5L -> a, 7L -> a, 9L -> a,
+      2L -> b, 4L -> b, 6L -> b,
+      10L -> Seq(0.95f, 0.05f, 0f),
+      20L -> Seq(0f, 0f, 1f),
+      30L -> Seq(0f, 0f, 0f), 31L -> Seq(0f, 0f, 0f))
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full assignment (5 centroids, 5 assignments) = exhaustive
+    // blocking; forced collapse vs direct
+    val direct = Similarity.ivfNearDupPairs(docs, threshold = 0.9,
+      numCentroids = 5, assignments = 5)
+    val collapsed = Similarity.ivfNearDupPairsCollapsed(docs,
+      threshold = 0.9, numCentroids = 5, assignments = 5, dupGate = -1.0)
+    assert(pairSet(collapsed) == pairSet(direct))
+    // dup groups pair at exactly 1.0; zero vectors never pair
+    assert(pairSet(direct).contains((1L, 3L, 1.0)))
+    assert(!pairSet(direct).exists(p => p._1 == 30L || p._2 == 30L
+      || p._1 == 31L || p._2 == 31L))
+    // components: forced collapse vs the direct composition
+    def labels(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compDirect = Similarity.ivfNearDupComponentsCollapsed(docs,
+      threshold = 0.9, numCentroids = 5, assignments = 5, dupGate = 2.0)
+    val compCollapsed = Similarity.ivfNearDupComponentsCollapsed(docs,
+      threshold = 0.9, numCentroids = 5, assignments = 5, dupGate = -1.0)
+    assert(labels(compCollapsed) == labels(compDirect))
+    // group A ∪ near-dup 10 share component 1; zero vectors self-label
+    assert(labels(compDirect).contains((10L, 1L)))
+    assert(labels(compDirect).contains((30L, 30L))
+      && labels(compDirect).contains((31L, 31L)))
+
+    // real data equivalence at the registered knobs (sf0.001; the
+    // default gate routes this duplicate-light frame direct, so force
+    // the collapse for the pin)
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rd = Similarity.ivfNearDupPairs(real, threshold = 0.3,
+      assignments = 24, minSharedCells = 2)
+    val rc = Similarity.ivfNearDupPairsCollapsed(real, threshold = 0.3,
+      assignments = 24, minSharedCells = 2, dupGate = -1.0)
+    assert(pairSet(rc) == pairSet(rd))
+    graft.core.OpCaches.release()
+  }
+
   test("kmeansCentroids: contract, determinism, and cluster recovery") {
     import graft.operators.KMeans
     // 3 well-separated clusters of 5 vectors each
