@@ -908,9 +908,11 @@ object SparkEntry {
     // from the corpus's low-id sample, candidates bounded by the
     // batch, the corpus never self-joins (the embedding twin of
     // minhash_incremental_pairs)
+    // r18: duplicate-mass-gated collapse — the direct candidate join
+    // pays batch x corpus copies per duplicated vector per shared cell
     "embedding_incremental_pairs" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfNearDupBatch(
+      Similarity.ivfNearDupBatchCollapsed(
         e.filter(col("vec_id") >= 40), e.filter(col("vec_id") < 40),
         threshold = 0.3, assignments = 24, minSharedCells = 2)
         .orderBy("batch_id", "corpus_id")

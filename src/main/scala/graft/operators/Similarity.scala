@@ -969,6 +969,78 @@ object Similarity {
       .filter(thresholdPass(col("cosine"), threshold))
   }
 
+  /** [[ivfNearDupBatch]] with exact-duplicate vectors contracted on
+    * BOTH sides before assignment — the incremental member of the
+    * embedding collapse family. The directed (batch_id, corpus_id)
+    * contract makes the expansion simpler than the undirected form:
+    * a rep-level batch-vs-corpus probe (centroid count and sample
+    * STILL resolved from the full corpus, so the cell structure is
+    * the direct form's) yields (batch_rep, corpus_rep, cosine), and
+    * each matched rep pair expands to its member cross product at
+    * the same cosine — generated exactly once per (batch group,
+    * corpus group), no orientation or dedup step. Identical
+    * batch-vs-corpus vectors share all cells, so they surface iff
+    * assignments >= minSharedCells, in both forms; NaN cosines are
+    * already rejected at the rep filter. Output pinned identical to
+    * the direct form (SimilaritySuite).
+    *
+    * Why: the direct candidate join pays batch copies × corpus
+    * copies per duplicated vector per shared cell — the same
+    * quadratic the r18 100× corpus caught in [[ivfNearDupPairs]],
+    * on the ingest path that runs PER BATCH in production.
+    */
+  def ivfNearDupBatchCollapsed(corpus: DataFrame, batch: DataFrame,
+      threshold: Double, numCentroids: Int = 0, assignments: Int = 8,
+      minSharedCells: Int = 2, embCol: String = "embedding",
+      idCol: String = "vec_id",
+      dupGate: Double = graft.operators.Dedup.DefaultDupGate): DataFrame = {
+    val union = corpus.select(col(embCol))
+      .union(batch.select(col(embCol)))
+    if (!graft.operators.Dedup.collapseWorthIt(union, embCol, dupGate))
+      return ivfNearDupBatch(corpus, batch, threshold, numCentroids,
+        assignments, minSharedCells, embCol, idCol)
+    val cp = prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val bp = prepared(batch, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    // the direct form's centroid resolution, from the FULL corpus
+    val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
+    val cent = centroidSample(cp, c, idCol)
+    def grouped(p: DataFrame) = p.groupBy(col("v"), col("n2"))
+      .agg(min(col(idCol)).as("rep_id"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val gc = grouped(cp)
+    val gb = grouped(bp)
+    def reps(p: DataFrame, g: DataFrame) = p.join(
+      g.select(col("rep_id").as(idCol)), Seq(idCol), "left_semi")
+    val mc = nearestCentroids(reps(cp, gc), cent, assignments, idCol)
+    val mb = nearestCentroids(reps(bp, gb), cent, assignments, idCol)
+    val repPairs = mb.select(col("cent_id"), col(idCol).as("batch_id"))
+      .join(mc.select(col("cent_id"), col(idCol).as("corpus_id")),
+        Seq("cent_id"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedCells)
+      .join(bp.select(col(idCol).as("batch_id"), col("v").as("va"),
+        col("n2").as("na2")), Seq("batch_id"))
+      .join(cp.select(col(idCol).as("corpus_id"), col("v").as("vb"),
+        col("n2").as("nb2")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2"))
+          .as("cosine"))
+      .filter(thresholdPass(col("cosine"), threshold))
+    repPairs
+      .join(gb.select(col("rep_id").as("batch_id"), col("ids").as("ids_b")),
+        Seq("batch_id"))
+      .join(gc.select(col("rep_id").as("corpus_id"), col("ids").as("ids_c")),
+        Seq("corpus_id"))
+      .select(explode(col("ids_b")).as("batch_id"), col("ids_c"),
+        col("cosine"))
+      .select(col("batch_id"), explode(col("ids_c")).as("corpus_id"),
+        col("cosine"))
+  }
+
   /** The IVF MULTI-assignment index behind the near-dup family:
     * (idCol, v, n2, cent_id) with `assignments` rows per vector —
     * what [[ivfNearDupPairs]]/[[ivfNearDupBatch]] derive inline per

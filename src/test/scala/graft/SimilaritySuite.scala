@@ -178,6 +178,45 @@ class SimilaritySuite extends SparkSuite {
     graft.core.OpCaches.release()
   }
 
+  test("ivfNearDupBatchCollapsed equals the direct batch probe") {
+    // corpus and batch share duplicated vectors ACROSS the split: the
+    // expansion must emit the full member cross product per matched
+    // (batch group, corpus group), batch-internal pairs never appear,
+    // and zero vectors surface on neither side
+    val a = Seq(1f, 0f, 0f); val b = Seq(0f, 1f, 0f)
+    val corpus = vecs(
+      1L -> a, 3L -> a, 5L -> a,
+      2L -> b, 4L -> b,
+      20L -> Seq(0f, 0f, 1f),
+      30L -> Seq(0f, 0f, 0f))
+    val batch = vecs(
+      101L -> a, 103L -> a,                 // dups of corpus group A
+      110L -> Seq(0.95f, 0.05f, 0f),        // near-dup of A
+      131L -> Seq(0f, 0f, 0f),              // zero vector
+      140L -> Seq(0.1f, 0.9f, 0.1f))        // near-dup of B
+    def pset(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Similarity.ivfNearDupBatch(corpus, batch,
+      threshold = 0.9, numCentroids = 5, assignments = 5)
+    val collapsed = Similarity.ivfNearDupBatchCollapsed(corpus, batch,
+      threshold = 0.9, numCentroids = 5, assignments = 5, dupGate = -1.0)
+    assert(pset(collapsed) == pset(direct))
+    assert(pset(direct).contains((101L, 1L, 1.0))
+      && pset(direct).contains((103L, 5L, 1.0)))
+    assert(!pset(direct).exists(p => p._1 == 131L || p._2 == 30L))
+    // and the default-gate route on the registered sf0.001 split
+    import org.apache.spark.sql.functions.col
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rNew = real.filter(col("vec_id") < 40)
+    val rOld = real.filter(col("vec_id") >= 40)
+    assert(pset(Similarity.ivfNearDupBatchCollapsed(rOld, rNew,
+        threshold = 0.3, assignments = 24, minSharedCells = 2,
+        dupGate = -1.0)) ==
+      pset(Similarity.ivfNearDupBatch(rOld, rNew,
+        threshold = 0.3, assignments = 24, minSharedCells = 2)))
+    graft.core.OpCaches.release()
+  }
+
   test("kmeansCentroids: contract, determinism, and cluster recovery") {
     import graft.operators.KMeans
     // 3 well-separated clusters of 5 vectors each
