@@ -744,10 +744,10 @@ object Similarity {
     * minutes; the collapsed form bounds cell work by DISTINCT
     * vectors and streams the output-proportional expansion.
     *
-    * EAGERNESS: the default `dupGate` probes duplicate mass
-    * (xxhash64 over the raw embedding column — finer than (v, n2),
-    * so it only ever merges truly identical inputs) at call time;
-    * endpoint gates (< 0 / >= 1) skip the probe.
+    * EAGERNESS: the default `dupGate` probes duplicate mass at call
+    * time, FUSED with the autoCentroids count into one driver job
+    * ([[gateAndCentroids]] — the gate keys on the collapse key `v`);
+    * endpoint gates (< 0 / >= 1) skip the distinct estimate.
     */
   def ivfNearDupPairsCollapsed(corpus: DataFrame, threshold: Double,
       numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
@@ -755,12 +755,20 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       superCells: Int = 0, superProbes: Int = 2,
       dupGate: Double = graft.operators.Dedup.DefaultDupGate): DataFrame = {
-    if (!graft.operators.Dedup.collapseWorthIt(corpus, embCol, dupGate))
-      return ivfNearDupPairs(corpus, threshold, numCentroids, assignments,
-        minSharedCells, embCol, idCol, centroids, superCells, superProbes)
-    val (groups, repPairsAll) = collapsedRepPieces(corpus, numCentroids,
-      assignments, minSharedCells, embCol, idCol, centroids,
-      superCells, superProbes)
+    val cp = prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val (cent, collapse) = gateAndCentroids(cp, numCentroids, idCol,
+      centroids, dupGate)
+    def multiOf(p: DataFrame) =
+      if (superCells > 0)
+        nearestCentroidsTwoLevel(p, cent, assignments, idCol,
+          superCells, superProbes)
+      else nearestCentroids(p, cent, assignments, idCol)
+    if (!collapse)
+      return ivfScoredPairsFrom(cp, multiOf(cp), minSharedCells, idCol)
+        .filter(thresholdPass(col("cosine"), threshold))
+    val (groups, repPairsAll) = collapsedRepPieces(cp, multiOf,
+      minSharedCells, idCol)
     val repPairs = repPairsAll.filter(thresholdPass(col("cosine"), threshold))
     // within-group: each unordered pair once via id order, at the
     // rep's self-cosine; candidates in both forms iff the shared
@@ -793,36 +801,60 @@ object Similarity {
     within.unionByName(cross)
   }
 
+  /** Gate decision + centroid frame for the collapsed embedding
+    * forms, in at most ONE driver job: the direct path needs the
+    * corpus count for [[autoCentroids]] anyway, so the
+    * duplicate-mass probe rides the SAME aggregate (non-null vector
+    * count + approx distinct of the collapse key `v`) instead of
+    * paying its own job round — a separate probe job measured
+    * +0.43 s per registered row at sf0.1 (SemDedupFloorProbe).
+    * Endpoint gates skip the distinct estimate; an explicit
+    * numCentroids or caller centroid frame plus an endpoint gate
+    * runs no job at all. The gate keys on `v` — exactly what the
+    * collapse merges — rather than the raw embedding bytes.
+    */
+  private def gateAndCentroids(cp: DataFrame, numCentroids: Int,
+      idCol: String, centroids: Option[DataFrame],
+      dupGate: Double): (DataFrame, Boolean) = {
+    var n = -1L
+    val collapse =
+      if (dupGate < 0) true
+      else if (dupGate >= 1) false
+      else {
+        val r = cp.agg(count(col("v")).as("n"),
+          approx_count_distinct(
+            when(col("v").isNotNull, xxhash64(col("v")))).as("d"))
+          .head()
+        n = r.getLong(0)
+        n > 0 && math.max(0.0, (n - r.getLong(1)).toDouble / n) > dupGate
+      }
+    val cent = centroids.getOrElse {
+      val c = if (numCentroids > 0) numCentroids
+        else autoCentroids(if (n >= 0) n else cp.count())
+      centroidSample(cp, c, idCol)
+    }
+    (cent, collapse)
+  }
+
   /** Shared contraction pieces behind the collapsed embedding forms:
     * `groups` = one row per DISTINCT prepared vector ((v, n2) key,
     * rep_id = group min id, sorted member ids; persisted — consumed
     * by rep split and both expansions) and the rep-level scored pairs
-    * (UNFILTERED by any threshold — callers apply their own). The
-    * centroid count and sample come from the FULL corpus, so the
-    * cell structure matches the direct form exactly.
+    * (UNFILTERED by any threshold — callers apply their own).
+    * `multiOf` assigns cells against the caller's centroid frame,
+    * which must come from the FULL corpus so the cell structure
+    * matches the direct form exactly.
     */
-  private def collapsedRepPieces(corpus: DataFrame, numCentroids: Int,
-      assignments: Int, minSharedCells: Int, embCol: String, idCol: String,
-      centroids: Option[DataFrame], superCells: Int,
-      superProbes: Int): (DataFrame, DataFrame) = {
-    val cp = prepared(corpus, embCol, idCol)
-      .transform(graft.core.OpCaches.persistTracked)
-    val cent = centroids.getOrElse {
-      val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
-      centroidSample(cp, c, idCol)
-    }
+  private def collapsedRepPieces(cp: DataFrame,
+      multiOf: DataFrame => DataFrame, minSharedCells: Int,
+      idCol: String): (DataFrame, DataFrame) = {
     val groups = cp.groupBy(col("v"), col("n2"))
       .agg(min(col(idCol)).as("rep_id"),
         sort_array(collect_list(col(idCol))).as("ids"))
       .transform(graft.core.OpCaches.persistTracked)
     val repCp = cp.join(groups.select(col("rep_id").as(idCol)),
       Seq(idCol), "left_semi")
-    val multi =
-      if (superCells > 0)
-        nearestCentroidsTwoLevel(repCp, cent, assignments, idCol,
-          superCells, superProbes)
-      else nearestCentroids(repCp, cent, assignments, idCol)
-    (groups, ivfScoredPairsFrom(repCp, multi, minSharedCells, idCol))
+    (groups, ivfScoredPairsFrom(repCp, multiOf(repCp), minSharedCells, idCol))
   }
 
   /** Near-dup COMPONENT label for every vector — the collapsed
@@ -847,18 +879,26 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       superCells: Int = 0, superProbes: Int = 2,
       dupGate: Double = graft.operators.Dedup.DefaultDupGate): DataFrame = {
-    if (!graft.operators.Dedup.collapseWorthIt(corpus, embCol, dupGate)) {
+    val cp = prepared(corpus, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val (cent, collapse) = gateAndCentroids(cp, numCentroids, idCol,
+      centroids, dupGate)
+    def multiOf(p: DataFrame) =
+      if (superCells > 0)
+        nearestCentroidsTwoLevel(p, cent, assignments, idCol,
+          superCells, superProbes)
+      else nearestCentroids(p, cent, assignments, idCol)
+    if (!collapse) {
       val comp = graft.operators.Components.connectedComponents(
-        ivfNearDupPairs(corpus, threshold, numCentroids, assignments,
-          minSharedCells, embCol, idCol, centroids, superCells, superProbes))
-      return corpus.select(col(idCol))
+        ivfScoredPairsFrom(cp, multiOf(cp), minSharedCells, idCol)
+          .filter(thresholdPass(col("cosine"), threshold)))
+      return cp.select(col(idCol))
         .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
         .select(col(idCol).as("id"),
           coalesce(col("label"), col(idCol)).as("label"))
     }
-    val (groups, repPairsAll) = collapsedRepPieces(corpus, numCentroids,
-      assignments, minSharedCells, embCol, idCol, centroids,
-      superCells, superProbes)
+    val (groups, repPairsAll) = collapsedRepPieces(cp, multiOf,
+      minSharedCells, idCol)
     val comp = graft.operators.Components.connectedComponents(
       repPairsAll.filter(thresholdPass(col("cosine"), threshold))
         .select(col("id_a"), col("id_b")))
@@ -994,18 +1034,56 @@ object Similarity {
       minSharedCells: Int = 2, embCol: String = "embedding",
       idCol: String = "vec_id",
       dupGate: Double = graft.operators.Dedup.DefaultDupGate): DataFrame = {
-    val union = corpus.select(col(embCol))
-      .union(batch.select(col(embCol)))
-    if (!graft.operators.Dedup.collapseWorthIt(union, embCol, dupGate))
-      return ivfNearDupBatch(corpus, batch, threshold, numCentroids,
-        assignments, minSharedCells, embCol, idCol)
     val cp = prepared(corpus, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
     val bp = prepared(batch, embCol, idCol)
       .transform(graft.core.OpCaches.persistTracked)
+    // gate + corpus count in ONE job over the union of the prepared
+    // frames — the direct path needs the corpus count for
+    // autoCentroids anyway (the gateAndCentroids fusion, two-frame
+    // flavor); the gate keys on the collapse key `v` over batch ∪
+    // corpus, since copies on EITHER side multiply the probe
+    var nc = -1L
+    val collapse =
+      if (dupGate < 0) true
+      else if (dupGate >= 1) false
+      else {
+        val u = cp.select(col("v"), lit(false).as("__b"))
+          .union(bp.select(col("v"), lit(true).as("__b")))
+        val r = u.agg(
+          count(when(!col("__b"), col("v"))).as("nc"),
+          count(col("v")).as("n"),
+          approx_count_distinct(
+            when(col("v").isNotNull, xxhash64(col("v")))).as("d"))
+          .head()
+        nc = r.getLong(0)
+        val n = r.getLong(1)
+        n > 0 && math.max(0.0, (n - r.getLong(2)).toDouble / n) > dupGate
+      }
     // the direct form's centroid resolution, from the FULL corpus
-    val c = if (numCentroids > 0) numCentroids else autoCentroids(cp.count())
+    val c = if (numCentroids > 0) numCentroids
+      else autoCentroids(if (nc >= 0) nc else cp.count())
     val cent = centroidSample(cp, c, idCol)
+    if (!collapse) {
+      // direct route reusing cp/bp/cent — the ivfNearDupBatch
+      // construction verbatim, minus its re-prepare and re-count
+      val mc = nearestCentroids(cp, cent, assignments, idCol)
+      val mb = nearestCentroids(bp, cent, assignments, idCol)
+      return mb.select(col("cent_id"), col(idCol).as("batch_id"))
+        .join(mc.select(col("cent_id"), col(idCol).as("corpus_id")),
+          Seq("cent_id"))
+        .groupBy(col("batch_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("__shared"))
+        .filter(col("__shared") >= minSharedCells)
+        .join(bp.select(col(idCol).as("batch_id"), col("v").as("va"),
+          col("n2").as("na2")), Seq("batch_id"))
+        .join(cp.select(col(idCol).as("corpus_id"), col("v").as("vb"),
+          col("n2").as("nb2")), Seq("corpus_id"))
+        .select(col("batch_id"), col("corpus_id"),
+          cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2"))
+            .as("cosine"))
+        .filter(thresholdPass(col("cosine"), threshold))
+    }
     def grouped(p: DataFrame) = p.groupBy(col("v"), col("n2"))
       .agg(min(col(idCol)).as("rep_id"),
         sort_array(collect_list(col(idCol))).as("ids"))
