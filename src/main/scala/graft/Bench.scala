@@ -389,11 +389,21 @@ object Bench {
     // extra measurement, never a hidden result. The gate decision and
     // both boards' summaries are disclosed in BENCH_DETAIL
     // (`board_retry`).
+    //
+    // Default retries = 2 (r19): contention spanning BOTH measurement
+    // passes is the one weather shape a single retry can only half
+    // absorb — the r18 closing boards include a 69.8 s / 1.308×
+    // artifact where both passes ran inflated (10 rescues, uniform
+    // 25–35% on unchanged rows). A second retry engages ONLY when the
+    // first retry board trips the gate AGAIN (the loop re-evaluates
+    // each new board), so the no-trigger path still measures once and
+    // the one-trigger path twice; worst case is 3× bench wall, paid
+    // only on hosts that stayed noisy through two full boards.
     val aggGate = sys.env.getOrElse("SPARK_GRAFT_AGG_GATE", "1.10").toDouble
     val canaryName = sys.env.getOrElse("SPARK_GRAFT_CANARY", "j4_cartesian")
     val canaryGate = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE", "0.20").toDouble
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "6.0").toDouble
-    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BOARD_RETRIES", "1").toInt
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BOARD_RETRIES", "2").toInt
     def noiseTrigger(b: Board): Option[String] = {
       val agg = if (only.isEmpty) b.aggRatio else None
       // medianOf, not a raw repTimes read: runPass records the elapsed

@@ -95,6 +95,35 @@ object SparkEntry {
       keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
     df.coalesce(1).sortWithinPartitions(keys: _*)
 
+  /** FUSED probe for the registered minhash pair rows (r19): the
+    * duplicate-mass gate decision and the dense-id sort bounds in ONE
+    * driver job (they previously ran as two — measured ~+0.3 s of
+    * pure job-round floor at sf0.1). Returns the ENDPOINT gate that
+    * pins the already-decided route (< 0 forces collapse, >= 1
+    * direct — the operator then skips its own probe) and the id
+    * bounds for [[graft.core.StaticRange.denseIdSortKnownBounds]].
+    * The fraction is [[graft.operators.Dedup.duplicateMassFraction]]'s
+    * definition verbatim (non-null texts, HLL++ over xxhash64), so
+    * the route matches what the operator's own probe would choose.
+    */
+  private def gateAndIdBounds(docs: DataFrame, textCol: String,
+      idCol: String): (Double, Option[(Long, Long)]) = {
+    val r = docs.agg(
+      count(col(textCol)).as("n"),
+      approx_count_distinct(
+        when(col(textCol).isNotNull, xxhash64(col(textCol)))).as("d"),
+      min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi")).head()
+    val n = r.getLong(0)
+    val frac =
+      if (n == 0L) 0.0 else math.max(0.0, (n - r.getLong(1)).toDouble / n)
+    val gate = if (frac > Dedup.DefaultDupGate) -1.0 else 1.0
+    val bounds =
+      if (r.isNullAt(2) || r.getLong(2) < 0) None
+      else Some((r.getLong(2), r.getLong(3)))
+    (gate, bounds)
+  }
+
   /** Run a registration under the AQE-off child session — for the ANN
     * family, whose plans are all explicit broadcasts + bounded top-k
     * exchanges with nothing for AQE to re-optimize (see
@@ -559,11 +588,16 @@ object SparkEntry {
     // 100x), so the output sort rides the probed-bounds pass: a
     // sampling orderBy would re-execute the whole expansion once just
     // to pick range splits (measured 24.6 vs 5.8 s unsorted)
+    // r19: the duplicate-mass gate probe and the sort-bounds probe
+    // previously ran as two separate driver jobs per call; one fused
+    // aggregate answers both, and endpoint gates/known bounds skip
+    // the operators' own probes
     "minhash_lsh_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      graft.core.StaticRange.denseIdSort(
-        Dedup.minHashCandidatesCollapsed(docs),
-        docs.select(col("doc_id").as("id_a")), "id_a",
+      val (gate, bounds) = gateAndIdBounds(docs, "text", "doc_id")
+      graft.core.StaticRange.denseIdSortKnownBounds(
+        Dedup.minHashCandidatesCollapsed(docs, dupGate = gate),
+        bounds, "id_a",
         Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
     }),
 
@@ -593,13 +627,20 @@ object SparkEntry {
     // batch ∪ corpus by content before the band probe — the direct
     // probe is |new-in-bucket| × bucket size, so batch × corpus copies
     // of one text multiply (100× corpus: 22 s direct)
+    // r19: gate + bounds from ONE fused probe job (the text-side gate
+    // has no operator-internal job to ride, unlike the embedding
+    // gate's centroid-count fusion — so the registered row fuses it
+    // with the sort-bounds probe instead; batch ∪ corpus here IS the
+    // docs table, so the fraction is the same one the operator's own
+    // probe would compute)
     "minhash_incremental_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      graft.core.StaticRange.denseIdSort(
+      val (gate, bounds) = gateAndIdBounds(docs, "text", "doc_id")
+      graft.core.StaticRange.denseIdSortKnownBounds(
         Dedup.incrementalMinHashCandidatesCollapsed(
           docs.filter(col("doc_id") % 5 === 0),
-          docs.filter(col("doc_id") % 5 =!= 0)),
-        docs.select(col("doc_id").as("id_a")), "id_a",
+          docs.filter(col("doc_id") % 5 =!= 0), dupGate = gate),
+        bounds, "id_a",
         Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
     }),
 

@@ -72,8 +72,21 @@ object StaticRange {
           case r => Some((r.getLong(0), r.getLong(1)))
         }
       else None
+    denseIdSortKnownBounds(df, bounds, idCol, sortCols, partsMultiplier)
+  }
+
+  /** [[denseIdSort]] with CALLER-provided id bounds — for callers
+    * that already know the domain, or probed it inside a FUSED
+    * aggregate (the registered minhash pair rows fold the duplicate-
+    * mass gate probe and the sort bounds into one driver job, r19).
+    * `None`, a negative min, or an inverted range falls back to the
+    * sampling `orderBy`.
+    */
+  def denseIdSortKnownBounds(df: DataFrame, bounds: Option[(Long, Long)],
+      idCol: String, sortCols: Seq[Column],
+      partsMultiplier: Int = 1): DataFrame =
     bounds match {
-      case Some((_, maxId)) =>
+      case Some((minId, maxId)) if minId >= 0 && maxId >= minId =>
         val parts = math.max(1,
           df.sparkSession.sparkContext.defaultParallelism) *
           math.max(1, partsMultiplier)
@@ -83,9 +96,8 @@ object StaticRange {
         sortByKnownDomain(df,
           (col(idCol).cast("long") / lit(math.max(1L, width))).cast("int"),
           parts, sortCols)
-      case None => df.orderBy(sortCols: _*)
+      case _ => df.orderBy(sortCols: _*)
     }
-  }
 
   /** `df` totally ordered by `sortCols`, where `pid` must be an
     * integer column equal to the rank of the row's leading sort key

@@ -499,6 +499,93 @@ object Dedup {
         .withColumnRenamed("col", "band_key"))
   }
 
+  /** The corpus' duplicate-mass fraction persisted as a tiny store
+    * entry — the serving-route stamp behind the prebuilt v2 collapse:
+    * computed ONCE at build time ([[duplicateMassFraction]], the same
+    * HLL probe the inline gate runs), then read back from column
+    * METADATA with zero jobs per serving call. Keyed by
+    * (textCol, idCol, variant, path) only — the fraction is
+    * independent of the banding knobs, so every knob combination over
+    * one corpus frame shares the entry.
+    */
+  private[graft] def storedDupFraction(corpus: DataFrame,
+      corpusPath: String, textCol: String, idCol: String,
+      variant: String, force: Boolean): Double = {
+    require(variant.nonEmpty,
+      "variant must name the corpus frame (store entries fingerprint the file only)")
+    val name = s"mhroute-$textCol-$idCol-$variant-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    val df = graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force) {
+      val f = duplicateMassFraction(corpus, textCol)
+      graft.core.IndexMeta.tag(
+        corpus.sparkSession.range(1)
+          .select(lit(f).as("dup_fraction")),
+        "dup_fraction", "kind" -> "mhroute", "dupFraction" -> f)
+    }
+    graft.core.IndexMeta.get(df, "dup_fraction")
+      .flatMap(_.get("dupFraction")).map(_.toDouble)
+      .getOrElse(df.head().getDouble(0))
+  }
+
+  /** Exact-duplicate membership of the corpus persisted through the
+    * store: one row per DISTINCT shingle-able content —
+    * (fp = md5(text), rep_id = group min id, ids = sorted member
+    * ids). The contraction half of the prebuilt v2 collapsed index:
+    * group structure is a pure function of the corpus, so the stored
+    * rows are byte-identical to an inline recompute. Shingle-less and
+    * null-text docs never sign or pair in any form and are excluded
+    * symmetrically (hence the `n` in the key).
+    */
+  def storedMinHashMembers(corpus: DataFrame, corpusPath: String,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      variant: String = "", force: Boolean = false): DataFrame = {
+    require(variant.nonEmpty,
+      "variant must name the corpus frame (store entries fingerprint the file only)")
+    val name = s"mhmembers-n$n-$textCol-$idCol-$variant-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      corpus
+        .filter(coalesce(
+          size(TextFunctions.wordShingles(col(textCol), n)) > 0, lit(false)))
+        .select(col(idCol), md5(col(textCol)).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col(idCol)).as("rep_id"),
+          sort_array(collect_list(col(idCol))).as("ids")))
+  }
+
+  /** The banded signature index over DISTINCT corpus content only —
+    * the v2 collapsed twin of [[storedMinHashIndex]]: same
+    * (idCol, sig, band_idx, band_key) schema, but one signature per
+    * [[storedMinHashMembers]] representative instead of one per copy.
+    * On a copy-heavy corpus this is both smaller to store and — the
+    * point — immune to the copies² band-bucket blowup at probe time.
+    */
+  def storedMinHashRepIndex(corpus: DataFrame, corpusPath: String,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, variant: String = "",
+      force: Boolean = false): DataFrame = {
+    require(variant.nonEmpty,
+      "variant must name the corpus frame (store entries fingerprint the file only)")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val members = storedMinHashMembers(corpus, corpusPath, textCol, idCol,
+      n, variant, force)
+    val name = s"mhrepidx-n$n-h$numHashes-b$bands-$textCol-$idCol-$variant-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      minHashSignatures(
+        corpus.join(members.select(col("rep_id").as(idCol)),
+          Seq(idCol), "left_semi"),
+        textCol, idCol, n, numHashes)
+        .select(col(idCol), col("sig"),
+          posexplode(lshBandKeys(col("sig"), bands, r)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key"))
+  }
+
   /** [[incrementalMinHashCandidates]] served from the stored band
     * index — the steady-state ingest gate: the corpus tokenize +
     * signature + banding pass runs ZERO times per batch; per call the
@@ -507,13 +594,35 @@ object Dedup {
     * joins signatures from the batch frame and the index bytes.
     * Output-identical to the inline form at the same knobs
     * (suite-pinned); same disjoint-id contract as the inline form.
+    *
+    * ROUTING (r19): the raw band index carries the copy-quadratic
+    * probe the inline form escaped in r18 — |new-in-bucket| × bucket
+    * size multiplies batch copies × corpus copies per duplicated
+    * text. `dupGate` routes a copy-heavy corpus to the COLLAPSED v2
+    * stored index ([[storedMinHashRepIndex]] + [[storedMinHashMembers]]
+    * via [[incrementalMinHashCandidatesPrebuiltCollapsed]]); the
+    * fraction is stamped once at build time ([[storedDupFraction]])
+    * and read back with zero jobs, so duplicate-light serving keeps
+    * exactly the direct path and its floor. Endpoints skip the route
+    * entry: `dupGate < 0` forces the collapsed index, `>= 1` the raw
+    * one (how the suites pin both serving paths output-identical).
     */
   def incrementalMinHashCandidatesPrebuilt(corpus: DataFrame,
       corpusPath: String, newDocs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 16,
       bands: Int = 4, variant: String = "",
-      force: Boolean = false): DataFrame = {
+      force: Boolean = false,
+      dupGate: Double = DefaultDupGate): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val collapsed =
+      if (dupGate < 0) true
+      else if (dupGate >= 1) false
+      else storedDupFraction(corpus, corpusPath, textCol, idCol,
+        variant, force) > dupGate
+    if (collapsed)
+      return incrementalMinHashCandidatesPrebuiltCollapsed(corpus,
+        corpusPath, newDocs, textCol, idCol, n, numHashes, bands,
+        variant, force)
     val r = numHashes / bands
     val index = storedMinHashIndex(corpus, corpusPath, textCol, idCol,
       n, numHashes, bands, variant, force)
@@ -544,6 +653,121 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), sigAgreement(numHashes).as("est_jaccard"))
+  }
+
+  /** The collapsed-index serving path behind
+    * [[incrementalMinHashCandidatesPrebuilt]] — the prebuilt member of
+    * the r17–r19 exact-dup collapse family. Purity argument as
+    * [[incrementalMinHashCandidatesCollapsed]]: the signature is a
+    * pure function of the text, so a stored REP band row stands for
+    * every copy of its content, batch content is contracted the same
+    * way per call (batch-bounded), batch groups matching stored
+    * corpus groups by `fp` merge into one mixed group, and the
+    * expansion restores exactly the pairs TOUCHING the batch —
+    * within-group (x.id < y.id, x or y new, estimate 1.0) and
+    * cross-group (member pairs of matched rep pairs, x or y new, the
+    * reps' estimate). The rep id of a mixed group is the STORED
+    * corpus rep (so its bands and signature come from index bytes,
+    * never recomputed); rep ids are only join keys between the probe
+    * and the expansion, so the choice cannot change the expanded
+    * output. Only batch-ONLY content is signed per call.
+    */
+  private def incrementalMinHashCandidatesPrebuiltCollapsed(
+      corpus: DataFrame, corpusPath: String, newDocs: DataFrame,
+      textCol: String, idCol: String, n: Int, numHashes: Int,
+      bands: Int, variant: String, force: Boolean): DataFrame = {
+    val r = numHashes / bands
+    val members = storedMinHashMembers(corpus, corpusPath, textCol, idCol,
+      n, variant, force)
+    val repIdx = storedMinHashRepIndex(corpus, corpusPath, textCol, idCol,
+      n, numHashes, bands, variant, force)
+    // batch contraction by content — batch-bounded, one keyed pass
+    val bg = newDocs
+      .filter(coalesce(
+        size(TextFunctions.wordShingles(col(textCol), n)) > 0, lit(false)))
+      .select(col(idCol), md5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("b_rep"),
+        sort_array(collect_list(col(idCol))).as("b_ids"))
+    // merge with the stored corpus groups on content; typed empty
+    // arrays (cast from the stored/batch element type) absorb the
+    // full-outer nulls — concat(null, x) is null, not x
+    val emptyCIds = lit(Array.empty[Int]).cast(members.schema("ids").dataType)
+    val emptyBIds = lit(Array.empty[Int]).cast(
+      org.apache.spark.sql.types.ArrayType(newDocs.schema(idCol).dataType))
+    val merged = bg
+      .join(members.select(col("fp"), col("rep_id").as("c_rep"),
+        col("ids").as("c_ids")), Seq("fp"), "full_outer")
+      .select(
+        coalesce(col("c_rep"), col("b_rep")).as("rep_id"),
+        col("c_rep"), col("b_rep"),
+        sort_array(concat(
+          transform(coalesce(col("c_ids"), emptyCIds),
+            x => struct(x.as("id"), lit(false).as("nw"))),
+          transform(coalesce(col("b_ids"), emptyBIds),
+            x => struct(x.as("id"), lit(true).as("nw"))))).as("members"),
+        col("b_rep").isNotNull.as("has_new"))
+      .transform(graft.core.OpCaches.persistTracked)
+    // probe sides: mixed groups ride their STORED rep bands; batch-only
+    // groups sign their reps (batch-bounded); corpus-only groups play
+    // the corpus side from index bytes
+    val matchedNewReps = merged
+      .filter(col("b_rep").isNotNull && col("c_rep").isNotNull)
+      .select(col("c_rep").as(idCol))
+    val batchOnlyReps = merged.filter(col("c_rep").isNull)
+      .select(col("b_rep").as(idCol))
+    val corpusOnlyReps = merged.filter(col("b_rep").isNull)
+      .select(col("c_rep").as(idCol))
+    val batchRepSigned = minHashSignatures(
+      newDocs.join(batchOnlyReps, Seq(idCol), "left_semi"),
+      textCol, idCol, n, numHashes)
+      .transform(graft.core.OpCaches.persistTracked)
+    val bandCols = Seq(col(idCol), col("band_idx"), col("band_key"))
+    val newBanded = repIdx.join(matchedNewReps, Seq(idCol), "left_semi")
+      .select(bandCols: _*)
+      .union(batchRepSigned
+        .select(col(idCol), posexplode(lshBandKeys(col("sig"), bands, r)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+        .select(bandCols: _*))
+    val oldBanded = repIdx.join(corpusOnlyReps, Seq(idCol), "left_semi")
+      .select(bandCols: _*)
+    val repPairs0 = newBanded
+      .select(col("band_idx"), col("band_key"), col(idCol).as("id_x"))
+      .join(newBanded.union(oldBanded)
+        .select(col("band_idx"), col("band_key"), col(idCol).as("id_y")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    // rep signatures: stored (dedup the band-duplicated rows — every
+    // row of a rep carries an identical sig) ∪ batch-only
+    val sigs = repIdx.groupBy(col(idCol)).agg(first(col("sig")).as("sig"))
+      .union(batchRepSigned.select(col(idCol), col("sig")))
+    val repPairs = repPairs0
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), sigAgreement(numHashes).as("est_jaccard"))
+    // expansion — identical shape to the inline collapsed form
+    val within = merged
+      .filter(col("has_new") && size(col("members")) >= 2)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x.id") < col("y.id") && (col("x.nw") || col("y.nw")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    val cross = repPairs
+      .join(merged.select(col("rep_id").as("id_a"),
+        col("members").as("ms_a")), Seq("id_a"))
+      .join(merged.select(col("rep_id").as("id_b"),
+        col("members").as("ms_b")), Seq("id_b"))
+      .select(explode(col("ms_a")).as("x"), col("ms_b"), col("est_jaccard"))
+      .select(col("x"), explode(col("ms_b")).as("y"), col("est_jaccard"))
+      .filter(col("x.nw") || col("y.nw"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"), col("est_jaccard"))
+    within.unionByName(cross)
   }
 
   def minHashCandidates(docs: DataFrame, textCol: String = "text",

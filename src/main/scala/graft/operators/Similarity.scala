@@ -190,7 +190,13 @@ object Similarity {
     */
   private[graft] def centroidSample(cp: DataFrame, numCentroids: Int,
       idCol: String): DataFrame =
-    cp.orderBy(col(idCol)).limit(numCentroids)
+    // null prepared vectors (a null embedding survives prepared with
+    // v null) can never act as centroids: one reaching the sample
+    // NPE'd the driver in collectCentroidRows — at any corpus size.
+    // The filter is part of the sample's definition, applied
+    // identically by the stored twin ([[storedPreparedSample]]), so
+    // every route sees the same cell structure.
+    cp.filter(col("v").isNotNull).orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
 
   /** Centroid tables at or below this row count compile into the
@@ -585,12 +591,16 @@ object Similarity {
       corpusPath: String, n: Int,
       embCol: String = "embedding", idCol: String = "vec_id",
       variant: String = "", force: Boolean = false): DataFrame = {
+    // v2: null prepared vectors excluded, matching centroidSample's
+    // definition (the version bump orphans pre-filter v1 entries
+    // rather than serving a sample the inline form can't produce)
     val name = s"sample-n$n-$embCol-$idCol" +
-      (if (variant.isEmpty) "" else s"-$variant") + "-v1-" +
+      (if (variant.isEmpty) "" else s"-$variant") + "-v2-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
-      prepared(corpus, embCol, idCol).orderBy(col(idCol)).limit(n))
+      prepared(corpus, embCol, idCol).filter(col("v").isNotNull)
+        .orderBy(col(idCol)).limit(n))
   }
 
   /** The IVF query phase against an already-built index frame and an
@@ -784,9 +794,13 @@ object Similarity {
           .filter(thresholdPass(col("cosine"), threshold))
           .select(col("x").as("id_a"), col("y").as("id_b"), col("cosine"))
       else
-        groups.sparkSession.emptyDataFrame
-          .select(lit(0L).as("id_a"), lit(0L).as("id_b"),
-            lit(0.0).as("cosine")).limit(0)
+        // typed empty frame derived from `groups` so id_a/id_b carry
+        // idCol's actual type — literal 0L placeholders widened a
+        // non-long idCol to bigint through the unionByName below,
+        // diverging the collapsed form's schema from the direct one
+        groups.limit(0)
+          .select(col("rep_id").as("id_a"), col("rep_id").as("id_b"),
+            lit(0.0).as("cosine"))
     // cross-group: every member pair of a matched rep pair, same
     // cosine; least/greatest restores (id_a < id_b)
     val cross = repPairs
@@ -821,12 +835,22 @@ object Similarity {
       if (dupGate < 0) true
       else if (dupGate >= 1) false
       else {
-        val r = cp.agg(count(col("v")).as("n"),
+        // n = ALL rows (count(lit(1))), not non-null `v`: autoCentroids
+        // must see the same corpus count on every route — the direct
+        // forms derive it from cp.count(), so a null-embedding row
+        // (quantize(null) survives prepared with v null) counting
+        // differently here would shift the centroid count and break
+        // the bit-identical cross-route contract. The gate FRACTION
+        // keys on non-null `v` (nv), matching the text-side
+        // duplicateMassFraction's isNotNull filter.
+        val r = cp.agg(count(lit(1)).as("n"),
+          count(col("v")).as("nv"),
           approx_count_distinct(
             when(col("v").isNotNull, xxhash64(col("v")))).as("d"))
           .head()
         n = r.getLong(0)
-        n > 0 && math.max(0.0, (n - r.getLong(1)).toDouble / n) > dupGate
+        val nv = r.getLong(1)
+        nv > 0 && math.max(0.0, (nv - r.getLong(2)).toDouble / nv) > dupGate
       }
     val cent = centroids.getOrElse {
       val c = if (numCentroids > 0) numCentroids
@@ -1050,15 +1074,18 @@ object Similarity {
       else {
         val u = cp.select(col("v"), lit(false).as("__b"))
           .union(bp.select(col("v"), lit(true).as("__b")))
+        // nc counts ALL corpus rows (not non-null v) so autoCentroids
+        // sees exactly what cp.count() would on the direct/endpoint
+        // routes — see gateAndCentroids; fraction keys on non-null v
         val r = u.agg(
-          count(when(!col("__b"), col("v"))).as("nc"),
-          count(col("v")).as("n"),
+          count(when(!col("__b"), lit(1))).as("nc"),
+          count(col("v")).as("nv"),
           approx_count_distinct(
             when(col("v").isNotNull, xxhash64(col("v")))).as("d"))
           .head()
         nc = r.getLong(0)
-        val n = r.getLong(1)
-        n > 0 && math.max(0.0, (n - r.getLong(2)).toDouble / n) > dupGate
+        val nv = r.getLong(1)
+        nv > 0 && math.max(0.0, (nv - r.getLong(2)).toDouble / nv) > dupGate
       }
     // the direct form's centroid resolution, from the FULL corpus
     val c = if (numCentroids > 0) numCentroids
@@ -1146,11 +1173,12 @@ object Similarity {
     */
   private def multiStampResolvedC(index: DataFrame, what: String,
       numCentroids: Int, assignments: Int,
-      embCol: String, idCol: String): Int = {
+      embCol: String, idCol: String,
+      kind: String = "ivfmulti"): Int = {
     val stamp = graft.core.IndexMeta.get(index, "cent_id").getOrElse(
       throw new IllegalStateException(
         s"$what: stored index carries no build stamp"))
-    for ((k, v) <- Seq("kind" -> "ivfmulti",
+    for ((k, v) <- Seq("kind" -> kind,
         "numCentroidsArg" -> numCentroids.toString,
         "assignments" -> assignments.toString,
         "embCol" -> embCol, "idCol" -> idCol))
@@ -1183,6 +1211,111 @@ object Similarity {
       ivfMultiIndex(corpus, numCentroids, assignments, embCol, idCol))
   }
 
+  /** The corpus' duplicate-VECTOR-mass fraction persisted as a tiny
+    * store entry — the embedding twin of
+    * [[graft.operators.Dedup.storedDupFraction]]: computed once at
+    * build time over the prepared collapse key `v` (the same HLL
+    * probe [[gateAndCentroids]] fuses inline), read back from column
+    * metadata with zero jobs per serving call. Keyed by
+    * (embCol, idCol, variant, path) — independent of the IVF knobs.
+    */
+  private[graft] def storedVecDupFraction(corpus: DataFrame,
+      corpusPath: String, embCol: String, idCol: String,
+      variant: String, force: Boolean): Double = {
+    require(variant.nonEmpty,
+      "variant must name the corpus frame (store entries fingerprint the file only)")
+    val name = s"ivfroute-$embCol-$idCol-$variant-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    val df = graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force) {
+      val r = prepared(corpus, embCol, idCol)
+        .agg(count(col("v")).as("nv"),
+          approx_count_distinct(
+            when(col("v").isNotNull, xxhash64(col("v")))).as("d"))
+        .head()
+      val nv = r.getLong(0)
+      val f = if (nv == 0L) 0.0
+        else math.max(0.0, (nv - r.getLong(1)).toDouble / nv)
+      graft.core.IndexMeta.tag(
+        corpus.sparkSession.range(1)
+          .select(lit(f).as("dup_fraction")),
+        "dup_fraction", "kind" -> "ivfroute", "dupFraction" -> f)
+    }
+    graft.core.IndexMeta.get(df, "dup_fraction")
+      .flatMap(_.get("dupFraction")).map(_.toDouble)
+      .getOrElse(df.head().getDouble(0))
+  }
+
+  /** Exact-duplicate vector membership of the corpus persisted
+    * through the store: one row per DISTINCT prepared vector —
+    * (v, n2, rep_id = group min id, ids = sorted member ids). The
+    * contraction half of the prebuilt v2 collapsed serving index; a
+    * pure function of the corpus, byte-identical to an inline
+    * recompute. Null-embedding rows group under the null key and
+    * expand like any other group — their cosines are NaN and never
+    * pair, in every form.
+    */
+  def storedIvfGroups(corpus: DataFrame, corpusPath: String,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      variant: String = "", force: Boolean = false): DataFrame = {
+    require(variant.nonEmpty,
+      "variant must name the corpus frame (store entries fingerprint the file only)")
+    val name = s"ivfgroups-$embCol-$idCol-$variant-v1-" +
+      graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
+      prepared(corpus, embCol, idCol)
+        .groupBy(col("v"), col("n2"))
+        .agg(min(col(idCol)).as("rep_id"),
+          sort_array(collect_list(col(idCol))).as("ids")))
+  }
+
+  /** The IVF multi-assign index over DISTINCT prepared vectors only —
+    * the v2 collapsed twin of [[ivfMultiIndex]]: same
+    * (idCol, v, n2, cent_id) schema, one representative per
+    * [[storedIvfGroups]] group instead of one row-set per copy. The
+    * centroid COUNT is resolved from the FULL corpus size (recovered
+    * as sum of group sizes — no corpus scan) and the SAMPLE from the
+    * full corpus's stored low-id sample, so the cell structure is
+    * bit-identical to the raw index's; only the assignment pass
+    * shrinks to distinct vectors. Stamped `kind=ivfrepmulti` with the
+    * resolved C like the raw index.
+    */
+  def storedIvfRepMultiIndex(corpus: DataFrame, corpusPath: String,
+      numCentroids: Int = 0, assignments: Int = 8,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      variant: String = "", force: Boolean = false): DataFrame = {
+    require(variant.nonEmpty,
+      "variant must name the corpus frame (store entries fingerprint the file only)")
+    val name = s"ivfrepmulti-c$numCentroids-a$assignments-$embCol-$idCol" +
+      s"-$variant-v1-" + graft.core.IndexStore.md5hex(corpusPath)
+    graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
+      graft.core.IndexStore.sourceFingerprint(corpusPath), force) {
+      val groups = storedIvfGroups(corpus, corpusPath, embCol, idCol,
+        variant, force)
+      val c =
+        if (numCentroids > 0) numCentroids
+        else {
+          // full corpus size as sum of group sizes — the autoCentroids
+          // input the raw index derives from cp.count(), recovered
+          // from the membership entry without a corpus scan
+          val r = groups.agg(sum(size(col("ids")))).head()
+          autoCentroids(if (r.isNullAt(0)) 0L else r.getLong(0))
+        }
+      val cent = storedPreparedSample(corpus, corpusPath, c, embCol,
+        idCol, variant, force)
+        .select(col(idCol).as("cent_id"), col("v").as("cv"),
+          col("n2").as("cn2"))
+      val repPrepared = groups
+        .select(col("rep_id").as(idCol), col("v"), col("n2"))
+      graft.core.IndexMeta.tag(
+        nearestCentroids(repPrepared, cent, assignments, idCol), "cent_id",
+        "kind" -> "ivfrepmulti", "numCentroidsArg" -> numCentroids,
+        "numCentroidsResolved" -> c, "assignments" -> assignments,
+        "embCol" -> embCol, "idCol" -> idCol)
+    }
+  }
+
   /** [[ivfNearDupBatch]] served from the stored multi-assign index —
     * the steady-state ingest gate: the corpus's assignment pass runs
     * ZERO times per batch; each call reads index bytes plus the
@@ -1196,12 +1329,35 @@ object Similarity {
     * (v, n2)), deduplicated AFTER the candidate semi-join so only
     * candidate ids — batch-bounded — pass through that aggregate,
     * never the whole index.
+    *
+    * ROUTING (r19): the raw index carries the copy-quadratic cell
+    * probe the inline form escaped in r18 — batch copies × corpus
+    * copies join rows per duplicated vector per shared cell, the
+    * exact shape that ran the emb100 inline family into
+    * did-not-finish. `dupGate` routes a copy-heavy corpus to the
+    * collapsed v2 serving index ([[storedIvfRepMultiIndex]] +
+    * [[storedIvfGroups]]); the corpus' duplicate-vector fraction is
+    * stamped once at build time ([[storedVecDupFraction]]) and read
+    * back with zero jobs, so duplicate-light serving keeps exactly
+    * the direct path and its floor. Endpoints skip the route entry:
+    * `dupGate < 0` forces the collapsed index, `>= 1` the raw one
+    * (how the suites pin both serving paths output-identical).
     */
   def ivfNearDupBatchPrebuilt(corpus: DataFrame, corpusPath: String,
       batch: DataFrame, threshold: Double,
       numCentroids: Int = 0, assignments: Int = 8, minSharedCells: Int = 2,
       embCol: String = "embedding", idCol: String = "vec_id",
-      variant: String = "", force: Boolean = false): DataFrame = {
+      variant: String = "", force: Boolean = false,
+      dupGate: Double = graft.operators.Dedup.DefaultDupGate): DataFrame = {
+    val collapsed =
+      if (dupGate < 0) true
+      else if (dupGate >= 1) false
+      else storedVecDupFraction(corpus, corpusPath, embCol, idCol,
+        variant, force) > dupGate
+    if (collapsed)
+      return ivfNearDupBatchPrebuiltCollapsed(corpus, corpusPath, batch,
+        threshold, numCentroids, assignments, minSharedCells, embCol,
+        idCol, variant, force)
     val index = storedIvfMultiIndex(corpus, corpusPath, numCentroids,
       assignments, embCol, idCol, variant, force)
     val resolvedC = multiStampResolvedC(index, "ivfNearDupBatchPrebuilt",
@@ -1237,6 +1393,81 @@ object Similarity {
       .select(col("batch_id"), col("corpus_id"),
         cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2")).as("cosine"))
       .filter(thresholdPass(col("cosine"), threshold))
+  }
+
+  /** The collapsed-index serving path behind
+    * [[ivfNearDupBatchPrebuilt]] — [[ivfNearDupBatchCollapsed]]'s
+    * collapsed branch with the corpus side read from index bytes:
+    * batch contracted on the prepared key per call (batch-bounded),
+    * batch reps assigned against the STORED full-corpus centroid
+    * sample, candidates from batch reps × stored rep index rows,
+    * exact-cosine verify between batch rep vectors and rep vectors
+    * recovered from index rows, then the directed member cross
+    * product expansion via the stored membership — once per
+    * (batch group, corpus group), no orientation step. Identical
+    * (v, n2) vectors behave identically to their rep at every stage
+    * (assignment, shared-cell vote, cosine), so the expanded output
+    * is the direct serving form's bit-for-bit (suite-pinned).
+    */
+  private def ivfNearDupBatchPrebuiltCollapsed(corpus: DataFrame,
+      corpusPath: String, batch: DataFrame, threshold: Double,
+      numCentroids: Int, assignments: Int, minSharedCells: Int,
+      embCol: String, idCol: String, variant: String,
+      force: Boolean): DataFrame = {
+    val groups = storedIvfGroups(corpus, corpusPath, embCol, idCol,
+      variant, force)
+    val repIdx = storedIvfRepMultiIndex(corpus, corpusPath, numCentroids,
+      assignments, embCol, idCol, variant, force)
+    val resolvedC = multiStampResolvedC(repIdx,
+      "ivfNearDupBatchPrebuilt(collapsed)",
+      numCentroids, assignments, embCol, idCol, kind = "ivfrepmulti")
+    val cent = storedPreparedSample(corpus, corpusPath, resolvedC,
+        embCol, idCol, variant, force)
+      .select(col(idCol).as("cent_id"), col("v").as("cv"),
+        col("n2").as("cn2"))
+    val bp = prepared(batch, embCol, idCol)
+      .transform(graft.core.OpCaches.persistTracked)
+    val gb = bp.groupBy(col("v"), col("n2"))
+      .agg(min(col(idCol)).as("rep_id"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val bReps = bp.join(gb.select(col("rep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val mb = nearestCentroids(bReps, cent, assignments, idCol)
+    val cand = mb.select(col("cent_id"), col(idCol).as("batch_id"))
+      .join(repIdx.select(col("cent_id"), col(idCol).as("corpus_id")),
+        Seq("cent_id"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedCells)
+      .select(col("batch_id"), col("corpus_id"))
+      .transform(graft.core.OpCaches.persistTracked)
+    val corpusVecs = repIdx
+      .select(col(idCol).as("corpus_id"), col("v").as("vb"),
+        col("n2").as("nb2"))
+      .join(cand.select(col("corpus_id")).distinct(),
+        Seq("corpus_id"), "left_semi")
+      .groupBy(col("corpus_id"))
+      // every assignment row of a rep carries identical (v, n2) —
+      // first() is content-deterministic here
+      .agg(first(col("vb")).as("vb"), first(col("nb2")).as("nb2"))
+    val repPairs = cand
+      .join(bp.select(col(idCol).as("batch_id"), col("v").as("va"),
+        col("n2").as("na2")), Seq("batch_id"))
+      .join(corpusVecs, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        cosineQ(dotQ(col("va"), col("vb")), col("na2"), col("nb2"))
+          .as("cosine"))
+      .filter(thresholdPass(col("cosine"), threshold))
+    repPairs
+      .join(gb.select(col("rep_id").as("batch_id"), col("ids").as("ids_b")),
+        Seq("batch_id"))
+      .join(groups.select(col("rep_id").as("corpus_id"),
+        col("ids").as("ids_c")), Seq("corpus_id"))
+      .select(explode(col("ids_b")).as("batch_id"), col("ids_c"),
+        col("cosine"))
+      .select(col("batch_id"), explode(col("ids_c")).as("corpus_id"),
+        col("cosine"))
   }
 
   /** Corpus-wide approximate k-NN SELF-join: every vector's k

@@ -151,6 +151,68 @@ class IndexStoreSuite extends SparkSuite {
     graft.core.OpCaches.release()
   }
 
+  test("prebuilt v2 collapsed embedding index serves identically to the raw index and inline forms") {
+    import graft.operators.Similarity
+    // the r19 serving-side collapse: a copy-heavy corpus's raw
+    // multi-assign index reproduces the batch-copies × corpus-copies
+    // cell probe the inline form escaped in r18; the collapsed v2
+    // index assigns DISTINCT prepared vectors only and expands matched
+    // rep pairs through the stored membership
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfv2").toFile
+    val src = new java.io.File(tmp, "vecs.parquet").getPath
+    val rnd = new scala.util.Random(23)
+    // 12 distinct vectors, 5 copies each (duplicate mass 0.8), ids
+    // interleaved so every group straddles the batch/corpus split;
+    // group 7 is the zero vector (cosine NaN — must never pair)
+    val base = Array.tabulate(12)(g =>
+      if (g == 7) Seq.fill(8)(0f) else Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    Seq.tabulate(60)(i => (i.toLong, base(i % 12)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(src)
+    val e = spark.read.parquet(src)
+    val corpus = e.filter($"vec_id" >= 24)
+    val batch = e.filter($"vec_id" < 24)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("batch_id", "corpus_id").collect().map(_.toSeq).toSeq
+    val inline = rows(Similarity.ivfNearDupBatch(corpus, batch,
+      threshold = 0.3, assignments = 4, minSharedCells = 2))
+    graft.core.OpCaches.release()
+    def served(gate: Double, force: Boolean = false) =
+      Similarity.ivfNearDupBatchPrebuilt(corpus, src, batch,
+        threshold = 0.3, assignments = 4, minSharedCells = 2,
+        variant = "ge24t", force = force, dupGate = gate)
+    val direct = rows(served(gate = 1.0, force = true))
+    graft.core.OpCaches.release()
+    val collapsed = rows(served(gate = -1.0))
+    graft.core.OpCaches.release()
+    assert(direct == inline && inline.nonEmpty)
+    assert(collapsed == inline,
+      s"collapsed ${collapsed.size} != inline ${inline.size}")
+    // zero vectors never pair through any route
+    val zeroIds = (0 until 60 by 12).map(i => (i + 7).toLong).toSet
+    assert(!inline.exists(r => zeroIds(r.head.asInstanceOf[Long]) ||
+      zeroIds(r(1).asInstanceOf[Long])))
+    // the default gate reads the stamped duplicate-vector fraction
+    // (0.8 here) and routes the collapsed index — its membership
+    // entry's rep_id shows in the analyzed plan
+    assert(Similarity.storedVecDupFraction(corpus, src, "embedding",
+      "vec_id", "ge24t", force = false) > graft.operators.Dedup.DefaultDupGate)
+    val routed = served(gate = graft.operators.Dedup.DefaultDupGate)
+    assert(routed.queryExecution.analyzed.toString.contains("rep_id"))
+    assert(rows(routed) == inline)
+    graft.core.OpCaches.release()
+    // empty batch: both routes keep the schema and return nothing
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    for (gate <- Seq(-1.0, 2.0)) {
+      val got = Similarity.ivfNearDupBatchPrebuilt(corpus, src, empty,
+        threshold = 0.3, assignments = 4, minSharedCells = 2,
+        variant = "ge24t", dupGate = gate)
+      assert(got.columns.toSeq == Seq("batch_id", "corpus_id", "cosine"))
+      assert(got.count() == 0)
+    }
+    graft.core.OpCaches.release()
+  }
+
   test("prebuilt knn self-join equals the inline form from index bytes alone") {
     import graft.operators.Similarity
     val dir = sf("sf0.001")

@@ -178,6 +178,69 @@ class SimilaritySuite extends SparkSuite {
     graft.core.OpCaches.release()
   }
 
+  test("collapse routes agree on null-embedding corpora and degenerate configs") {
+    // r19 ADVICE fix #1: the fused gate probe must feed autoCentroids
+    // the same corpus count the direct forms derive from cp.count() —
+    // a null-embedding row (quantize(null) survives prepared with a
+    // null v) counted differently would shift the centroid count,
+    // hence the cell structure and output, between the probed-gate
+    // route and the endpoint/direct routes
+    val a = Seq(1f, 0f, 0f); val b = Seq(0f, 1f, 0f)
+    val docs = Seq[(Long, Seq[Float])](
+      1L -> a, 3L -> a, 5L -> a, 7L -> a,
+      2L -> b, 4L -> b, 6L -> b,
+      10L -> Seq(0.95f, 0.05f, 0f),
+      20L -> null, 21L -> null, 22L -> null)
+      .toDF("vec_id", "embedding")
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // duplicate mass over non-null v is 5/8 > gate: the probed route
+    // collapses; all three must agree (and the probed route's
+    // centroid count must match the direct form's)
+    val probed = Similarity.ivfNearDupPairsCollapsed(docs,
+      threshold = 0.9, assignments = 3)
+    val forcedCollapse = Similarity.ivfNearDupPairsCollapsed(docs,
+      threshold = 0.9, assignments = 3, dupGate = -1.0)
+    val forcedDirect = Similarity.ivfNearDupPairsCollapsed(docs,
+      threshold = 0.9, assignments = 3, dupGate = 2.0)
+    val direct = Similarity.ivfNearDupPairs(docs,
+      threshold = 0.9, assignments = 3)
+    assert(pairSet(direct).nonEmpty)
+    assert(pairSet(probed) == pairSet(direct))
+    assert(pairSet(forcedCollapse) == pairSet(direct))
+    assert(pairSet(forcedDirect) == pairSet(direct))
+    // same for the two-frame batch flavor: corpus count for
+    // autoCentroids is ALL corpus rows on every route
+    val batch = Seq[(Long, Seq[Float])](
+      101L -> a, 110L -> Seq(0.9f, 0.1f, 0f), 120L -> null)
+      .toDF("vec_id", "embedding")
+    def pset(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bDirect = Similarity.ivfNearDupBatch(docs, batch, threshold = 0.9,
+      assignments = 3)
+    assert(pset(bDirect).nonEmpty)
+    for (gate <- Seq(graft.operators.Dedup.DefaultDupGate, -1.0, 2.0))
+      assert(pset(Similarity.ivfNearDupBatchCollapsed(docs, batch,
+        threshold = 0.9, assignments = 3, dupGate = gate)) == pset(bDirect),
+        s"batch collapse route (gate=$gate) diverged from direct")
+    // r19 ADVICE fix #2: minSharedCells > assignments (every
+    // within-group pair ineligible) with an INT id column — the
+    // collapsed form's empty `within` frame must keep the id type
+    // instead of widening id_a/id_b to bigint via literal placeholders
+    val intDocs = Seq[(Int, Seq[Float])](1 -> a, 2 -> a, 3 -> b)
+      .toDF("vec_id", "embedding")
+    val degCollapsed = Similarity.ivfNearDupPairsCollapsed(intDocs,
+      threshold = 0.9, assignments = 1, minSharedCells = 2, dupGate = -1.0)
+    val degDirect = Similarity.ivfNearDupPairs(intDocs,
+      threshold = 0.9, assignments = 1, minSharedCells = 2)
+    // compare (name, type) — nullability flags differ between
+    // equivalent Spark plans and are not part of the contract
+    def shape(df: DataFrame) = df.schema.map(f => (f.name, f.dataType))
+    assert(shape(degCollapsed) == shape(degDirect),
+      s"${degCollapsed.schema} != ${degDirect.schema}")
+    graft.core.OpCaches.release()
+  }
+
   test("ivfNearDupBatchCollapsed equals the direct batch probe") {
     // corpus and batch share duplicated vectors ACROSS the split: the
     // expansion must emit the full member cross product per matched

@@ -299,6 +299,89 @@ class TextDedupSuite extends SparkSuite {
     assert(again == inline)
   }
 
+  test("prebuilt v2 collapsed minhash index serves identically to the raw index and inline forms") {
+    // the r19 serving-side collapse: a copy-heavy CORPUS banded into a
+    // raw stored index reproduces the copies² probe the inline form
+    // escaped in r18, so the prebuilt twin routes to a distinct-content
+    // index (rep bands + membership) behind the same duplicate-mass
+    // gate — stamped once at build, zero probe jobs per serving call
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhv2").toFile
+    val src = new java.io.File(tmp, "corpus.parquet").getPath
+    val a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val b = "pack my box with five dozen liquor jugs before the long trip home now"
+    // adversarial corpus: a dup group also present in the batch (mixed
+    // group), an all-corpus dup group, a shingle-less dup straddling
+    // the split, a null text — duplicate mass well above the gate
+    Seq((1L, a), (3L, a), (5L, a),
+      (2L, b), (4L, b), (6L, b),
+      (20L, "two words"),
+      (30L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+    val corpus = spark.read.parquet(src)
+    val newDocs = Seq(
+      (101L, a), (103L, a),              // batch members of the mixed group
+      (110L, a + " extra"),              // batch near-dup of it
+      (115L, b + " indeed"),             // batch near-dup of the corpus-only group
+      (120L, "two words"),               // shingle-less
+      (130L, null.asInstanceOf[String]),
+      (140L, "completely different content about spark catalyst plan rules"))
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 16).toInt)
+    def served(gate: Double, force: Boolean = false) =
+      Dedup.incrementalMinHashCandidatesPrebuilt(corpus, src, newDocs,
+        variant = "advtest", force = force, dupGate = gate)
+    val inline = Dedup.incrementalMinHashCandidates(newDocs, corpus)
+      .collect().map(key).toSet
+    graft.core.OpCaches.release()
+    val direct = served(gate = 1.0, force = true).collect().map(key).toSet
+    graft.core.OpCaches.release()
+    val collapsed = served(gate = -1.0).collect().map(key).toSet
+    graft.core.OpCaches.release()
+    assert(direct == inline && inline.nonEmpty)
+    assert(collapsed == inline,
+      s"collapsed ${collapsed.size} != inline ${inline.size}")
+    // mixed-group expansion reaches batch-batch AND batch-corpus pairs
+    // at estimate 1.0; corpus-corpus pairs stay suppressed
+    assert(inline.contains((101L, 103L, 16)) && inline.contains((1L, 101L, 16)))
+    assert(!inline.exists(p => p._1 == 1L && p._2 == 3L))
+    // the default gate reads the stamped fraction (this corpus is 5/7
+    // duplicate mass) and routes the collapsed index — visible through
+    // the membership entry's rep_id in the analyzed plan
+    assert(Dedup.storedDupFraction(corpus, src, "text", "doc_id",
+      "advtest", force = false) > Dedup.DefaultDupGate)
+    val routed = served(gate = Dedup.DefaultDupGate)
+    assert(routed.queryExecution.analyzed.toString.contains("rep_id"))
+    assert(routed.collect().map(key).toSet == inline)
+    graft.core.OpCaches.release()
+    // empty batch: both routes return zero rows with the schema intact
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    for (gate <- Seq(-1.0, 2.0)) {
+      val e = Dedup.incrementalMinHashCandidatesPrebuilt(corpus, src,
+        empty, variant = "advtest", dupGate = gate)
+      assert(e.columns.toSeq == Seq("id_a", "id_b", "est_jaccard"))
+      assert(e.count() == 0)
+    }
+    graft.core.OpCaches.release()
+    // a duplicate-light corpus routes DIRECT under the default gate
+    val lightSrc = new java.io.File(tmp, "light.parquet").getPath
+    (0L until 40L).map(i =>
+      (i, s"unique document number $i with plenty of distinct words $i here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(lightSrc)
+    val light = spark.read.parquet(lightSrc)
+    val lightBatch = Seq((100L,
+      "unique document number 7 with plenty of distinct words 7 here"))
+      .toDF("doc_id", "text")
+    val lightServed = Dedup.incrementalMinHashCandidatesPrebuilt(light,
+      lightSrc, lightBatch, variant = "lighttest", force = true)
+    assert(!lightServed.queryExecution.analyzed.toString.contains("rep_id"),
+      "duplicate-light corpus must keep the raw-index serving path")
+    assert(lightServed.collect().map(key).toSet ==
+      Dedup.incrementalMinHashCandidates(lightBatch, light)
+        .collect().map(key).toSet)
+    graft.core.OpCaches.release()
+  }
+
   test("lm perplexity: in-domain text scores lower nll than out-of-domain") {
     import graft.operators.Lm
     val ref = (0L until 20L).map(i =>
