@@ -24,7 +24,12 @@ SF=${SPARK_GRAFT_SF_DIR0:-/root/testdata/sf0.1}
 
 run_subset() { # dir only outfile
   local dir=$1 only=$2 out=$3
+  # retries pinned off: a 100x subset's own tail pushes load_post past
+  # the noise gate's last-resort bar, so the retry would re-measure
+  # every board against self-induced load; the caps below carry 2x
+  # slack precisely so single-board weather cannot false-alarm
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_ONLY="$only" SPARK_GRAFT_REPS=2 \
+    SPARK_GRAFT_BOARD_RETRIES=0 \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric":"total"' \
     | tail -1 > "$out"
 }

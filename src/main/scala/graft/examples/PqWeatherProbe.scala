@@ -38,25 +38,31 @@ object PqWeatherProbe {
     val loadThreads = if (args.length > 2) args(2).toInt else 24
     val spark = ProbeUtil.benchSession("PqWeatherProbe")
 
-    def measure(name: String): (Double, Double) = {
+    def measure(name: String): (Double, Double, Double) = {
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t1 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val t2 = System.nanoTime()
+      // repeat action on the SAME plan: generated code is compiled,
+      // so exec − exec2 ≈ the codegen/JIT compile share of the first
+      // action (operator caches are still live for both actions)
+      df.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
       graft.core.OpCaches.release()
       spark.sharedState.cacheManager.clearCache()
-      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
     }
 
-    def pass(label: String): Map[String, (Double, Double)] = {
+    def pass(label: String): Map[String, (Double, Double, Double)] = {
       val out = Rows.map { name =>
         val samples = (1 to reps).map(_ => measure(name))
         val plan = ProbeUtil.median(samples.map(_._1))
         val exec = ProbeUtil.median(samples.map(_._2))
+        val exec2 = ProbeUtil.median(samples.map(_._3))
         println(f"[$label] $name%-24s plan $plan%6.3f  exec $exec%6.3f  " +
-          f"total ${plan + exec}%6.3f")
-        name -> (plan, exec)
+          f"exec2 $exec2%6.3f  total ${plan + exec}%6.3f")
+        name -> (plan, exec, exec2)
       }.toMap
       out
     }
