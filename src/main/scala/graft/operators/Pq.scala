@@ -72,7 +72,12 @@ object Pq {
   def kmeansCodebook(corpus: DataFrame, m: Int, ksub: Int,
       embCol: String = "embedding", idCol: String = "vec_id",
       seed: Long = 42L): Array[Array[Array[Long]]] = {
+    // null prepared vectors dropped up front so BOTH fit branches see
+    // the same frame: a null `v` NPE'd the driver-fit probe and would
+    // null out the distributed branch's distortion sums — a null
+    // vector cannot inform a codebook on any path
     val prep = Similarity.prepared(corpus, embCol, idCol)
+      .filter(col("v").isNotNull)
       .transform(graft.core.OpCaches.persistTracked)
     // size-gated driver fit (KMeans.driverKmeans, the bit-for-bit
     // mirror of the distributed loop): ONE collect serves all m
@@ -152,7 +157,11 @@ object Pq {
 
   private[operators] def codebookFromPrep(prep: DataFrame, m: Int,
       ksub: Int, idCol: String): Array[Array[Array[Long]]] =
-    codebookFromVecs(prep
+    // nulls filtered BEFORE the limit — the low-id sample is the
+    // lowest ksub NON-NULL vectors on every path (centroidSample's
+    // definition); filtering after the limit would both NPE here and
+    // shrink the sample
+    codebookFromVecs(prep.filter(col("v").isNotNull)
       .orderBy(col(idCol)).limit(ksub)
       .select(col("v")).collect()
       .map(_.getSeq[Long](0).toArray).toSeq, m)
@@ -520,7 +529,10 @@ object Pq {
       idCol: String): Seq[(Long, Array[Array[Long]])] = {
     val m = cb.length
     val ksub = cb(0).length
-    val tabs = distTable(qprep, cb, idCol).collect()
+    // null prepared queries dropped, same boundary contract as
+    // Similarity.collectVecRows: a degenerate query gets no table,
+    // hence no probes and no rows — the joined paths' behavior
+    val tabs = distTable(qprep.filter(col("v").isNotNull), cb, idCol).collect()
       .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
       .map { case (qid, rows) =>
         val tab = Array.ofDim[Long](m, ksub)
@@ -641,7 +653,8 @@ object Pq {
       idCol: String, chunkSize: Int = MaxLiteralQueries): DataFrame = {
     val (cents, cb) = withBuild(qrowsB) {
       val low = Similarity.collectVecRows(
-        cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
+        cp.filter(col("v").isNotNull)
+          .orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
       (low.take(numCentroids).map(r => Similarity.CentRow(r.id, r.v, r.n2)),
         codebookFromVecs(low.take(ksub).map(_.v).toSeq, m))
     }
@@ -802,7 +815,8 @@ object Pq {
       .transform(graft.core.OpCaches.persistTracked)
     val built = if (numCentroids <= Similarity.MaxLiteralCentroids) {
       val low = Similarity.collectVecRows(
-        cp.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
+        cp.filter(col("v").isNotNull)
+          .orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
       val cents = low.take(numCentroids)
         .map(r => Similarity.CentRow(r.id, r.v, r.n2))
       val cb = codebookFromVecs(low.take(ksub).map(_.v).toSeq, m)
@@ -895,7 +909,8 @@ object Pq {
       idCol: String, chunkSize: Int): DataFrame = {
     val (cents, cb) = withBuild(qrowsB) {
       val low = Similarity.collectVecRows(
-        lowSrc.orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
+        lowSrc.filter(col("v").isNotNull)
+          .orderBy(col(idCol)).limit(math.max(ksub, numCentroids)), idCol)
       (low.take(numCentroids).map(r => Similarity.CentRow(r.id, r.v, r.n2)),
         codebookFromVecs(low.take(ksub).map(_.v).toSeq, m))
     }

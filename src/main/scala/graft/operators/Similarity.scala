@@ -290,10 +290,20 @@ object Similarity {
 
   /** Collect a SMALL prepared frame (query sets, centroid tables) to
     * the driver — one tiny job; the caller guarantees boundedness.
+    *
+    * Null prepared vectors are DROPPED at this boundary: a null
+    * embedding survives [[prepared]] with a null `v`, which NPE'd
+    * every literal-regime collect (query sets, PQ codebook/centroid
+    * samples). Dropping mirrors the joined/relational paths, where a
+    * null vector's null score never enters the bounded top-k — so a
+    * degenerate query returns no rows on every dispatch path, and a
+    * degenerate corpus row never seeds a codebook or centroid
+    * (matching [[centroidSample]]'s filter).
     */
   private[operators] def collectVecRows(prep: DataFrame,
       idCol: String): Array[VecRow] =
-    prep.select(col(idCol).cast("long"), col("v"), col("n2").cast("long"))
+    prep.filter(col("v").isNotNull)
+      .select(col(idCol).cast("long"), col("v"), col("n2").cast("long"))
       .orderBy(col(idCol)).collect()
       .map(r => VecRow(r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
 

@@ -241,6 +241,51 @@ class SimilaritySuite extends SparkSuite {
     graft.core.OpCaches.release()
   }
 
+  test("null embeddings flow through the whole ANN query family without crashing") {
+    // r19: a null embedding survives `prepared` with a null v, which
+    // NPE'd every literal-regime driver collect — query sets, PQ
+    // codebook/centroid low-id samples (null rows placed at LOW ids
+    // here so they land inside every sample window). Contract: a
+    // degenerate row never seeds a codebook/centroid, a degenerate
+    // query returns no rows, real queries still rank
+    import graft.operators.Pq
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L).map(i =>
+      (i, if (i < 3 || i == 20) null
+          else Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq[(Long, Seq[Float])](
+      100L -> Seq.fill(8)(0.5f), 101L -> null)
+      .toDF("vec_id", "embedding")
+    val nullIds = Set(0L, 1L, 2L, 20L)
+    def check(df: DataFrame, what: String): Unit = {
+      val rows = df.collect()
+      val qids = rows.map(_.getLong(0)).toSet
+      assert(qids == Set(100L), s"$what: got query ids $qids")
+      assert(rows.nonEmpty, s"$what: the real query must still rank")
+    }
+    check(Similarity.cosineTopK(corpus, queries, 3), "cosineTopK")
+    check(Similarity.ivfTopK(corpus, queries, 3, numCentroids = 8),
+      "ivfTopK")
+    check(Pq.pqTopK(corpus, queries, 3, m = 4, ksub = 8), "pqTopK")
+    check(Pq.ivfPqTopK(corpus, queries, 3, numCentroids = 8, nprobe = 8),
+      "ivfPqTopK literal")
+    // over-limit centroid count exercises the joined branch and
+    // collectDistTables
+    check(Pq.ivfPqTopK(corpus, queries, 3, numCentroids = 300, nprobe = 300),
+      "ivfPqTopK joined")
+    check(Pq.ivfPqRerankTopK(corpus, queries, 3, numCentroids = 8,
+      nprobe = 8, rerank = 10), "ivfPqRerankTopK")
+    // a null vector never appears as a neighbor either (its scores
+    // are null/NaN and the bounded top-k rejects both)
+    val nbrs = Similarity.cosineTopK(corpus, queries, 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(nbrs.intersect(nullIds).isEmpty, s"null ids ranked: $nbrs")
+    // the fitted codebook path runs on a null-containing corpus too
+    assert(Pq.kmeansCodebook(corpus, m = 4, ksub = 8).length == 4)
+    graft.core.OpCaches.release()
+  }
+
   test("ivfNearDupBatchCollapsed equals the direct batch probe") {
     // corpus and batch share duplicated vectors ACROSS the split: the
     // expansion must emit the full member cross product per matched
