@@ -87,13 +87,19 @@ object KMeans {
     *   a bigint id) fit on the driver — see
     *   [[DefaultDriverMaxFitVectors]]; 0 forces the distributed loop
     */
-  def kmeansCentroids(cp: DataFrame, k: Int, idCol: String = "vec_id",
+  def kmeansCentroids(cpIn: DataFrame, k: Int, idCol: String = "vec_id",
       seed: Long = 42L, rounds: Int = 5, factor: Int = 2,
       iters: Int = 5,
       driverMaxVectors: Long = DefaultDriverMaxFitVectors): DataFrame = {
-    val spark = cp.sparkSession
+    val spark = cpIn.sparkSession
     import spark.implicits._
     require(k >= 1)
+    // a null prepared vector (null embedding through `prepared`)
+    // cannot inform a fit on either branch — it NPE'd the driver
+    // probe's collect and would null the distributed loop's sums.
+    // Filtered here so both branches see the same frame (the r19
+    // ANN-family boundary contract).
+    val cp = cpIn.filter(col("v").isNotNull)
 
     // --- size-gated driver fast path (bigint ids only: the coin hash
     // --- must reproduce xxhash64-of-long exactly) ---
