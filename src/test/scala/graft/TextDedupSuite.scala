@@ -661,6 +661,35 @@ class TextDedupSuite extends SparkSuite {
     }
   }
 
+  test("registered minhash rows route the collapse on a dup-heavy corpus via the fused probe") {
+    // r19: the registered rows decide the route from ONE fused
+    // aggregate (gate fraction + sort bounds) and pin it through
+    // endpoint gates — on a duplicate-heavy corpus they must take the
+    // collapse and still equal the direct computation row-for-row
+    val dir = java.nio.file.Files.createTempDirectory("graft-duproute").toString
+    (0L until 300L).map(i =>
+      (i, s"same text repeated over and over number ${i % 15} indeed"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = graft.SparkEntry.queries("minhash_lsh_pairs")(spark, dir)
+    assert(lsh.queryExecution.analyzed.toString.contains("rep_id"),
+      "dup-heavy corpus must route the collapse")
+    assert(rows(lsh) ==
+      rows(Dedup.minHashCandidates(docs).orderBy(col("id_a"), col("id_b"))))
+    graft.core.OpCaches.release()
+    val inc = graft.SparkEntry.queries("minhash_incremental_pairs")(spark, dir)
+    assert(inc.queryExecution.analyzed.toString.contains("rep_id"))
+    assert(rows(inc) ==
+      rows(Dedup.incrementalMinHashCandidates(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+        .orderBy(col("id_a"), col("id_b"))))
+    graft.core.OpCaches.release()
+  }
+
   test("registered pair queries: probed-bounds sort equals the sampling orderBy") {
     // the registered simhash_pairs / minhash_lsh_pairs ride
     // StaticRange.denseIdSort keyed on id_a with bounds probed from
