@@ -1,38 +1,82 @@
 #!/usr/bin/env bash
-# One-command 100x collapse-family regression gate (VERDICT r18 ask #5).
+# One-command 100x collapse-family regression gate (r18 ask #5; caps
+# load-normalized in r20 — VERDICT r19 ask #1).
 #
 # Builds the two 100x replica corpora if missing (target/scale100:
 # 100 id-shifted copies of every sf0.1 document; target/emb100: 100
 # copies of every sf0.1 embedding), then runs the collapse-family
 # ONLY-subsets through graft.Bench on each and checks every row
-# against a generous upper bound derived from the r18/r19 measured
-# band (roughly 2x the loaded-host medians). A breach means the
-# duplicate-mass-gated collapse routing regressed — the direct forms
-# measured 87.7 s (minhash) and did-not-finish-in-40-min (embedding
-# family) on these corpora, so a regression is unmistakable.
+# against a TIGHT cap (~2x the measured idle medians, r20 run)
+# scaled by the AMBIENT LOAD measured in the same run: each subset
+# carries j4_cartesian, a data-independent canary whose idle floor is
+# committed below, and every cap is multiplied by
+# clamp(j4_measured / J4_IDLE, 1.0, 2.0). A loaded host therefore
+# widens the band only as far as its own measured inflation — the
+# r19 fixed 2x-slack caps let a creeping 1.5-2x regression hide
+# behind weather; these cannot — while the guarded catastrophes
+# (direct banding: 87.7 s; direct IVF at emb100: DNF in 40 min) stay
+# 5-100x past any reachable cap.
 #
-# Usage: scripts/scale_gate.sh   (from the repo root; ~6-10 min)
-# Env: SPARK_GRAFT_SF_DIR0 to override the sf0.1 source dir.
+# Usage:
+#   scripts/scale_gate.sh                  # the gate (~15-25 min: two
+#                                          # sbt boards over the 100x
+#                                          # corpora; first run also
+#                                          # builds corpora + indexes)
+#   scripts/scale_gate.sh --inject-selftest
+#       # sensitivity demonstration (~4-6 min): re-runs the banded
+#       # pair row with SPARK_GRAFT_INJECT_DIRECT=1 (SparkEntry pins
+#       # every dup-mass gate to the DIRECT route — a synthetic
+#       # routing regression) and exits 0 only if the caps TRIP.
+#
+# Env:
+#   SPARK_GRAFT_SF_DIR0      override the sf0.1 source dir
+#   SPARK_GRAFT_GATE_SCALE   extra cap multiplier, default 1.0 — for
+#                            hosts of a different class than the one
+#                            the idle medians were measured on (the
+#                            committed caps and J4_IDLE come from the
+#                            32-thread/128G round host; a slower box
+#                            inflates j4 and big rows together, so
+#                            the normalization absorbs most of it,
+#                            but a clamped factor can't absorb >2x)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${SPARK_GRAFT_SF_DIR0:-/root/testdata/sf0.1}
+MODE=${1:-gate}
 
 [ -f target/scale100/documents.parquet ] || \
   python3 scripts/make_scale10.py "$SF" target/scale100 100
 [ -f target/emb100/embeddings.parquet ] || \
   python3 scripts/make_emb100.py "$SF" target/emb100 100
 
-run_subset() { # dir only outfile
+run_subset() { # dir only outfile [extra_env]
   local dir=$1 only=$2 out=$3
   # retries pinned off: a 100x subset's own tail pushes load_post past
   # the noise gate's last-resort bar, so the retry would re-measure
-  # every board against self-induced load; the caps below carry 2x
-  # slack precisely so single-board weather cannot false-alarm
-  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_ONLY="$only" SPARK_GRAFT_REPS=2 \
-    SPARK_GRAFT_BOARD_RETRIES=0 \
+  # every board against self-induced load; the load normalization
+  # below absorbs single-board weather instead
+  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_ONLY="$only" \
+    SPARK_GRAFT_REPS="${SPARK_GRAFT_REPS:-2}" \
+    SPARK_GRAFT_BOARD_RETRIES=0 ${4:-} \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric":"total"' \
     | tail -1 > "$out"
 }
+
+if [ "$MODE" = "--inject-selftest" ]; then
+  echo "== inject-selftest: direct-route injection must BREACH the caps =="
+  # minhash_lsh_pairs is the demonstration row: its direct form runs
+  # 87.7 s at scale100 against a 35 s base cap (<= 70 s at max load
+  # factor), so the trip is unambiguous and the run stays short
+  SPARK_GRAFT_INJECT_DIRECT=1 SPARK_GRAFT_REPS=1 run_subset target/scale100 \
+    "minhash_lsh_pairs,j4_cartesian" \
+    target/scale_gate_inject.json
+  if python3 scripts/scale_gate_check.py inject; then
+    echo "INJECT_SELFTEST FAIL — synthetic regression did NOT trip the gate"
+    exit 1
+  else
+    echo "INJECT_SELFTEST OK — synthetic regression tripped the gate"
+    exit 0
+  fi
+fi
 
 echo "== scale100 (text collapse family) =="
 run_subset target/scale100 \
@@ -43,47 +87,4 @@ run_subset target/emb100 \
   "embedding_neardup_pairs,semantic_dedup,embedding_incremental_pairs,embedding_incremental_prebuilt,j4_cartesian" \
   target/scale_gate_emb.json
 
-python3 - <<'EOF'
-import json, sys
-
-# Upper bounds: ~2x the r18/r19 measured loaded-host medians. The
-# regression being guarded is 5-100x past these (direct banding:
-# 87.7 s; direct IVF at emb100: DNF), so the slack never masks it.
-BOUNDS = {
-    "text": {
-        "minhash_lsh_pairs": 50.0,        # r18: 14.7-18.9 s; r19 loaded run 29.4
-        "simhash_pairs": 12.0,            # r18: 3.75 s
-        "neardup_clusters": 16.0,         # r18: 6.34 s
-        "minhash_incremental_pairs": 50.0, # r18: 19.6-23.5 s
-        "minhash_incremental_prebuilt": 50.0,  # r19 v2 serving index
-        "dedup_exact_clusters": 5.0,      # r18: 0.79 s
-    },
-    "emb": {
-        "embedding_neardup_pairs": 50.0,  # r18: 14.65 s; r19 loaded run 35.1
-        "semantic_dedup": 20.0,           # r18: 7.23 s
-        "embedding_incremental_pairs": 15.0,   # r18: 5.87 s
-        "embedding_incremental_prebuilt": 30.0,  # r19 v2 serving index
-    },
-}
-fail = 0
-for kind, path in (("text", "target/scale_gate_text.json"),
-                   ("emb", "target/scale_gate_emb.json")):
-    b = json.load(open(path))
-    qs = b["queries"]
-    if b.get("failed", 0):
-        print(f"[{kind}] FAILED rows present: "
-              f"{[k for k, v in qs.items() if v is None]}")
-        fail = 1
-    for name, cap in BOUNDS[kind].items():
-        got = qs.get(name)
-        if got is None:
-            print(f"[{kind}] {name}: MISSING/FAILED (cap {cap})")
-            fail = 1
-        elif got > cap:
-            print(f"[{kind}] {name}: {got:.2f} s BREACHES cap {cap}")
-            fail = 1
-        else:
-            print(f"[{kind}] {name}: {got:.2f} s <= {cap} ok")
-print("SCALE_GATE " + ("FAIL" if fail else "OK"))
-sys.exit(fail)
-EOF
+python3 scripts/scale_gate_check.py gate

@@ -108,21 +108,49 @@ object SparkEntry {
     */
   private def gateAndIdBounds(docs: DataFrame, textCol: String,
       idCol: String): (Double, Option[(Long, Long)]) = {
-    val r = docs.agg(
+    // mirror StaticRange.denseIdSort's integral-id guard (r20): the
+    // bounds half of the fusion must keep the same fallback contract —
+    // a non-integral id column whose values only PARTIALLY cast to
+    // long would otherwise route rows into sortByKnownDomain's in-plan
+    // raise_error instead of the sampling orderBy (and under ANSI the
+    // cast itself can throw), so non-integral ids skip the min/max
+    // legs entirely and return no bounds
+    val integralId = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val aggs = Seq(
       count(col(textCol)).as("n"),
       approx_count_distinct(
-        when(col(textCol).isNotNull, xxhash64(col(textCol)))).as("d"),
-      min(col(idCol).cast("long")).as("lo"),
-      max(col(idCol).cast("long")).as("hi")).head()
-    val n = r.getLong(0)
-    val frac =
-      if (n == 0L) 0.0 else math.max(0.0, (n - r.getLong(1)).toDouble / n)
+        when(col(textCol).isNotNull, xxhash64(col(textCol)))).as("d")) ++
+      (if (integralId)
+        Seq(min(col(idCol).cast("long")).as("lo"),
+          max(col(idCol).cast("long")).as("hi"))
+      else Nil)
+    val r = docs.agg(aggs.head, aggs.tail: _*).head()
+    val frac = Dedup.dupFraction(r.getLong(0), r.getLong(1))
     val gate = if (frac > Dedup.DefaultDupGate) -1.0 else 1.0
     val bounds =
-      if (r.isNullAt(2) || r.getLong(2) < 0) None
+      if (!integralId || r.isNullAt(2) || r.getLong(2) < 0) None
       else Some((r.getLong(2), r.getLong(3)))
     (gate, bounds)
   }
+
+  /** Scale-gate sensitivity hook: with SPARK_GRAFT_INJECT_DIRECT=1,
+    * every duplicate-mass-gated registered row pins its route to the
+    * DIRECT form (endpoint gate 1.0) regardless of the corpus — a
+    * synthetic routing regression. Exists so `scripts/scale_gate.sh
+    * --inject-selftest` can demonstrate that its caps TRIP when the
+    * collapse routing breaks (a gate that only ever passes proves
+    * nothing). Never set it outside that demonstration: on the 100×
+    * corpora the direct forms run 5–100× past the caps by design.
+    */
+  private def injected(gate: Double): Double =
+    if (sys.env.get("SPARK_GRAFT_INJECT_DIRECT").contains("1")) 1.0
+    else gate
 
   /** Run a registration under the AQE-off child session — for the ANN
     * family, whose plans are all explicit broadcasts + bounded top-k
@@ -596,7 +624,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val (gate, bounds) = gateAndIdBounds(docs, "text", "doc_id")
       graft.core.StaticRange.denseIdSortKnownBounds(
-        Dedup.minHashCandidatesCollapsed(docs, dupGate = gate),
+        Dedup.minHashCandidatesCollapsed(docs, dupGate = injected(gate)),
         bounds, "id_a",
         Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
     }),
@@ -614,7 +642,8 @@ object SparkEntry {
     // 2.58M pairs -> the distributed label loop; collapsed: driver
     // union-find territory).
     "neardup_clusters" -> ((s, dir) =>
-      Dedup.neardupComponents(Tables.documents(s, dir))
+      Dedup.neardupComponents(Tables.documents(s, dir),
+          dupGate = injected(Dedup.DefaultDupGate))
         .select(col("id").as("doc_id"), col("label").as("component"),
           (col("label") === col("id")).cast("int").as("is_survivor"))
         .orderBy("doc_id")),
@@ -639,7 +668,7 @@ object SparkEntry {
       graft.core.StaticRange.denseIdSortKnownBounds(
         Dedup.incrementalMinHashCandidatesCollapsed(
           docs.filter(col("doc_id") % 5 === 0),
-          docs.filter(col("doc_id") % 5 =!= 0), dupGate = gate),
+          docs.filter(col("doc_id") % 5 =!= 0), dupGate = injected(gate)),
         bounds, "id_a",
         Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
     }),
@@ -652,7 +681,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.incrementalMinHashCandidatesPrebuilt(
         docs.filter(col("doc_id") % 5 =!= 0), s"$dir/documents.parquet",
-        docs.filter(col("doc_id") % 5 === 0), variant = "holdout5")
+        docs.filter(col("doc_id") % 5 === 0), variant = "holdout5",
+        dupGate = injected(Dedup.DefaultDupGate))
         .orderBy("id_a", "id_b")
     }),
 
@@ -873,7 +903,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       graft.core.StaticRange.denseIdSort(
         Dedup.simHashPairsCollapsed(docs, maxHamming = 3,
-          signature = graft.functions.HashFunctions.simhash_md5),
+          signature = graft.functions.HashFunctions.simhash_md5,
+          dupGate = injected(Dedup.DefaultDupGate)),
         docs.select(col("doc_id").as("id_a")), "id_a",
         Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
     }),
@@ -939,7 +970,8 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       graft.core.StaticRange.denseIdSort(
         Similarity.ivfNearDupPairsCollapsed(e, threshold = 0.3,
-          assignments = 24, minSharedCells = 2),
+          assignments = 24, minSharedCells = 2,
+          dupGate = injected(graft.operators.Dedup.DefaultDupGate)),
         e.select(col("vec_id").as("id_a")), "id_a",
         Seq(col("id_a").asc, col("id_b").asc), partsMultiplier = 8)
     }),
@@ -955,7 +987,8 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfNearDupBatchCollapsed(
         e.filter(col("vec_id") >= 40), e.filter(col("vec_id") < 40),
-        threshold = 0.3, assignments = 24, minSharedCells = 2)
+        threshold = 0.3, assignments = 24, minSharedCells = 2,
+        dupGate = injected(graft.operators.Dedup.DefaultDupGate))
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -973,7 +1006,8 @@ object SparkEntry {
         // the corpus is a SLICE of the source file: the variant key
         // keeps its index from colliding with the full-corpus knn
         // entry over the same path
-        variant = "ge40")
+        variant = "ge40",
+        dupGate = injected(graft.operators.Dedup.DefaultDupGate))
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -1005,7 +1039,8 @@ object SparkEntry {
     "semantic_dedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfNearDupComponentsCollapsed(e, threshold = 0.3,
-        assignments = 24, minSharedCells = 2)
+        assignments = 24, minSharedCells = 2,
+        dupGate = injected(graft.operators.Dedup.DefaultDupGate))
         .select(col("id").as("vec_id"), col("label").as("component"),
           (col("label") === col("id")).cast("int").as("is_survivor"))
         .orderBy("vec_id")

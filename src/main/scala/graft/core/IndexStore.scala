@@ -150,6 +150,40 @@ object IndexStore {
     removed.map(_.getName)
   }
 
+  /** Retire SUPERSEDED-generation entries and return the deleted
+    * names (sorted). Every store family bakes a `-vN-` format
+    * generation into its entry name immediately before the
+    * source-path hash (`sample-n64-embedding-vec_id-v2-<md5>`); a
+    * reader bump (the r19 `sample` v1→v2, the r20 `ivf`/`ivfmulti`/
+    * `pq`/`ivfpq` bumps) permanently orphans the old generation — no
+    * bumped reader can ever match its manifest again, so it is dead
+    * disk. An entry is superseded when ANOTHER entry exists with the
+    * same name before and after its LAST `-vN-` token (same family,
+    * knobs, variant, and source hash) and a HIGHER generation; all
+    * but the highest survive... are deleted via [[prune]]'s checked,
+    * manifest-first walk. The last `-vN-` occurrence is the
+    * generation token by convention (a caller-supplied variant string
+    * could contain the pattern earlier). Like [[prune]], called from
+    * NOWHERE automatically — reclamation during another session's
+    * lazy scan would break the single-writer contract.
+    */
+  def pruneSuperseded(): Seq[String] = {
+    val gen = "-v(\\d+)-".r
+    val base = new java.io.File(baseDir)
+    val entries = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSeq
+    val keyed = entries.flatMap { n =>
+      gen.findAllMatchIn(n).toSeq.lastOption.map(m =>
+        ((n.substring(0, m.start), n.substring(m.end)),
+          m.group(1).toInt, n))
+    }
+    val victims = keyed.groupBy(_._1).values.toSeq.flatMap { g =>
+      val keep = g.map(_._2).max
+      g.filter(_._2 != keep).map(_._3)
+    }
+    victims.sorted.flatMap(prune(_))
+  }
+
   /** Memoized store reads per (session, path): `read.parquet`
     * rebuilds a file index and re-reads footers on EVERY call — pure
     * per-serving-call floor for frames that change only when

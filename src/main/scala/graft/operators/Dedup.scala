@@ -44,13 +44,41 @@ object Dedup {
     * duplicate-free corpora.
     */
   private[graft] def duplicateMassFraction(docs: DataFrame,
-      textCol: String): Double = {
-    val r = docs.filter(col(textCol).isNotNull)
-      .agg(count(lit(1)).as("n"),
-        approx_count_distinct(xxhash64(col(textCol))).as("d"))
+      textCol: String): Double =
+    dupMassProbe(docs, col(textCol), lit(1))._2
+
+  /** max(0, (n − d) / n), 0 when n == 0 — the duplicate-mass fraction
+    * of `n` key-bearing rows with `d` (estimated) distinct keys. The
+    * single definition every gate variant shares, including fused
+    * probes that run their own aggregate shape.
+    */
+  private[graft] def dupFraction(n: Long, d: Long): Double =
+    if (n == 0L) 0.0 else math.max(0.0, (n - d).toDouble / n)
+
+  /** THE fused duplicate-mass probe — the one aggregate every collapse
+    * gate runs, factored here because three hand-maintained copies of
+    * it (text fraction, embedding gate+centroid-count, batch-union
+    * gate) drifted once already (the r18 count-vs-non-null bug appeared
+    * at two sites independently). One job returns
+    * `(count(extra), fraction)`:
+    *  - `count(extra)` is whatever row count the caller needs from the
+    *    same pass (all rows via `lit(1)` for autoCentroids — which
+    *    must match `df.count()` on every route — or a conditional
+    *    `when(...)` count for union frames); and
+    *  - `fraction` = [[dupFraction]] over NON-NULL `key` rows, with
+    *    distinct estimated by HLL++ over `xxhash64(key)` (sketches
+    *    merge map-side — no distinct-value shuffle, deterministic, so
+    *    gate decisions reproduce run-to-run). The `when` null guard
+    *    matters: `xxhash64(null)` is the seed constant, not null, so
+    *    an unguarded sketch would count null keys as one distinct.
+    */
+  private[graft] def dupMassProbe(df: DataFrame, key: Column,
+      extra: Column): (Long, Double) = {
+    val r = df.agg(count(extra).as("n"),
+      count(key).as("nk"),
+      approx_count_distinct(when(key.isNotNull, xxhash64(key))).as("d"))
       .head()
-    val n = r.getLong(0)
-    if (n == 0L) 0.0 else math.max(0.0, (n - r.getLong(1)).toDouble / n)
+    (r.getLong(0), dupFraction(r.getLong(1), r.getLong(2)))
   }
 
   /** Gate shared by the collapse forms: collapse iff the corpus'
@@ -255,7 +283,7 @@ object Dedup {
   /** Fraction of agreeing signature rows — the banded paths' shared
     * Jaccard estimate.
     */
-  private def sigAgreement(numHashes: Int): Column =
+  private[graft] def sigAgreement(numHashes: Int): Column =
     aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (a, b) => when(a === b, 1).otherwise(0)),

@@ -386,7 +386,9 @@ object Pq {
       m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id",
       force: Boolean = false): DataFrame = {
-    val name = s"pq-m$m-k$ksub-$embCol-$idCol-v2-" +
+    // v3: bumped with the r19 codebook-sample null filter — see
+    // Similarity.storedIvfIndex's v3 note
+    val name = s"pq-m$m-k$ksub-$embCol-$idCol-v3-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
@@ -854,7 +856,9 @@ object Pq {
       numCentroids: Int = 64, m: Int = 4, ksub: Int = 16,
       embCol: String = "embedding", idCol: String = "vec_id",
       force: Boolean = false): DataFrame = {
-    val name = s"ivfpq-c$numCentroids-m$m-k$ksub-$embCol-$idCol-v2-" +
+    // v3: bumped with the r19 centroid/codebook-sample null filter —
+    // see Similarity.storedIvfIndex's v3 note
+    val name = s"ivfpq-c$numCentroids-m$m-k$ksub-$embCol-$idCol-v3-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(

@@ -577,7 +577,11 @@ object Similarity {
       numCentroids: Int = 64,
       embCol: String = "embedding", idCol: String = "vec_id",
       force: Boolean = false): DataFrame = {
-    val name = s"ivf-c$numCentroids-$embCol-$idCol-v2-" +
+    // v3: the centroid sample definition changed in r19 (null prepared
+    // vectors excluded) — every stored entry whose BUILD consumed the
+    // sample is bumped with it, so a stale pre-filter index can never
+    // be served against the post-filter sample (r19 ADVICE #1)
+    val name = s"ivf-c$numCentroids-$embCol-$idCol-v3-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
@@ -845,22 +849,18 @@ object Similarity {
       if (dupGate < 0) true
       else if (dupGate >= 1) false
       else {
-        // n = ALL rows (count(lit(1))), not non-null `v`: autoCentroids
-        // must see the same corpus count on every route — the direct
-        // forms derive it from cp.count(), so a null-embedding row
-        // (quantize(null) survives prepared with v null) counting
-        // differently here would shift the centroid count and break
-        // the bit-identical cross-route contract. The gate FRACTION
-        // keys on non-null `v` (nv), matching the text-side
-        // duplicateMassFraction's isNotNull filter.
-        val r = cp.agg(count(lit(1)).as("n"),
-          count(col("v")).as("nv"),
-          approx_count_distinct(
-            when(col("v").isNotNull, xxhash64(col("v")))).as("d"))
-          .head()
-        n = r.getLong(0)
-        val nv = r.getLong(1)
-        nv > 0 && math.max(0.0, (nv - r.getLong(2)).toDouble / nv) > dupGate
+        // the count rides lit(1) — ALL rows, not non-null `v`:
+        // autoCentroids must see the same corpus count on every route
+        // (the direct forms derive it from cp.count(), so a
+        // null-embedding row counting differently here would shift the
+        // centroid count and break the bit-identical cross-route
+        // contract), while the fraction keys on non-null `v` inside
+        // the shared probe — one definition for every gate, see
+        // [[graft.operators.Dedup.dupMassProbe]]
+        val (cnt, f) = graft.operators.Dedup.dupMassProbe(
+          cp, col("v"), lit(1))
+        n = cnt
+        f > dupGate
       }
     val cent = centroids.getOrElse {
       val c = if (numCentroids > 0) numCentroids
@@ -1084,18 +1084,14 @@ object Similarity {
       else {
         val u = cp.select(col("v"), lit(false).as("__b"))
           .union(bp.select(col("v"), lit(true).as("__b")))
-        // nc counts ALL corpus rows (not non-null v) so autoCentroids
-        // sees exactly what cp.count() would on the direct/endpoint
-        // routes — see gateAndCentroids; fraction keys on non-null v
-        val r = u.agg(
-          count(when(!col("__b"), lit(1))).as("nc"),
-          count(col("v")).as("nv"),
-          approx_count_distinct(
-            when(col("v").isNotNull, xxhash64(col("v")))).as("d"))
-          .head()
-        nc = r.getLong(0)
-        val nv = r.getLong(1)
-        nv > 0 && math.max(0.0, (nv - r.getLong(2)).toDouble / nv) > dupGate
+        // the count conditions on corpus-side rows (ALL of them, not
+        // non-null v) so autoCentroids sees exactly what cp.count()
+        // would on the direct/endpoint routes — see gateAndCentroids;
+        // the fraction keys on non-null v inside the shared probe
+        val (cnt, f) = graft.operators.Dedup.dupMassProbe(
+          u, col("v"), when(!col("__b"), lit(1)))
+        nc = cnt
+        f > dupGate
       }
     // the direct form's centroid resolution, from the FULL corpus
     val c = if (numCentroids > 0) numCentroids
@@ -1213,8 +1209,10 @@ object Similarity {
       numCentroids: Int = 0, assignments: Int = 8,
       embCol: String = "embedding", idCol: String = "vec_id",
       variant: String = "", force: Boolean = false): DataFrame = {
+    // v3: bumped with the r19 centroid-sample null filter — see
+    // storedIvfIndex's v3 note
     val name = s"ivfmulti-c$numCentroids-a$assignments-$embCol-$idCol" +
-      (if (variant.isEmpty) "" else s"-$variant") + "-v2-" +
+      (if (variant.isEmpty) "" else s"-$variant") + "-v3-" +
       graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force)(
@@ -1238,14 +1236,8 @@ object Similarity {
       graft.core.IndexStore.md5hex(corpusPath)
     val df = graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force) {
-      val r = prepared(corpus, embCol, idCol)
-        .agg(count(col("v")).as("nv"),
-          approx_count_distinct(
-            when(col("v").isNotNull, xxhash64(col("v")))).as("d"))
-        .head()
-      val nv = r.getLong(0)
-      val f = if (nv == 0L) 0.0
-        else math.max(0.0, (nv - r.getLong(1)).toDouble / nv)
+      val f = graft.operators.Dedup.dupMassProbe(
+        prepared(corpus, embCol, idCol), col("v"), lit(1))._2
       graft.core.IndexMeta.tag(
         corpus.sparkSession.range(1)
           .select(lit(f).as("dup_fraction")),
@@ -1297,8 +1289,12 @@ object Similarity {
       variant: String = "", force: Boolean = false): DataFrame = {
     require(variant.nonEmpty,
       "variant must name the corpus frame (store entries fingerprint the file only)")
+    // v2: bumped with the r19 centroid-sample null filter — see
+    // storedIvfIndex's v3 note (this family postdates the filter, so
+    // no stale entry can exist; the bump keeps the invariant mechanical
+    // rather than argued per family)
     val name = s"ivfrepmulti-c$numCentroids-a$assignments-$embCol-$idCol" +
-      s"-$variant-v1-" + graft.core.IndexStore.md5hex(corpusPath)
+      s"-$variant-v2-" + graft.core.IndexStore.md5hex(corpusPath)
     graft.core.IndexStore.readOrBuild(corpus.sparkSession, name,
       graft.core.IndexStore.sourceFingerprint(corpusPath), force) {
       val groups = storedIvfGroups(corpus, corpusPath, embCol, idCol,

@@ -161,6 +161,13 @@ object DocsStream {
 
   /** Candidates of each arriving document against the corpus:
     * (new_id, corpus_id, band_idx, est_jaccard) per shared band.
+    *
+    * CONVENIENCE form: the corpus side re-runs tokenize + signature +
+    * banding inline, and a stream-static join re-evaluates its static
+    * side EVERY micro-batch — fine for tests and one-off streams.
+    * Production ingest uses [[nearDupAgainstCorpusPrebuilt]], which
+    * re-reads only the compact stored index per trigger and escapes
+    * the copies² band-bucket blowup on copy-heavy corpora.
     */
   def nearDupAgainstCorpus(docsStream: DataFrame, corpus: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
@@ -190,5 +197,85 @@ object DocsStream {
             (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x)
           .cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** [[nearDupAgainstCorpus]] served from the STORED index — the
+    * production ingest screen, and the streaming twin of
+    * [[Dedup.incrementalMinHashCandidatesPrebuilt]]'s serving story
+    * (r20): output-identical rows (suite-pinned), but the static join
+    * side is compact store bytes, re-read (not re-derived) per
+    * trigger, and the route between the raw and the collapsed v2
+    * index is decided ONCE at stream definition by the duplicate-mass
+    * fraction STAMPED at build time ([[Dedup.storedDupFraction]] —
+    * zero probe jobs, read from column metadata). Endpoints pin the
+    * route without touching the stamp: `dupGate < 0` forces the
+    * collapsed index, `>= 1` the raw one.
+    *
+    * Why the v2 route matters HERE: a stream-static join re-evaluates
+    * its static side every micro-batch, so on a copy-heavy corpus the
+    * raw band index pays |batch-in-bucket| × bucket-size — copies of
+    * the arriving text × copies in the corpus — per duplicated
+    * content PER TRIGGER: exactly the copy-quadratic probe the batch
+    * serving path escaped in r19, multiplied by trigger count. The
+    * collapsed route probes one representative band row per DISTINCT
+    * corpus content ([[Dedup.storedMinHashRepIndex]]) and restores
+    * per-copy rows by exploding the membership table
+    * ([[Dedup.storedMinHashMembers]]) AFTER the band match — output
+    * rows are identical because a copy's signature (hence its band
+    * keys and every pair estimate) is byte-equal to its
+    * representative's.
+    *
+    * Same per-pair at-least-once contract and division of labour as
+    * the inline form (exact-once dedup and new-vs-new pairs belong to
+    * batch compaction). All joins are stateless stream-static; the
+    * only stream state is source offsets.
+    */
+  def nearDupAgainstCorpusPrebuilt(docsStream: DataFrame,
+      corpus: DataFrame, corpusPath: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      variant: String = "", force: Boolean = false,
+      dupGate: Double = Dedup.DefaultDupGate): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val collapsed =
+      if (dupGate < 0) true
+      else if (dupGate >= 1) false
+      else Dedup.storedDupFraction(corpus, corpusPath, textCol, idCol,
+        variant, force) > dupGate
+    val streamBanded = docsStream
+      .select(col(idCol).as("new_id"),
+        rowSignature(col(textCol), n, numHashes).as("sig_a"))
+      .filter(col("sig_a").isNotNull)
+      .select(col("new_id"), col("sig_a"),
+        posexplode(Dedup.lshBandKeys(col("sig_a"), bands, r)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val out = Seq(col("new_id"), col("corpus_id"), col("band_idx"),
+      Dedup.sigAgreement(numHashes).as("est_jaccard"))
+    if (!collapsed) {
+      val index = Dedup.storedMinHashIndex(corpus, corpusPath, textCol,
+        idCol, n, numHashes, bands, variant, force)
+      return streamBanded
+        .join(index.select(col("band_idx"), col("band_key"),
+          col(idCol).as("corpus_id"), col("sig").as("sig_b")),
+          Seq("band_idx", "band_key"))
+        .filter(col("new_id") =!= col("corpus_id"))
+        .select(out: _*)
+    }
+    val repIdx = Dedup.storedMinHashRepIndex(corpus, corpusPath, textCol,
+      idCol, n, numHashes, bands, variant, force)
+    val members = Dedup.storedMinHashMembers(corpus, corpusPath, textCol,
+      idCol, n, variant, force)
+    streamBanded
+      .join(repIdx.select(col("band_idx"), col("band_key"),
+        col(idCol).as("__rep"), col("sig").as("sig_b")),
+        Seq("band_idx", "band_key"))
+      .join(members.select(col("rep_id").as("__rep"), col("ids")),
+        Seq("__rep"))
+      .select(col("new_id"), col("band_idx"), col("sig_a"), col("sig_b"),
+        explode(col("ids")).as("corpus_id"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(out: _*)
   }
 }

@@ -277,4 +277,50 @@ class IndexStoreSuite extends SparkSuite {
     assert(IndexStore.prune(s"$stem-nonexistent").isEmpty)
     intercept[IllegalArgumentException](IndexStore.prune(""))
   }
+
+  test("pruneSuperseded retires only out-generationed entries of the same key") {
+    // the r19 sample v1->v2 bump (and the r20 ivf/ivfmulti/pq/ivfpq
+    // bumps) leave orphaned old-generation entries nothing can ever
+    // read again; pruneSuperseded must retire exactly those — same
+    // name around the LAST -vN- token, lower N — and nothing else.
+    // (The store dir is shared, so assertions touch only our entries;
+    // the sweep retiring real orphans alongside is the tool working.)
+    val stem = uniqueName("test-gen")
+    def build = Seq((1L, "a")).toDF("id", "v")
+    // superseded chain: v1 and v2 lose to v3
+    IndexStore.readOrBuild(spark, s"$stem-a-v1-h1", "fp")(build)
+    IndexStore.readOrBuild(spark, s"$stem-a-v2-h1", "fp")(build)
+    IndexStore.readOrBuild(spark, s"$stem-a-v3-h1", "fp")(build)
+    // same family+generation, DIFFERENT source hash: both current
+    IndexStore.readOrBuild(spark, s"$stem-a-v1-h2", "fp")(build)
+    // different knobs, same generation token: no group, survives
+    IndexStore.readOrBuild(spark, s"$stem-b-v1-h1", "fp")(build)
+    // caller-supplied variant containing the pattern: the LAST -vN-
+    // is the generation, so these two are one group (v2 wins)
+    IndexStore.readOrBuild(spark, s"$stem-c-v1-slice-v1-h1", "fp")(build)
+    IndexStore.readOrBuild(spark, s"$stem-c-v1-slice-v2-h1", "fp")(build)
+    // no generation token at all: never a candidate
+    IndexStore.readOrBuild(spark, s"$stem-plain", "fp")(build)
+
+    val deleted = IndexStore.pruneSuperseded().filter(_.startsWith(stem))
+    assert(deleted == Seq(s"$stem-a-v1-h1", s"$stem-a-v2-h1",
+      s"$stem-c-v1-slice-v1-h1"))
+    def onDisk(name: String) = new java.io.File(IndexStore.baseDir, name).exists()
+    assert(!onDisk(s"$stem-a-v1-h1") && !onDisk(s"$stem-a-v2-h1") &&
+      !onDisk(s"$stem-c-v1-slice-v1-h1"))
+    assert(onDisk(s"$stem-a-v3-h1") && onDisk(s"$stem-a-v1-h2") &&
+      onDisk(s"$stem-b-v1-h1") && onDisk(s"$stem-c-v1-slice-v2-h1") &&
+      onDisk(s"$stem-plain"),
+      "current generations, other hashes/knobs, and untokened entries survive")
+    // a retired generation rebuilds cleanly if something re-requests it
+    var rebuilds = 0
+    val back = IndexStore.readOrBuild(spark, s"$stem-a-v1-h1", "fp") {
+      rebuilds += 1; build
+    }
+    assert(rebuilds == 1 && back.count() == 1)
+    // idempotent: nothing of ours left to retire (the rebuilt v1-h1 is
+    // again superseded by v3-h1 — retired once more, the others stay)
+    assert(IndexStore.pruneSuperseded().filter(_.startsWith(stem))
+      == Seq(s"$stem-a-v1-h1"))
+  }
 }

@@ -553,6 +553,77 @@ class MultimodalStreamingSuite extends SparkSuite {
     assert(streamed.nonEmpty, "vacuous screen — adjust the split")
   }
 
+  test("streaming: prebuilt near-dup screen is route-identical to the inline screen") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // copy-heavy corpus: two duplicate groups, three uniques, one
+    // shingle-less, one null text — the corpus shape whose RAW band
+    // index pays copies(batch) x copies(corpus) per bucket
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "one two three four five six"
+    val corpusRows = Seq(
+      (1L, t1), (2L, t1), (3L, t1), (4L, t1),
+      (5L, t2), (6L, t2), (7L, t2),
+      (8L, "the quick brown fox jumps over the lazy dog"),
+      (9L, "pack my box with five dozen liquor jugs"),
+      (10L, "sphinx of black quartz judge my vow today"),
+      (11L, "tiny"), (12L, null.asInstanceOf[String]))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndpb").toString
+    val corpusPath = s"$dir/corpus.parquet"
+    corpusRows.toDF("doc_id", "text").write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val variant = s"ndpb-${java.util.UUID.randomUUID().toString.take(8)}"
+    // the stamp itself: 6 of 11 non-null texts are duplicate copies
+    assert(graft.operators.Dedup.storedDupFraction(
+      corpus, corpusPath, "text", "doc_id", variant, force = false)
+      > graft.operators.Dedup.DefaultDupGate,
+      "fixture must be copy-heavy so the stamped route collapses")
+    // arriving batch: an exact corpus copy, a batch-internal duplicate
+    // of it, a corpus-id-colliding copy (the self-pair filter case), a
+    // near-variant, a unique, and a shingle-less row
+    val batchRows = Seq(
+      (101L, t1), (105L, t1), (1L, t1),
+      (102L, "one two three four five seven"),
+      (103L, "completely novel content nothing shares"),
+      (104L, "x y"))
+    def screened(mk: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame, sink: String): Set[(Long, Long, Int, Double)] = {
+      val ms = MemoryStream[(Long, String)]
+      val q = mk(ms.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { ms.addData(batchRows: _*); q.processAllAvailable() }
+      finally q.stop()
+      val got = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      // every (new, corpus, band) row is unique in both forms — a Set
+      // loses nothing, and duplicate emission would break that
+      assert(got.length == got.toSet.size, s"$sink emitted duplicate rows")
+      got.toSet
+    }
+    val inline = screened(s => graft.streaming.DocsStream
+      .nearDupAgainstCorpus(s, corpus), "ndpb_inline")
+    val raw = screened(s => graft.streaming.DocsStream
+      .nearDupAgainstCorpusPrebuilt(s, corpus, corpusPath,
+        variant = variant, dupGate = 1.0), "ndpb_raw")
+    val v2 = screened(s => graft.streaming.DocsStream
+      .nearDupAgainstCorpusPrebuilt(s, corpus, corpusPath,
+        variant = variant, dupGate = -1.0), "ndpb_v2")
+    val stamped = screened(s => graft.streaming.DocsStream
+      .nearDupAgainstCorpusPrebuilt(s, corpus, corpusPath,
+        variant = variant), "ndpb_stamped")
+    assert(raw == inline, "raw stored route diverged from inline")
+    assert(v2 == inline, "collapsed v2 route diverged from inline")
+    assert(stamped == inline, "stamped route diverged from inline")
+    // non-vacuous: the exact copies hit every corpus copy of t1 on all
+    // 4 bands at estimate 1.0, and the id-1 self-pair is absent
+    assert(inline.count(p => p._1 == 101L && p._4 == 1.0) == 16,
+      s"expected 4 corpus copies x 4 bands for new_id=101: $inline")
+    assert(!inline.exists(p => p._1 == 1L && p._2 == 1L))
+    assert(inline.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
   test("streaming: winnow fingerprints and gopher gate run stateless, match batch") {
     val dir = sf("sf0.001")
     val docs = Tables.documents(spark, dir)
