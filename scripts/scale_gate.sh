@@ -10,7 +10,7 @@
 # scaled by the AMBIENT LOAD measured in the same run: each subset
 # carries j4_cartesian, a data-independent canary whose idle floor is
 # committed below, and every cap is multiplied by
-# clamp(j4_measured / J4_IDLE, 1.0, 2.0). A loaded host therefore
+# clamp(j4_measured / J4_IDLE, 1.0, 1.5). A loaded host therefore
 # widens the band only as far as its own measured inflation — the
 # r19 fixed 2x-slack caps let a creeping 1.5-2x regression hide
 # behind weather; these cannot — while the guarded catastrophes
@@ -64,7 +64,7 @@ run_subset() { # dir only outfile [extra_env]
 if [ "$MODE" = "--inject-selftest" ]; then
   echo "== inject-selftest: direct-route injection must BREACH the caps =="
   # minhash_lsh_pairs is the demonstration row: its direct form runs
-  # 87.7 s at scale100 against a 35 s base cap (<= 70 s at max load
+  # 87.7 s at scale100 against a 47 s base cap (<= 70.5 s at max load
   # factor), so the trip is unambiguous and the run stays short
   SPARK_GRAFT_INJECT_DIRECT=1 SPARK_GRAFT_REPS=1 run_subset target/scale100 \
     "minhash_lsh_pairs,j4_cartesian" \
