@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
   * Alternatives A/B'd:
   *   stats_direct  dup_stats WITHOUT materializing maximal spans:
   *                 covered-token count per doc from the running-max
-  *                 merge directly (sum of max(e, prevMax) - ... per
-  *                 new-span groups is equivalent to summing merged
-  *                 span lengths; here as one pass over dw with the
-  *                 same window but no second groupBy)
+  *                 merge directly — one pass over dw with the same
+  *                 analytic window but no gid pass and no second
+  *                 groupBy. Measured 1.16 → 1.05 s interleaved,
+  *                 output-equivalent (set-equality check below) —
+  *                 ADOPTED as [[SubstringDedup.duplicationStats]]'s
+  *                 implementation in r20, so on current code `stats`
+  *                 and `stats_drct` measure the same shape and this
+  *                 probe's historical value is the pre-adoption A/B
+  *                 plus the floor decomposition in SCALING.md.
   */
 object DupSpansFloorProbe {
   def main(args: Array[String]): Unit = {
