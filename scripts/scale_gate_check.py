@@ -14,9 +14,18 @@ so j4_median / J4_IDLE is pure host weather. The factor is clamped to
 [1.0, 1.5]: observed ambient j4 inflation tops out around 1.33x,
 while the guarded catastrophes (direct banding 87.7 s vs a 47 s cap,
 direct IVF DNF / 657 s raw embedding serving vs a 2.5 s cap) sit
-1.9-260x past the base caps - at the 1.5 clamp the largest reachable
-cap (70.5 s) still sits under the smallest catastrophe (87.7 s).
-SPARK_GRAFT_GATE_SCALE multiplies all caps for a different host class.
+1.9-260x past the base caps. The safety invariant is PER ROW, not
+global: each row's maximally-inflated cap (base x 1.5) must sit under
+THAT row's own catastrophe (e.g. minhash_lsh 70.5 < 87.7; the
+embedding rows' reachable caps are far under their DNF/657 s
+catastrophes) - when recalibrating, check the row you change, not
+cross-row slack. SPARK_GRAFT_GATE_SCALE multiplies all caps for a
+different host class.
+
+Exit codes: 0 = all caps passed; 1 = a PRESENT row breached its cap;
+2 = a row missing/failed or a board file unreadable. The inject
+selftest relies on the distinction: only a genuine breach (1) proves
+the caps can trip.
 """
 import json
 import os
@@ -73,49 +82,64 @@ BOUNDS = {
 CAP_SCALE = float(os.environ.get("SPARK_GRAFT_GATE_SCALE", "1.0"))
 
 
-def check(kind, path, bounds):
-    b = json.load(open(path))
-    qs = b["queries"]
-    fail = 0
+def check(kind, path, bounds, normalize=True):
+    """Returns (breached, errored) for one board file."""
+    try:
+        b = json.load(open(path))
+        qs = b["queries"]
+    except Exception as e:
+        print(f"[{kind}] board {path} unreadable: {e}")
+        return (0, 1)
+    breached, errored = 0, 0
     j4 = qs.get("j4_cartesian")
     if j4 is None:
         print(f"[{kind}] j4_cartesian canary MISSING - cannot normalize")
-        return 1
-    factor = min(1.5, max(1.0, j4 / J4_IDLE))
+        return (0, 1)
+    # inject mode runs with normalize=False: the injected direct run
+    # saturates the host, so j4 reads ITS load, not ambient weather
+    # (observed 0.76-1.04 s vs the 0.09-0.16 idle band) - pegging the
+    # factor at the clamp and thinning the trip margin (75.8 vs 70.5
+    # on one run). The selftest asks "does the checker flag a
+    # direct-route catastrophe", so it checks the BASE cap: 75.8-180.6
+    # observed vs 47 is a 1.6-3.8x margin.
+    factor = min(1.5, max(1.0, j4 / J4_IDLE)) if normalize else 1.0
     print(f"[{kind}] j4_cartesian {j4:.3f} s vs idle {J4_IDLE} "
           f"-> load factor {factor:.2f} (caps x{factor * CAP_SCALE:.2f})")
     if b.get("failed", 0):
         print(f"[{kind}] FAILED rows present: "
               f"{[k for k, v in qs.items() if v is None]}")
-        fail = 1
+        errored = 1
     for name, base in bounds.items():
         cap = base * factor * CAP_SCALE
         got = qs.get(name)
         if got is None:
             print(f"[{kind}] {name}: MISSING/FAILED (cap {cap:.1f})")
-            fail = 1
+            errored = 1
         elif got > cap:
             print(f"[{kind}] {name}: {got:.2f} s BREACHES cap {cap:.1f} "
                   f"(base {base})")
-            fail = 1
+            breached = 1
         else:
             print(f"[{kind}] {name}: {got:.2f} s <= {cap:.1f} ok")
-    return fail
+    return (breached, errored)
+
+
+def finish(breached, errored):
+    ok = not (breached or errored)
+    print("SCALE_GATE " + ("OK" if ok else "FAIL"))
+    sys.exit(0 if ok else (1 if breached else 2))
 
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "gate"
     if mode == "inject":
-        fail = check("inject", "target/scale_gate_inject.json",
-                     {"minhash_lsh_pairs":
-                      BOUNDS["text"]["minhash_lsh_pairs"]})
-        print("SCALE_GATE " + ("FAIL" if fail else "OK"))
-        sys.exit(fail)
-    fail = 0
-    fail |= check("text", "target/scale_gate_text.json", BOUNDS["text"])
-    fail |= check("emb", "target/scale_gate_emb.json", BOUNDS["emb"])
-    print("SCALE_GATE " + ("FAIL" if fail else "OK"))
-    sys.exit(fail)
+        finish(*check("inject", "target/scale_gate_inject.json",
+                      {"minhash_lsh_pairs":
+                       BOUNDS["text"]["minhash_lsh_pairs"]},
+                      normalize=False))
+    tb, te = check("text", "target/scale_gate_text.json", BOUNDS["text"])
+    eb, ee = check("emb", "target/scale_gate_emb.json", BOUNDS["emb"])
+    finish(tb | eb, te | ee)
 
 
 if __name__ == "__main__":

@@ -108,20 +108,12 @@ object SparkEntry {
     */
   private def gateAndIdBounds(docs: DataFrame, textCol: String,
       idCol: String): (Double, Option[(Long, Long)]) = {
-    // mirror StaticRange.denseIdSort's integral-id guard (r20): the
-    // bounds half of the fusion must keep the same fallback contract —
-    // a non-integral id column whose values only PARTIALLY cast to
-    // long would otherwise route rows into sortByKnownDomain's in-plan
-    // raise_error instead of the sampling orderBy (and under ANSI the
-    // cast itself can throw), so non-integral ids skip the min/max
-    // legs entirely and return no bounds
-    val integralId = docs.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
+    // the bounds half of the fusion keeps denseIdSort's exact fallback
+    // contract by sharing its guard definition (StaticRange
+    // .integralIdType, r20): non-integral ids skip the min/max legs
+    // entirely and return no bounds
+    val integralId = graft.core.StaticRange
+      .integralIdType(docs.schema(idCol).dataType)
     val aggs = Seq(
       count(col(textCol)).as("n"),
       approx_count_distinct(

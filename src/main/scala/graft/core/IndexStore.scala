@@ -24,8 +24,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IndexStore {
 
-  def baseDir: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-    s"${sys.props("java.io.tmpdir")}/graft-index")
+  /** Resolution order: the `graft.index.dir` system property (an
+    * in-JVM override — how the destructive-sweep tests point
+    * themselves at a throwaway dir instead of the shared store),
+    * then SPARK_GRAFT_INDEX_DIR, then the tmpdir default.
+    */
+  def baseDir: String = sys.props.get("graft.index.dir")
+    .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
+    .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-index")
 
   /** Deterministic fingerprint of a source parquet file or directory:
     * MD5 over the sorted (path-relative-to-root, size, mtime) of
@@ -106,9 +112,18 @@ object IndexStore {
     require(prefix.nonEmpty,
       "prune needs a non-empty prefix (an empty one would wipe the whole store)")
     val base = new java.io.File(baseDir)
-    val victims = Option(base.listFiles()).getOrElse(Array.empty)
+    deleteEntries(Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-      .sortBy(_.getName).toSeq
+      .sortBy(_.getName).toSeq)
+  }
+
+  /** The checked, manifest-first deletion walk behind [[prune]] and
+    * [[pruneSuperseded]], over an EXACT victim list (the superseded
+    * sweep must not inherit prune's startsWith matching — an entry
+    * whose full name happens to prefix a sibling's name would take
+    * the sibling with it).
+    */
+  private def deleteEntries(victims: Seq[java.io.File]): Seq[String] = {
     val removed = victims.filter { dir =>
       // delete() results are CHECKED: a locked/undeletable file must
       // not report the entry as pruned — a half-deleted entry (data
@@ -160,8 +175,11 @@ object IndexStore {
     * disk. An entry is superseded when ANOTHER entry exists with the
     * same name before and after its LAST `-vN-` token (same family,
     * knobs, variant, and source hash) and a HIGHER generation; all
-    * but the highest survive... are deleted via [[prune]]'s checked,
-    * manifest-first walk. The last `-vN-` occurrence is the
+    * but the highest survive. Victims are deleted by EXACT name
+    * through the same checked, manifest-first walk [[prune]] uses —
+    * never by prefix, so a full name that happens to prefix a
+    * sibling's name cannot take the sibling. The last `-vN-`
+    * occurrence is the
     * generation token by convention (a caller-supplied variant string
     * could contain the pattern earlier). Like [[prune]], called from
     * NOWHERE automatically — reclamation during another session's
@@ -181,7 +199,7 @@ object IndexStore {
       val keep = g.map(_._2).max
       g.filter(_._2 != keep).map(_._3)
     }
-    victims.sorted.flatMap(prune(_))
+    deleteEntries(victims.sorted.map(new java.io.File(base, _)))
   }
 
   /** Memoized store reads per (session, path): `read.parquet`

@@ -54,15 +54,26 @@ object StaticRange {
     * the imbalance — the r18 100x pair corpus measured 14.0 s at 1x
     * vs 10.1 s at 8x (sampling orderBy: 19.7 s).
     */
-  def denseIdSort(df: DataFrame, boundsSrc: DataFrame, idCol: String,
-      sortCols: Seq[Column], partsMultiplier: Int = 1): DataFrame = {
-    val integralId = boundsSrc.schema(idCol).dataType match {
+  /** Whether a column's type may take the dense-id bounds path: the
+    * ONE definition of the guard, shared by [[denseIdSort]] and every
+    * FUSED probe that computes bounds on its behalf (the SparkEntry
+    * gate+bounds aggregate) — a non-integral id whose values only
+    * partially cast to long must fall back to the sampling sort on
+    * every path, and under ANSI the cast itself can throw, so probes
+    * must skip their min/max legs entirely when this is false.
+    */
+  def integralIdType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+
+  def denseIdSort(df: DataFrame, boundsSrc: DataFrame, idCol: String,
+      sortCols: Seq[Column], partsMultiplier: Int = 1): DataFrame = {
+    val integralId = integralIdType(boundsSrc.schema(idCol).dataType)
     val bounds =
       if (integralId)
         boundsSrc.agg(min(col(idCol).cast("long")),

@@ -192,11 +192,7 @@ object DocsStream {
       .join(corpusIndex, Seq("band_idx", "band_key"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id"), col("band_idx"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x)
-          .cast("double") / numHashes).as("est_jaccard"))
+        Dedup.sigAgreement(numHashes).as("est_jaccard"))
   }
 
   /** [[nearDupAgainstCorpus]] served from the STORED index — the

@@ -283,8 +283,18 @@ class IndexStoreSuite extends SparkSuite {
     // bumps) leave orphaned old-generation entries nothing can ever
     // read again; pruneSuperseded must retire exactly those — same
     // name around the LAST -vN- token, lower N — and nothing else.
-    // (The store dir is shared, so assertions touch only our entries;
-    // the sweep retiring real orphans alongside is the tool working.)
+    // The sweep is store-WIDE and destructive, so the test points the
+    // store at a throwaway dir via the graft.index.dir property
+    // (IndexStore.baseDir's in-JVM override) instead of sweeping the
+    // shared persistent store out from under concurrent sessions.
+    val tmpStore = java.nio.file.Files
+      .createTempDirectory("graft-prunegen").toString
+    sys.props("graft.index.dir") = tmpStore
+    try pruneSupersededBody()
+    finally sys.props.remove("graft.index.dir")
+  }
+
+  private def pruneSupersededBody(): Unit = {
     val stem = uniqueName("test-gen")
     def build = Seq((1L, "a")).toDF("id", "v")
     // superseded chain: v1 and v2 lose to v3
@@ -301,17 +311,25 @@ class IndexStoreSuite extends SparkSuite {
     IndexStore.readOrBuild(spark, s"$stem-c-v1-slice-v2-h1", "fp")(build)
     // no generation token at all: never a candidate
     IndexStore.readOrBuild(spark, s"$stem-plain", "fp")(build)
+    // prefix collision: the victim's FULL name is a strict prefix of
+    // a current sibling's name — exact-name deletion must not take
+    // the sibling with it (a startsWith delete would)
+    IndexStore.readOrBuild(spark, s"$stem-d-v1-h", "fp")(build)
+    IndexStore.readOrBuild(spark, s"$stem-d-v2-h", "fp")(build)
+    IndexStore.readOrBuild(spark, s"$stem-d-v1-h-extra-v2-h", "fp")(build)
 
     val deleted = IndexStore.pruneSuperseded().filter(_.startsWith(stem))
     assert(deleted == Seq(s"$stem-a-v1-h1", s"$stem-a-v2-h1",
-      s"$stem-c-v1-slice-v1-h1"))
+      s"$stem-c-v1-slice-v1-h1", s"$stem-d-v1-h"))
     def onDisk(name: String) = new java.io.File(IndexStore.baseDir, name).exists()
     assert(!onDisk(s"$stem-a-v1-h1") && !onDisk(s"$stem-a-v2-h1") &&
-      !onDisk(s"$stem-c-v1-slice-v1-h1"))
+      !onDisk(s"$stem-c-v1-slice-v1-h1") && !onDisk(s"$stem-d-v1-h"))
     assert(onDisk(s"$stem-a-v3-h1") && onDisk(s"$stem-a-v1-h2") &&
       onDisk(s"$stem-b-v1-h1") && onDisk(s"$stem-c-v1-slice-v2-h1") &&
       onDisk(s"$stem-plain"),
       "current generations, other hashes/knobs, and untokened entries survive")
+    assert(onDisk(s"$stem-d-v2-h") && onDisk(s"$stem-d-v1-h-extra-v2-h"),
+      "exact-name deletion must not take prefix-colliding siblings")
     // a retired generation rebuilds cleanly if something re-requests it
     var rebuilds = 0
     val back = IndexStore.readOrBuild(spark, s"$stem-a-v1-h1", "fp") {
