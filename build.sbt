@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Pin the forked-JVM default explicitly: suites must run SEQUENTIALLY
+// in the forked JVM — IndexStoreSuite's pruneSuperseded test swaps the
+// JVM-global graft.index.dir property to a throwaway store, and a
+// concurrently running suite's readOrBuild during that window would be
+// silently redirected (its entries vanish when the prop is removed).
+Test / testForkedParallel := false
 run / fork := true
 // Pass the forked run's stdout through verbatim instead of re-logging
 // each line with an "[info] " prefix: the bench/verify harness parses

@@ -42,6 +42,12 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${SPARK_GRAFT_SF_DIR0:-/root/testdata/sf0.1}
 MODE=${1:-gate}
+# reject unknown arguments instead of silently running the full
+# ~15-25 min gate on a typo of --inject-selftest
+if [ "$MODE" != gate ] && [ "$MODE" != "--inject-selftest" ]; then
+  echo "unknown mode '$MODE' (expected no argument or --inject-selftest)" >&2
+  exit 2
+fi
 
 [ -f target/scale100/documents.parquet ] || \
   python3 scripts/make_scale10.py "$SF" target/scale100 100

@@ -23,9 +23,9 @@ cross-row slack. SPARK_GRAFT_GATE_SCALE multiplies all caps for a
 different host class.
 
 Exit codes: 0 = all caps passed; 1 = a PRESENT row breached its cap;
-2 = a row missing/failed or a board file unreadable. The inject
-selftest relies on the distinction: only a genuine breach (1) proves
-the caps can trip.
+2 = a row missing/failed or a board file unreadable (takes precedence
+over 1 when both occur). The inject selftest relies on the
+distinction: only a genuine breach (1) proves the caps can trip.
 """
 import json
 import os
@@ -127,7 +127,11 @@ def check(kind, path, bounds, normalize=True):
 def finish(breached, errored):
     ok = not (breached or errored)
     print("SCALE_GATE " + ("OK" if ok else "FAIL"))
-    sys.exit(0 if ok else (1 if breached else 2))
+    # the error signal takes precedence over breach: the inject
+    # selftest accepts ONLY rc=1 as proof the caps tripped, and a
+    # partially-crashed injected run (failed rows present) must not
+    # report selftest OK just because the surviving row also breached
+    sys.exit(0 if ok else (2 if errored else 1))
 
 
 def main():

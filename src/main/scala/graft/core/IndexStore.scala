@@ -186,7 +186,14 @@ object IndexStore {
     * lazy scan would break the single-writer contract.
     */
   def pruneSuperseded(): Seq[String] = {
-    val gen = "-v(\\d+)-".r
+    // lookahead for the trailing '-': non-overlapping matching with a
+    // consumed trailer would skip the SECOND of two adjacent tokens
+    // (`...-v1-v2-<md5>` — the true generation) because its leading
+    // '-' was eaten by the previous match, keying two live entries
+    // differing only in a v\d+-shaped variant as generations of each
+    // other. The after-key then starts at the unconsumed '-',
+    // identically for every entry, so grouping is unchanged.
+    val gen = "-v(\\d+)(?=-)".r
     val base = new java.io.File(baseDir)
     val entries = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).toSeq

@@ -317,10 +317,21 @@ class IndexStoreSuite extends SparkSuite {
     IndexStore.readOrBuild(spark, s"$stem-d-v1-h", "fp")(build)
     IndexStore.readOrBuild(spark, s"$stem-d-v2-h", "fp")(build)
     IndexStore.readOrBuild(spark, s"$stem-d-v1-h-extra-v2-h", "fp")(build)
+    // ADJACENT tokens: a variant that itself matches v\d+ immediately
+    // before the generation token. The lookahead regex lets the LAST
+    // token match even with the shared '-' (a consuming regex would
+    // anchor on the VARIANT and key these two live entries as
+    // generations of each other, deleting e-v1-v3-h)
+    IndexStore.readOrBuild(spark, s"$stem-e-v1-v3-h", "fp")(build)
+    IndexStore.readOrBuild(spark, s"$stem-e-v2-v3-h", "fp")(build)
+    // ...and a genuinely superseded adjacent-token chain: same variant
+    // (f-v1), generations v1 < v2
+    IndexStore.readOrBuild(spark, s"$stem-f-v1-v1-h", "fp")(build)
+    IndexStore.readOrBuild(spark, s"$stem-f-v1-v2-h", "fp")(build)
 
     val deleted = IndexStore.pruneSuperseded().filter(_.startsWith(stem))
     assert(deleted == Seq(s"$stem-a-v1-h1", s"$stem-a-v2-h1",
-      s"$stem-c-v1-slice-v1-h1", s"$stem-d-v1-h"))
+      s"$stem-c-v1-slice-v1-h1", s"$stem-d-v1-h", s"$stem-f-v1-v1-h"))
     def onDisk(name: String) = new java.io.File(IndexStore.baseDir, name).exists()
     assert(!onDisk(s"$stem-a-v1-h1") && !onDisk(s"$stem-a-v2-h1") &&
       !onDisk(s"$stem-c-v1-slice-v1-h1") && !onDisk(s"$stem-d-v1-h"))
@@ -330,6 +341,10 @@ class IndexStoreSuite extends SparkSuite {
       "current generations, other hashes/knobs, and untokened entries survive")
     assert(onDisk(s"$stem-d-v2-h") && onDisk(s"$stem-d-v1-h-extra-v2-h"),
       "exact-name deletion must not take prefix-colliding siblings")
+    assert(onDisk(s"$stem-e-v1-v3-h") && onDisk(s"$stem-e-v2-v3-h"),
+      "distinct v\\d+-shaped variants at the same generation both survive")
+    assert(!onDisk(s"$stem-f-v1-v1-h") && onDisk(s"$stem-f-v1-v2-h"),
+      "adjacent-token chain: the lower generation retires, the higher survives")
     // a retired generation rebuilds cleanly if something re-requests it
     var rebuilds = 0
     val back = IndexStore.readOrBuild(spark, s"$stem-a-v1-h1", "fp") {
