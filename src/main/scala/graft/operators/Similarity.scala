@@ -979,11 +979,35 @@ object Similarity {
     * (idCol, v, n2)-vector frame and (idCol, cent_id) multi-assign
     * frame — shared by the inline [[ivfScoredPairs]] and the
     * index-served [[knnJoinPrebuilt]].
+    *
+    * r21: the (cent_id, id) projection is repartitioned by cent_id to
+    * the session's parallelism BEFORE the id_a/id_b aliasing, for two
+    * reasons measured on the sf0.1 board (JobGapProbe/R21VolProbe):
+    *
+    *  - REUSE: with the aliasing below the exchange, the two join
+    *    legs were distinct subtrees and the entire multi-assign pass
+    *    (the n x C encode) planned and RAN twice per call; with the
+    *    aliasing above a shared exchange, ReuseExchange computes it
+    *    once.
+    *  - WIDTH: the legs are ~16 bytes/row, so AQE's advisory-size
+    *    coalescing squeezed the join inputs to 1-2 partitions — and
+    *    the per-cell pair EXPLOSION (sum m_c^2: 6.4M rows from 48k
+    *    input rows at sf0.1, the dominant job of every row in this
+    *    family) ran effectively single-threaded. Byte-based advisory
+    *    sizing cannot see output explosion; the explicit width pins
+    *    the explode + vote stage to the session's cores. The width
+    *    follows defaultParallelism (no local[32] constant), so the
+    *    pair work per task stays pairs/width under the sqrt-law at
+    *    any scale.
     */
   private def ivfScoredPairsFrom(cp: DataFrame, multi: DataFrame,
       minSharedCells: Int, idCol: String): DataFrame = {
-    val pairs = multi.select(col("cent_id"), col(idCol).as("id_a"))
-      .join(multi.select(col("cent_id"), col(idCol).as("id_b")), Seq("cent_id"))
+    val width = math.max(2,
+      multi.sparkSession.sparkContext.defaultParallelism)
+    val slim = multi.select(col("cent_id"), col(idCol))
+      .repartition(width, col("cent_id"))
+    val pairs = slim.select(col("cent_id"), col(idCol).as("id_a"))
+      .join(slim.select(col("cent_id"), col(idCol).as("id_b")), Seq("cent_id"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("__shared"))
