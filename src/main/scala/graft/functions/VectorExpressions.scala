@@ -56,8 +56,180 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
     copy(l, r)
 }
 
+/** `nearest_cells(v, n2)`: the `take` nearest centroid ids of a
+  * quantized vector against a DRIVER-COLLECTED centroid table, by
+  * (cosine desc, cent_id asc) — the fused-kernel form of the literal
+  * argmin the ANN family compiled as a `least(struct(...))` /
+  * `array_sort` chain of C struct entries.
+  *
+  * Why an expression instead of the literal chain (r21): the chain's
+  * expression TREE grows as ~15 x C nodes and its generated source as
+  * O(C) struct comparators — at C = 64-256 the driver spent 0.4-0.5 s
+  * per call in Catalyst tree transforms and ~0.35 s in Janino on the
+  * PQ/IVF rows (R21GapProf stack histogram), all of it per-call
+  * planning tax, none of it data work. This node is ~3 Catalyst nodes
+  * holding the table as plain JVM arrays (shipped once via the
+  * codegen references array), and its kernel is the SAME arithmetic:
+  * cos = dot(v, cv) / sqrt((n2 * cn2).toDouble) with NaN -> -Infinity
+  * (the [[graft.operators.Similarity]] assignCos contract), ranked by
+  * java.lang.Double.compare with cent_id ties ascending —
+  * line-for-line the already-pinned driver mirror
+  * (`Similarity.driverNearestCells`), which two rounds of suites hold
+  * bit-identical to the literal-chain form.
+  *
+  * Null-v rows return NULL (no cells) — the JOINED assignment path's
+  * behavior (a null score never enters the bounded top-k heap). The
+  * replaced literal chain instead parked null-v rows in the lowest
+  * cent_ids (nulls-first struct ordering); the difference is
+  * unobservable in every output because a null vector's cosine /
+  * ADC distance is null downstream and every verify filter and top-k
+  * admission rejects it (suite-pinned on null-embedding corpora).
+  */
+case class NearestCellsK(left: Expression, right: Expression,
+    ids: Array[Long], cents: Array[Array[Long]], norms: Array[Long],
+    take: Int) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+  override def checkInputDataTypes() = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells needs (ARRAY<BIGINT>, BIGINT), got ${left.dataType}, ${right.dataType}")
+  }
+
+  /** The fused argmin/top-take: mirrors Similarity.driverNearestCells
+    * exactly (same IEEE double ops, same comparator, same tiebreak).
+    */
+  def kernel(vRaw: Any, n2: Long): ArrayData = {
+    val v = vRaw.asInstanceOf[ArrayData]
+    val c = ids.length
+    val n = if (take < c) take else c
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    // negated cosines (NaN -> +Infinity via the -(-Inf) identity)
+    val ncs = new Array[Double](c)
+    var j = 0
+    while (j < c) {
+      val cv = cents(j)
+      var dot = 0L
+      var i = 0
+      while (i < cv.length) { dot += v.getLong(i) * cv(i); i += 1 }
+      val raw = dot.toDouble / math.sqrt((n2 * norms(j)).toDouble)
+      ncs(j) = if (java.lang.Double.isNaN(raw)) Double.PositiveInfinity else -raw
+      j += 1
+    }
+    val out = new Array[Long](n)
+    if (n == 1) {
+      // single-pass argmin by (nc asc, id asc)
+      var best = 0
+      j = 1
+      while (j < c) {
+        val cmp = java.lang.Double.compare(ncs(j), ncs(best))
+        if (cmp < 0 || (cmp == 0 && ids(j) < ids(best))) best = j
+        j += 1
+      }
+      out(0) = ids(best)
+    } else {
+      // full index sort by (nc asc, id asc), take the first n — the
+      // centroid table is driver-collected (<= 256 rows), so the sort
+      // is trivial next to the C dot products above
+      val idx = Array.range(0, c)
+      val boxed = idx.map(Integer.valueOf)
+      java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => {
+        val cmp = java.lang.Double.compare(ncs(a), ncs(b))
+        if (cmp != 0) cmp else java.lang.Long.compare(ids(a), ids(b))
+      })
+      var i = 0
+      while (i < n) { out(i) = ids(boxed(i)); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override def nullSafeEval(v: Any, n2: Any): Any =
+    kernel(v, n2.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCellsK", this,
+      classOf[NearestCellsK].getName)
+    defineCodeGen(ctx, ev, (v, n2) => s"$ref.kernel($v, $n2)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCellsK =
+    copy(left = l, right = r)
+}
+
+/** `pq_encode(v)`: the m PQ codes of a quantized vector against a
+  * DRIVER-COLLECTED codebook — per subspace s, the index j minimizing
+  * the exact integer L2 distance |v_s|² + |e|² − 2·v_s·e, ties to the
+  * lower j. The fused-kernel form of the encode projection's m
+  * `least(struct(d, j))` chains over ksub entries each (same
+  * planning-tax rationale as [[NearestCellsK]]); the arithmetic is
+  * the identical expansion on the identical quantized integers, so
+  * codes are bit-equal. Null-v rows return NULL codes (the replaced
+  * chain's nulls-first least() picked code 0 with a meaningless
+  * distance; a null vector's ADC distance is never admitted by the
+  * bounded top-k on any path, so the outputs agree — suite-pinned on
+  * null-embedding corpora).
+  */
+case class PqEncodeK(child: Expression, cb: Array[Array[Array[Long]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode needs ARRAY<BIGINT>, got $t")
+  }
+  def kernel(vRaw: Any): ArrayData = {
+    val v = vRaw.asInstanceOf[ArrayData]
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * sub
+      var vn2 = 0L
+      var i = 0
+      while (i < sub) { val x = v.getLong(base + i); vn2 += x * x; i += 1 }
+      val entries = cb(s)
+      var bestJ = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < entries.length) {
+        val e = entries(j)
+        var en2 = 0L
+        var dot = 0L
+        i = 0
+        while (i < sub) {
+          val x = e(i); en2 += x * x; dot += v.getLong(base + i) * x; i += 1
+        }
+        val d = vn2 + en2 - 2L * dot
+        if (d < bestD) { bestD = d; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+  override def nullSafeEval(v: Any): Any = kernel(v)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeK", this, classOf[PqEncodeK].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.kernel($v)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeK =
+    copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def dot_long(a: Column, b: Column): Column =
     column(DotLong(expression(a), expression(b)))
+  def nearest_cells(v: Column, n2: Column, ids: Array[Long],
+      cents: Array[Array[Long]], norms: Array[Long], take: Int): Column =
+    column(NearestCellsK(expression(v), expression(n2), ids, cents, norms, take))
+  def pq_encode(v: Column, cb: Array[Array[Array[Long]]]): Column =
+    column(PqEncodeK(expression(v), cb))
 }

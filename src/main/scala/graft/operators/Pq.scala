@@ -201,28 +201,19 @@ object Pq {
     */
   def encode(prep: DataFrame, cb: Array[Array[Array[Long]]],
       idCol: String = "vec_id", cellCol: Option[Column] = None): DataFrame = {
-    val m = cb.length
-    val sub = cb(0)(0).length
-    val codeCols = (0 until m).map { s =>
-      val vs = slice(col("v"), s * sub + 1, sub)
-      val vn2 = Similarity.dotQ(vs, vs)
-      val cands = cb(s).indices.map { j =>
-        val e = cb(s)(j)
-        val en2 = e.map(x => x * x).sum
-        struct(
-          (vn2 + lit(en2) - lit(2L) * Similarity.dotQ(vs, lit(e))).as("d"),
-          lit(j).as("j"))
-      }
-      least(cands: _*).getField("j").as(s"__c$s")
-    }
-    // cellCol (an expression over the prep's v/n2, e.g. a literal
-    // nearest-centroid argmin) FUSES the IVF cell assignment into the
-    // same single projection — one corpus pass, no assignment join
+    // r21: one fused-kernel expression per row instead of m
+    // least(struct(d, j)) chains over ksub entries each — the chains'
+    // expression tree was the other half of the PQ rows' per-call
+    // Catalyst + Janino tax (R21GapProf; see litNearestCells). The
+    // kernel computes the identical |v_s|² + |e|² − 2·v_s·e integer
+    // expansion with ties to the lower j, so codes are bit-equal.
+    // cellCol (an expression over the prep's v/n2, e.g. the fused
+    // nearest-cells kernel) still FUSES the IVF cell assignment into
+    // the same single projection — one corpus pass, no assignment join
     val cell = cellCol.map(_.as("cent_id")).toSeq
-    prep.select(col(idCol) +: codeCols ++: cell: _*)
-      .select(col(idCol) +:
-        array((0 until m).map(s => col(s"__c$s")): _*).as("codes") +:
-        cell.map(_ => col("cent_id")): _*)
+    prep.select(col(idCol) +:
+      graft.functions.VectorFunctions.pq_encode(col("v"), cb).as("codes") +:
+      cell: _*)
   }
 
   /** Total exact-integer quantization distortion of a codebook over

@@ -261,21 +261,18 @@ object Similarity {
     * literal and the heap path, at any partitioning.
     */
   private[operators] def litNearestCells(cents: Array[CentRow], take: Int,
-      v: Column = col("v"), n2: Column = col("n2")): Column = {
-    val entries = cents.map { c =>
-      struct((-assignCos(dotQ(v, lit(c.cv)), n2, lit(c.cn2))).as("nc"),
-        lit(c.id).as("cid"))
-    }.toSeq
-    // degenerate tables the joined shape handles naturally: an empty
-    // centroid table assigns nothing (empty probe array -> explode
-    // yields no rows), and a 1-row table needs no comparator at all
-    // (catalyst's least() rejects fewer than 2 children)
-    if (entries.isEmpty) array().cast("array<bigint>")
-    else if (entries.size == 1) array(lit(cents.head.id))
-    else if (take == 1) array(least(entries: _*).getField("cid"))
-    else transform(slice(array_sort(array(entries: _*)), 1, take),
-      e => e.getField("cid"))
-  }
+      v: Column = col("v"), n2: Column = col("n2")): Column =
+    // r21: one fused-kernel expression instead of a C-entry
+    // least(struct)/array_sort literal chain — the chain's ~15 x C
+    // node tree cost 0.4-0.5 s of Catalyst transforms plus ~0.35 s of
+    // Janino PER CALL on the PQ/IVF rows (R21GapProf); the kernel is
+    // the driverNearestCells arithmetic (already suite-pinned
+    // bit-identical to the chain) behind ~3 nodes. An empty table
+    // still assigns nothing (empty array -> explode yields no rows);
+    // null-v rows now get NULL (no cells) like the joined heap path —
+    // unobservable downstream, see the NearestCellsK scaladoc.
+    graft.functions.VectorFunctions.nearest_cells(v, n2,
+      cents.map(_.id), cents.map(_.cv), cents.map(_.cn2), take)
 
   /** [[nearestCentroids]] against pre-collected literal centroids:
     * one map-side projection, no join, no shuffle.
