@@ -211,7 +211,10 @@ object Pq {
     // nearest-cells kernel) still FUSES the IVF cell assignment into
     // the same single projection — one corpus pass, no assignment join
     val cell = cellCol.map(_.as("cent_id")).toSeq
-    prep.select(col(idCol) +:
+    // kernelFloor (r21): the encode is m x ksub x sub dots per row
+    // fused into the consumer's map stage — single-task over a
+    // one-split corpus scan without it (see nearestCentroidsFromRows)
+    graft.core.Parallelism.kernelFloor(prep).select(col(idCol) +:
       graft.functions.VectorFunctions.pq_encode(col("v"), cb).as("codes") +:
       cell: _*)
   }

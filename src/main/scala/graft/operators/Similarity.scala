@@ -199,33 +199,36 @@ object Similarity {
     cp.filter(col("v").isNotNull).orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
 
-  /** Centroid tables at or below this row count compile into the
-    * assignment expression as LITERALS ([[litNearestCells]]): the
-    * argmin runs entirely map-side in one whole-stage-codegen
-    * projection — no broadcast build, no bounded-agg shuffle, no
-    * per-vector heap. Past it (the sqrt-law count outgrows codegen's
-    * per-method budget) assignment falls back to the broadcast-join +
-    * bounded-top-k shape. This row cap bounds what the driver
-    * collects; whether a collected table actually compiles well is
-    * the DOT budget below ([[literalEligible]]) — expression size
-    * grows as C x dim, not C.
+  /** Centroid tables at or below this row count run the assignment as
+    * a map-side fused-kernel argmin ([[litNearestCells]] →
+    * [[graft.functions.NearestCellsK]]): no broadcast build, no
+    * bounded-agg shuffle, no per-vector heap. Past it assignment
+    * falls back to the broadcast-join + bounded-top-k shape.
+    *
+    * r21 re-measurement: the old 256-row cap and the 8192-dot codegen
+    * budget guarded the least(struct)-chain form, whose generated
+    * code grew with C and LOST past C=128 (1.26 s at C=179, 3x
+    * variance). The kernel expression has O(1) codegen, so the cliff
+    * is gone — the fresh TwoLevelProbe sweep has literal WINNING at
+    * every C through 179 (0.118-0.152 s vs 0.436-0.487 s joined,
+    * take 1/4, tight spreads). What remains bounded is the DRIVER
+    * COLLECT and the table shipped inside the expression — the dot
+    * budget below now prices that payload, and this row cap tracks
+    * it at dim 64.
     */
-  private[operators] val MaxLiteralCentroids = 256
+  private[operators] val MaxLiteralCentroids = 4096
 
-  /** Literal-compilation budget in total literal dot terms (C x dim).
-    * Measured at dim 64 (examples/TwoLevelProbe, sf0.1, 5-rep
-    * medians): the literal argmin beats the joined heap through
-    * C = 96 (0.33 vs 0.40 s), breaks even around C = 128 (0.47 vs
-    * 0.41) and LOSES past it — at C = 179 the take=1 least() chain
-    * costs 1.26 s vs 0.78 s joined, with 3x run-to-run variance from
-    * the generated-code size. 8192 = 128 x 64 puts the switch at the
-    * measured breakeven and scales it to other dimensions.
+  /** Literal-table payload budget in total dot terms (C x dim) — 8
+    * bytes per term, so 262144 = 2 MiB of shipped centroid table (and
+    * C = 4096 at dim 64). Not a codegen limit since the r21 kernel;
+    * it bounds driver collect size and per-task reference weight.
+    * Tables past it use the joined heap (or two-level) shape.
     */
-  private[operators] val LiteralDotBudget = 8192
+  private[operators] val LiteralDotBudget = 262144
 
-  /** A collected table compiles to literals only when its total dot
-    * terms fit [[LiteralDotBudget]] — otherwise the joined shape is
-    * both faster and far lower-variance (outputs are pinned
+  /** A collected table runs the fused-kernel argmin only when its
+    * total dot terms fit [[LiteralDotBudget]] — otherwise the joined
+    * shape bounds driver and task memory (outputs are pinned
     * identical either way, so the gate changes cost only).
     */
   private[graft] def literalEligible(cents: Array[CentRow]): Boolean =
@@ -275,12 +278,20 @@ object Similarity {
       cents.map(_.id), cents.map(_.cv), cents.map(_.cn2), take)
 
   /** [[nearestCentroids]] against pre-collected literal centroids:
-    * one map-side projection, no join, no shuffle.
+    * one map-side projection, no join, no (data-dependent) shuffle.
+    *
+    * r21: [[graft.core.Parallelism.kernelFloor]] on the vector frame —
+    * the argmin is C x dim dots PER ROW fused into the consumer's map
+    * stage, and a corpus whose scan (or cache) arrives in one split
+    * ran the whole pass single-task (JobGapProbe: the embedding
+    * family's twin 0.6-0.7 s one-task assignment jobs). A no-op at
+    * cluster scale, like every other kernelFloor site.
     */
   private[graft] def nearestCentroidsFromRows(p: DataFrame,
       cents: Array[CentRow], take: Int, idCol: String): DataFrame =
-    p.select(col(idCol), col("v"), col("n2"),
-      explode(litNearestCells(cents, take)).as("cent_id"))
+    graft.core.Parallelism.kernelFloor(p)
+      .select(col(idCol), col("v"), col("n2"),
+        explode(litNearestCells(cents, take)).as("cent_id"))
 
   /** A collected prepared-vector row: (id, quantized vector, norm2). */
   private[operators] final case class VecRow(id: Long, v: Array[Long], n2: Long)
@@ -361,7 +372,9 @@ object Similarity {
     */
   private[graft] def nearestCentroidsJoined(p: DataFrame, cent: DataFrame,
       take: Int, idCol: String): DataFrame =
-    p.join(broadcast(cent))
+    // r21: kernelFloor — see nearestCentroidsFromRows; the joined
+    // heap's n x C dot pass has the same one-split single-task hazard
+    graft.core.Parallelism.kernelFloor(p).join(broadcast(cent))
       .select(col(idCol), col("v"), col("n2"), col("cent_id"),
         assignCos(dotQ(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
       .groupBy(col(idCol), col("v"), col("n2"))

@@ -473,7 +473,7 @@ class SimilaritySuite extends SparkSuite {
     // multi-chunk result against the single-chunk one
     val c = pqCorpus(60, 32, seed = 29)
     val q = c.filter($"vec_id" < 5)
-    val cents = 260 // > Similarity.MaxLiteralCentroids (256)
+    val cents = 4100 // > Similarity.MaxLiteralCentroids (4096)
     val one = graft.operators.Pq.ivfPqTopK(c, q, k = 4,
       numCentroids = cents, nprobe = cents).orderBy("query_id", "rank")
       .collect().map(_.toSeq).toSeq
