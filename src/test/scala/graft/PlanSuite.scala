@@ -217,23 +217,31 @@ class PlanSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
-  test("literal assignment routes on the C x dim dot budget") {
+  test("literal assignment routes on the payload bound (4096 rows / 262144 dot terms)") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val prep = graft.operators.Similarity.prepared(e, "embedding", "vec_id")
-    // dim 64: C=64 (4096 terms) fits the 8192 budget -> literal
-    // projection, no join in the assignment subtree
+    // r21 re-gate: the old 8192-term codegen budget guarded the
+    // least(struct)-chain form; the fused kernel is O(1) in C, so the
+    // gate now prices the shipped table (4096 rows / 2 MiB of dot
+    // terms). C=160 at dim 64 (10240 terms) is literal — a fused
+    // nearest_cells projection, no join in the assignment subtree.
     val under = graft.operators.Similarity.nearestCentroids(prep,
-      graft.operators.Similarity.centroidSample(prep, 64, "vec_id"),
+      graft.operators.Similarity.centroidSample(prep, 160, "vec_id"),
       1, "vec_id")
     val pUnder = under.queryExecution.executedPlan.toString
     assert(!pUnder.contains("Join"), pUnder.take(4000))
-    // C=160 (10240 terms) exceeds it -> joined heap, never the
-    // over-budget generated argmin (the pin that keeps the measured
-    // win from silently reverting)
-    val over = graft.operators.Similarity.nearestCentroids(prep,
-      graft.operators.Similarity.centroidSample(prep, 160, "vec_id"),
-      1, "vec_id")
+    assert(pUnder.contains("nearest_cells"), pUnder.take(4000))
+    // past MaxLiteralCentroids (4096 rows) the collect never
+    // materializes the table on the driver and assignment falls back
+    // to the broadcast-join + bounded-heap shape — the pin that keeps
+    // corpus-scale centroid tables off the driver and out of task
+    // closures
+    val wide = spark.range(4097).select(
+      col("id").as("cent_id"),
+      array((0 until 64).map(i => col("id") + lit(i)): _*).as("cv"),
+      lit(1L).as("cn2"))
+    val over = graft.operators.Similarity.nearestCentroids(prep, wide, 1, "vec_id")
     val pOver = over.queryExecution.executedPlan.toString
     assert(pOver.contains("Join"), pOver.take(4000))
     spark.catalog.clearCache()
