@@ -245,6 +245,52 @@ object TokenizeKernels {
       new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  /** Combined per-document feature frequencies: nonempty unigram AND
+    * n-gram occurrence counts in ONE map from ONE byte walk — the
+    * union of [[wsTermCounts]] and [[wsNgramCounts]] (n ≥ 2 means an
+    * n-gram always contains a 0x20 joiner and a token never does, so
+    * the two key populations cannot collide and remain separable by
+    * `contains ' '`). Unigram keys first in first-occurrence order,
+    * then n-gram keys in first-occurrence order — deterministic at
+    * any parallelism. One walk over the trimmed bytes replaces the
+    * two separate kernel passes the LM/DSIR model builds paid (each
+    * pass re-trims, re-spans and re-hashes the same text).
+    */
+  def wsFeatureCounts(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.MapData = {
+    val bytes = s.getBytes
+    val (lo, hi) = trimmed(bytes)
+    val (starts, ends) = nonEmptySpans(bytes, lo, hi)
+    val m = starts.size()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var j = 0
+    while (j < m) {
+      val t = UTF8String.fromBytes(bytes, starts.get(j),
+        ends.get(j) - starts.get(j))
+      val c = counts.get(t)
+      if (c == null) counts.put(t, Array(1L)) else c(0) += 1L
+      j += 1
+    }
+    j = 0
+    while (j + n <= m) {
+      val g = gramAt(bytes, starts, ends, j, n)
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1L)) else c(0) += 1L
+      j += 1
+    }
+    val keys = new Array[Any](counts.size())
+    val vals = new Array[Any](counts.size())
+    var k = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = e.getKey
+      vals(k) = e.getValue()(0)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   def wsTokenCount(s: UTF8String): Int = {
     val bytes = s.getBytes
     val (lo, hi) = trimmed(bytes)
@@ -397,6 +443,32 @@ case class WsNgramCounts(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `ws_feature_counts(text, n)`: per-document unigram + n-gram ->
+  * count map, one byte walk — see
+  * [[TokenizeKernels.wsFeatureCounts]]. The counts twin of
+  * [[WsNgramFeatures]] (multiplicity as the value, not repeated
+  * elements) and the one-pass union of [[WsTermCounts]] and
+  * [[WsNgramCounts]].
+  */
+case class WsFeatureCounts(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"ws_feature_counts n $n must be >= 2")
+  override def dataType: DataType = org.apache.spark.sql.types
+    .MapType(StringType, org.apache.spark.sql.types.LongType,
+      valueContainsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"ws_feature_counts needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernels.wsFeatureCounts(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenizeKernels.wsFeatureCounts($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WsFeatureCounts =
+    copy(child = c)
+}
+
 object TokenizeFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def ws_tokens(c: Column): Column = column(WsTokens(expression(c)))
@@ -411,4 +483,6 @@ object TokenizeFunctions {
     column(WsTermCounts(expression(c)))
   def ws_ngram_counts(c: Column, n: Int): Column =
     column(WsNgramCounts(expression(c), n))
+  def ws_feature_counts(c: Column, n: Int): Column =
+    column(WsFeatureCounts(expression(c), n))
 }

@@ -110,12 +110,25 @@ case class NearestCellsK(left: Expression, right: Expression,
     if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     // negated cosines (NaN -> +Infinity via the -(-Inf) identity)
     val ncs = new Array[Double](c)
+    // a ragged row shorter than the centroid dim contributes 0 for its
+    // missing components (the pre-kernel slice/zip semantics) instead
+    // of reading past the row's UnsafeArrayData
+    val vn = v.numElements()
     var j = 0
     while (j < c) {
       val cv = cents(j)
+      val lim = if (cv.length < vn) cv.length else vn
       var dot = 0L
       var i = 0
-      while (i < cv.length) { dot += v.getLong(i) * cv(i); i += 1 }
+      while (i < lim) { dot += v.getLong(i) * cv(i); i += 1 }
+      // NOTE (ADVICE r21): the denominator long product can wrap for
+      // extreme-norm corpora (n2 * cn2 >= 2^63), where the joined
+      // path's BIGINT product throws under ANSI instead — the same
+      // quirk Similarity.driverNearestCells documents. Kept as the
+      // single rounding (exact long product -> one double) so the
+      // cosine doubles stay bit-identical to the SQL
+      // sqrt(cast(n2*cn2 as double)) the oracle replays; quantized
+      // norms at the registered scales stay far below the cliff.
       val raw = dot.toDouble / math.sqrt((n2 * norms(j)).toDouble)
       ncs(j) = if (java.lang.Double.isNaN(raw)) Double.PositiveInfinity else -raw
       j += 1
@@ -133,8 +146,9 @@ case class NearestCellsK(left: Expression, right: Expression,
       out(0) = ids(best)
     } else {
       // full index sort by (nc asc, id asc), take the first n — the
-      // centroid table is driver-collected (<= 256 rows), so the sort
-      // is trivial next to the C dot products above
+      // centroid table is driver-collected (<= 4096 rows under the
+      // r21 payload gate), so the C log C sort stays trivial next to
+      // the C x dim dot products above at every admitted C
       val idx = Array.range(0, c)
       val boxed = idx.map(Integer.valueOf)
       java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => {
@@ -164,11 +178,14 @@ case class NearestCellsK(left: Expression, right: Expression,
   * `least(struct(d, j))` chains over ksub entries each (same
   * planning-tax rationale as [[NearestCellsK]]); the arithmetic is
   * the identical expansion on the identical quantized integers, so
-  * codes are bit-equal. Null-v rows return NULL codes (the replaced
-  * chain's nulls-first least() picked code 0 with a meaningless
-  * distance; a null vector's ADC distance is never admitted by the
-  * bounded top-k on any path, so the outputs agree — suite-pinned on
-  * null-embedding corpora).
+  * codes are bit-equal. Null-v rows return NULL codes, matching the
+  * joined path; the replaced chain's nulls-first least() instead gave
+  * a null row codes [0,0,...], whose ADC distance is FINITE — so on a
+  * corpus with null embeddings the chain could rank a null doc where
+  * this kernel never does. The NULL-codes contract is the correct
+  * one (a null vector has no meaningful distance) and is pinned by
+  * SimilaritySuite's null-embedding test on the pq/ivfpq top-k
+  * outputs.
   */
 case class PqEncodeK(child: Expression, cb: Array[Array[Array[Long]]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -186,13 +203,20 @@ case class PqEncodeK(child: Expression, cb: Array[Array[Array[Long]]])
     val v = vRaw.asInstanceOf[ArrayData]
     val m = cb.length
     val sub = cb(0)(0).length
+    // ragged rows shorter than m*sub contribute 0 for their missing
+    // components (the pre-kernel slice semantics) instead of reading
+    // past the row's UnsafeArrayData
+    val vn = v.numElements()
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
       val base = s * sub
       var vn2 = 0L
       var i = 0
-      while (i < sub) { val x = v.getLong(base + i); vn2 += x * x; i += 1 }
+      while (i < sub) {
+        val x = if (base + i < vn) v.getLong(base + i) else 0L
+        vn2 += x * x; i += 1
+      }
       val entries = cb(s)
       var bestJ = 0
       var bestD = Long.MaxValue
@@ -203,7 +227,10 @@ case class PqEncodeK(child: Expression, cb: Array[Array[Array[Long]]])
         var dot = 0L
         i = 0
         while (i < sub) {
-          val x = e(i); en2 += x * x; dot += v.getLong(base + i) * x; i += 1
+          val x = e(i)
+          en2 += x * x
+          if (base + i < vn) dot += v.getLong(base + i) * x
+          i += 1
         }
         val d = vn2 + en2 - 2L * dot
         if (d < bestD) { bestD = d; bestJ = j }

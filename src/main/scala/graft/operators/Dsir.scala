@@ -54,16 +54,23 @@ object Dsir {
   private def bucketOf(feature: Column, buckets: Int): Column =
     HashFunctions.md5_pair(feature).getItem(0) % buckets
 
-  /** MODEL-side feature stream of one frame: (bucket, w_r, w_t) with
-    * the given raw/target membership weights attached (document
+  /** MODEL-side feature stream of one frame: (bucket, tf, w_r, w_t)
+    * with the given raw/target membership weights attached (document
     * identity is irrelevant to bucket counting). The unigram+bigram
     * emission is the native byte-walk
-    * [[graft.functions.TokenizeExpressions]] `ws_ngram_features`
+    * [[graft.functions.TokenizeExpressions]] `ws_feature_counts`
     * kernel — the declarative `concat(tokens, transform(sequence,
     * element_at‖concat_ws))` form re-evaluates its inlined tokenize
     * subtree inside the higher-order lambda (the CollapseProject
     * trap the Shingle kernel documents) and measured ~1.7 s
-    * single-task at sf0.1 (DsirProbe); the kernel is one walk. The
+    * single-task at sf0.1 (DsirProbe); the kernel is one walk.
+    * r22: the COUNTS map replaces the one-row-per-occurrence
+    * `ws_ngram_features` array — multiplicity rides as `tf`, so the
+    * md5 bucket hash and the explode run once per DISTINCT feature
+    * per document instead of once per occurrence, and every count
+    * downstream weights by tf (Σ tf·w ≡ the former per-occurrence
+    * Σ w exactly — integer multiplication distributes over the
+    * order-free sum; the LM family's r15 lesson applied to DSIR). The
     * [[graft.core.Parallelism.kernelFloor]] guard spreads that walk
     * across cores when the source is a too-small-to-split scan —
     * a no-op at cluster scale.
@@ -72,10 +79,10 @@ object Dsir {
       wR: Column, wT: Column): DataFrame =
     graft.core.Parallelism.kernelFloor(df)
       .select(explode(
-        graft.functions.TokenizeFunctions.ws_ngram_features(
-          col(textCol), 2)).as("f"), wR.as("w_r"), wT.as("w_t"))
-      .select(bucketOf(col("f"), buckets).as("bucket"),
-        col("w_r"), col("w_t"))
+        graft.functions.TokenizeFunctions.ws_feature_counts(
+          col(textCol), 2)), wR.as("w_r"), wT.as("w_t"))
+      .select(bucketOf(col("key"), buckets).as("bucket"),
+        col("value").as("tf"), col("w_r"), col("w_t"))
 
   /** The dense B-slot quantized model from collected (bucket, c_r,
     * c_t) rows: q[b] = floor(1e9 · ln(((c_t+1)/(n_t+B)) /
@@ -110,7 +117,8 @@ object Dsir {
     */
   private def modelOf(feats: DataFrame, buckets: Int): Array[Long] =
     qArrayOf(feats.groupBy(col("bucket"))
-      .agg(sum(col("w_r")).as("c_r"), sum(col("w_t")).as("c_t"))
+      .agg(sum(col("tf") * col("w_r")).as("c_r"),
+        sum(col("tf") * col("w_t")).as("c_t"))
       .collect(), buckets)
 
   /** The self-target model array of `raw` vs its `targetPred` slice —
@@ -152,6 +160,40 @@ object Dsir {
             .cast("int"))).as("qsum")))
   }
 
+  /** SCORE-side hashed feature stream of one frame: (idCol, bucket,
+    * tf, keep...) — one `ws_feature_counts` walk, one md5 per
+    * DISTINCT feature per document (multiplicity rides as tf; see
+    * [[featStream]]). `keep` columns are evaluated in the kernel
+    * select and carried through by name.
+    */
+  private def docBucketCounts(raw: DataFrame, buckets: Int,
+      textCol: String, idCol: String,
+      keep: Seq[(Column, String)]): DataFrame =
+    graft.core.Parallelism.kernelFloor(raw)
+      .select(col(idCol) +: explode(
+        graft.functions.TokenizeFunctions.ws_feature_counts(
+          col(textCol), 2)) +:
+        keep.map { case (c, n) => c.as(n) }: _*)
+      .select(col(idCol) +: bucketOf(col("key"), buckets).as("bucket") +:
+        col("value").as("tf") +: keep.map { case (_, n) => col(n) }: _*)
+
+  /** The literal-probe + per-document aggregation tail over a
+    * [[docBucketCounts]] stream: (idCol, n_feats, logweight,
+    * extraCols...). n_feats = Σ tf and qsum = Σ q·tf are
+    * integer-exact equal to the former per-occurrence count/sum.
+    */
+  private def scoreBucketStream(feats: DataFrame, qArr: Array[Long],
+      buckets: Int, idCol: String, extraCols: Seq[String]): DataFrame =
+    feats
+      .select(col(idCol) +: col("tf") +: element_at(typedLit(qArr.toSeq),
+          (col("bucket") + lit(1L)).cast("int")).as("q") +:
+        extraCols.map(col): _*)
+      .groupBy(col(idCol) +: extraCols.map(col): _*)
+      .agg(sum(col("tf")).as("n_feats"), sum(col("q") * col("tf")).as("qsum"))
+      .select(col(idCol) +: col("n_feats") +:
+        (col("qsum").cast("double") / lit(1e9)).as("logweight") +:
+        extraCols.map(col): _*)
+
   /** Corpus-scale scoring of `raw` under `qArr`: (idCol, n_feats,
     * logweight, extraCols...), one row per document with ≥1 token —
     * the codegen'd explode + literal-array probe + map-side-partial
@@ -165,18 +207,10 @@ object Dsir {
     */
   private def scoreRows(raw: DataFrame, qArr: Array[Long], buckets: Int,
       textCol: String, idCol: String, extraCols: Seq[String]): DataFrame =
-    graft.core.Parallelism.kernelFloor(raw)
-      .select(col(idCol) +: explode(
-        graft.functions.TokenizeFunctions.ws_ngram_features(
-          col(textCol), 2)).as("f") +: extraCols.map(col): _*)
-      .select(col(idCol) +: element_at(typedLit(qArr.toSeq),
-          (bucketOf(col("f"), buckets) + lit(1L)).cast("int")).as("q") +:
-        extraCols.map(col): _*)
-      .groupBy(col(idCol) +: extraCols.map(col): _*)
-      .agg(count(lit(1)).as("n_feats"), sum(col("q")).as("qsum"))
-      .select(col(idCol) +: col("n_feats") +:
-        (col("qsum").cast("double") / lit(1e9)).as("logweight") +:
-        extraCols.map(col): _*)
+    scoreBucketStream(
+      docBucketCounts(raw, buckets, textCol, idCol,
+        extraCols.map(c => (col(c), c))),
+      qArr, buckets, idCol, extraCols)
 
   /** Per-document log importance weight of every raw document with at
     * least one token: (idCol, n_feats, logweight) where logweight =
@@ -200,13 +234,36 @@ object Dsir {
     * very pool"). One feature pass carries both memberships: w_r = 1
     * everywhere, w_t = 1 where the predicate holds. Output is
     * row-identical to `importanceWeights(raw, raw.filter(targetPred))`
-    * at half the tokenize work — pinned by DsirSubstringSuite.
+    * — pinned by DsirSubstringSuite.
+    *
+    * r22 (guide §5 cache-what-you-reuse; VERDICT r21 item 4): the
+    * model collect and the score pass consume the SAME hashed
+    * distinct-feature stream, so it is computed ONCE and persisted
+    * in-query — the model job (an eager driver action by
+    * construction: the literal must exist before the score plan)
+    * materializes the cache, and the score pass reads it instead of
+    * re-tokenizing and re-hashing the whole corpus a second time.
+    * The cached rows are (id, bucket, tf, w_t, extras): ~40 bytes per
+    * DISTINCT feature per document — at cluster scale MEMORY_AND_DISK
+    * spills it to local disk, which costs about what the second
+    * corpus read it replaces would, and at any smaller scale it is a
+    * straight halving of the dominant kernel work. Released by the
+    * caller via [[graft.core.OpCaches]] like every operator cache.
     */
   def importanceWeightsSelf(raw: DataFrame, targetPred: Column,
       buckets: Int = 8192, textCol: String = "text",
-      idCol: String = "doc_id", extraCols: Seq[String] = Nil): DataFrame =
-    scoreRows(raw, modelArraySelf(raw, targetPred, buckets, textCol),
-      buckets, textCol, idCol, extraCols)
+      idCol: String = "doc_id", extraCols: Seq[String] = Nil): DataFrame = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    val feats = graft.core.OpCaches.persistTracked(
+      docBucketCounts(raw, buckets, textCol, idCol,
+        extraCols.map(c => (col(c), c)) :+
+          ((when(targetPred, 1L).otherwise(0L), "w_t"))))
+    val qArr = qArrayOf(feats.groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("c_r"),
+        sum(col("tf") * col("w_t")).as("c_t"))
+      .collect(), buckets)
+    scoreBucketStream(feats, qArr, buckets, idCol, extraCols)
+  }
 
   /** [[modelArraySelf]] persisted through the [[graft.core.IndexStore]]
     * as a (bucket, q) frame: the corpus model pass runs once per

@@ -57,46 +57,43 @@ import graft.functions.TextFunctions
   */
 object Lm {
 
-  /** Bigram COUNT stream of one frame: (s = "a b", tf) per distinct
-    * consecutive nonempty token pair per document, via the
-    * `ws_ngram_counts` byte-walk map — multiplicity rides as the
-    * count instead of as repeated rows, so everything downstream
-    * (partial aggregation input, broadcast join probes) shrinks by
-    * the per-document repeat factor while every total stays an exact
-    * integer. A document with fewer than two tokens yields the empty
-    * map and explodes away. kernelFloor spreads the walk when the
-    * source scan is too small to split — a no-op at cluster scale.
-    */
-  private def bigramCountStream(df: DataFrame, textCol: String) =
-    graft.core.Parallelism.kernelFloor(df)
-      .select(explode(
-        graft.functions.TokenizeFunctions.ws_ngram_counts(col(textCol), 2)))
-      .select(col("key").as("s"), col("value").as("tf"))
-
   /** The trained model: (s = "a b" bigram, c_ab, c_a) for the `topM`
     * most frequent reference bigrams (ties: bigram string ascending),
     * plus the reference vocabulary size V — the Laplace denominator
     * and unknown-bigram mass. c_a is the reference unigram count of
     * the bigram's first token.
+    *
+    * r22 (guide §1.2 "remove unnecessary passes"): ONE
+    * `ws_feature_counts` byte walk and ONE map-side-combined
+    * aggregation produce BOTH count tables — the separate unigram and
+    * bigram passes each re-trimmed, re-spanned and re-aggregated the
+    * same reference text (two kernel passes + two exchanges; r21's
+    * board had their jobs as two of lm_perplexity's three dominant
+    * rounds). A token can never contain whitespace and an n≥2 gram
+    * always does, so `contains ' '` splits the combined stream back
+    * into the exact unigram/bigram populations; counts are the same
+    * integers, so the model (and every downstream score) is
+    * bit-identical. The combined frame is persisted lazily —
+    * deliberately: the model join and the vocabulary-size subtree
+    * (bigramLmPlan) do race this cache when they broadcast-
+    * materialize concurrently, but the duplicated pass is a
+    * reference-slice tokenize running on otherwise-idle cores, and
+    * an eager count() would serialize the whole model build behind
+    * it (round-13 JobGapProbe: eager form slower end-to-end,
+    * wall 1.34 → 1.59 s).
     */
   private def uniAndLm(reference: DataFrame, textCol: String,
       topM: Int): (DataFrame, DataFrame) = {
     val nonBlank = reference.filter(length(btrim(col(textCol))) > 0)
-    // lazy persist, deliberately: the model join and the vocabulary-
-    // size subtree (bigramLmPlan) do race this cache when they
-    // broadcast-materialize concurrently, but the duplicated pass is
-    // a reference-slice tokenize running on otherwise-idle cores,
-    // and an eager count() would serialize the whole model build
-    // behind it (round-13 JobGapProbe measured the eager form slower
-    // end-to-end: wall 1.34 → 1.59 s)
-    val uni = nonBlank
-      .select(explode(graft.functions.TokenizeFunctions
-        .ws_term_counts(col(textCol))))
-      .groupBy(col("key")).agg(sum(col("value")).as("c_a"))
-      .withColumnRenamed("key", "t")
+    val cnt = graft.core.Parallelism.kernelFloor(nonBlank)
+      .select(explode(
+        graft.functions.TokenizeFunctions.ws_feature_counts(col(textCol), 2)))
+      .groupBy(col("key")).agg(sum(col("value")).as("c"))
       .transform(graft.core.OpCaches.persistTracked)
-    val lm = bigramCountStream(reference, textCol)
-      .groupBy(col("s")).agg(sum(col("tf")).as("c_ab"))
+    val uni = cnt.filter(!col("key").contains(" "))
+      .select(col("key").as("t"), col("c").as("c_a"))
+    val lm = cnt.filter(col("key").contains(" "))
+      .select(col("key").as("s"), col("c").as("c_ab"))
       .orderBy(col("c_ab").desc, col("s").asc).limit(topM)
       // a token cannot contain whitespace, so the shingle's first
       // space splits off the context token exactly

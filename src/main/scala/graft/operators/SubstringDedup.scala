@@ -182,7 +182,22 @@ object SubstringDedup {
     val wins =
       if (persistWins) graft.core.OpCaches.persistTrackedEager(winsPlan)
       else winsPlan
-    wins.join(dupKeysOf(wins), Seq("h1", "h2"), "left_semi")
+    // r22 (guide §1.2/§2.4): "occurs >= 2 times" is a per-key COUNT
+    // over one exchange of the window stream, not a count-aggregate
+    // joined back to a second copy of the stream — the former
+    // count-then-semi-join shape tokenized and hashed the whole corpus
+    // TWICE (the probe side and the dup-key side each re-derived
+    // windowKeys; plans/r22/dup_spans_before.txt ops 3 and 9) and
+    // exchanged both the full stream and the key table. One stream,
+    // one (h1, h2) exchange, one unbounded count frame — identical
+    // predicate, so outputs are row-identical (DsirSubstringSuite +
+    // oracle). Skew note: a window key repeated k times buffers k rows
+    // in one WindowExec group, exactly what the SMJ/broadcast probe
+    // partition held before; the buffer spills.
+    val byKey = Window.partitionBy(col("h1"), col("h2"))
+    wins.select(col(idCol), col("s"), col("h1"), col("h2"))
+      .withColumn("__kc", count(lit(1)).over(byKey))
+      .filter(col("__kc") >= 2)
       .select(col(idCol), col("s"), (col("s") + lit(w.toLong) - 1L).as("e"))
   }
 

@@ -211,6 +211,44 @@ class PropertiesSuite extends SparkSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("ws_feature_counts equals the merged term + ngram count maps (randomized)") {
+    // the one-pass LM/DSIR model emission: unigram and n-gram counts
+    // in one map, separable by `contains ' '` (a token can never
+    // contain whitespace; an n>=2 gram always does)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val piece = Gen.oneOf("a", "bb", "a", "ccc", "Ω≈", "a", "x1", " ",
+      "  ", "\t", "\n", "", "\f", "\r", "\r\n", "bb",
+      "", "", " ", "😀")
+    val genText = Gen.choose(0, 14).flatMap(k =>
+      Gen.listOfN(k, piece).map(_.mkString(" ")))
+    val params = Gen.Parameters.default
+    val texts = (0 until 300).flatMap(i =>
+      genText.apply(params, Seed(9473L + i)))
+    for (n <- Seq(2, 3)) {
+      val got = texts.toDF("text")
+        .select(col("text"),
+          graft.functions.TokenizeFunctions.ws_feature_counts(col("text"), n).as("fc"),
+          graft.functions.TokenizeFunctions.ws_term_counts(col("text")).as("tc"),
+          graft.functions.TokenizeFunctions.ws_ngram_counts(col("text"), n).as("nc"))
+        .collect()
+      got.foreach { r =>
+        val fc = r.getMap[String, Long](1).toMap
+        val want = r.getMap[String, Long](2).toMap ++ r.getMap[String, Long](3).toMap
+        assert(fc == want, s"n=$n diverges for <${r.getString(0)}>: $fc vs $want")
+        val (grams, unis) = fc.keySet.partition(_.contains(" "))
+        assert(unis == r.getMap[String, Long](2).toMap.keySet &&
+          grams == r.getMap[String, Long](3).toMap.keySet,
+          s"n=$n key populations not separable by space for <${r.getString(0)}>")
+      }
+    }
+    // null propagates
+    val nulls = Seq[(Integer, String)]((1, null)).toDF("i", "text")
+      .select(graft.functions.TokenizeFunctions.ws_feature_counts(col("text"), 2))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("ws_tokens family equals the regex split forms (randomized)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

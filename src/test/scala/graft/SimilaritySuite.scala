@@ -281,6 +281,19 @@ class SimilaritySuite extends SparkSuite {
     val nbrs = Similarity.cosineTopK(corpus, queries, 10)
       .collect().map(_.getLong(1)).toSet
     assert(nbrs.intersect(nullIds).isEmpty, s"null ids ranked: $nbrs")
+    // ...and never on the PQ paths either (ADVICE r21): the kernel's
+    // NULL codes are never admitted by the bounded top-k, where the
+    // pre-kernel chain gave null rows codes [0,...] whose FINITE ADC
+    // distance could rank — this pins the NULL-codes contract
+    // output shape is (query_id, rank, vec_id, pq_dist) — the
+    // neighbor id is column 2
+    val pqNbrs = Pq.pqTopK(corpus, queries, 10, m = 4, ksub = 8)
+      .collect().map(_.getLong(2)).toSet
+    assert(pqNbrs.intersect(nullIds).isEmpty, s"null ids pq-ranked: $pqNbrs")
+    val ivfPqNbrs = Pq.ivfPqTopK(corpus, queries, 10, numCentroids = 8,
+      nprobe = 8).collect().map(_.getLong(2)).toSet
+    assert(ivfPqNbrs.intersect(nullIds).isEmpty,
+      s"null ids ivfpq-ranked: $ivfPqNbrs")
     // the fitted codebook path runs on a null-containing corpus too
     assert(Pq.kmeansCodebook(corpus, m = 4, ksub = 8).length == 4)
     graft.core.OpCaches.release()
