@@ -1489,7 +1489,11 @@ object SparkEntry {
       // to eight kernel walks per row (GateMicroProbe r15: 16.4 s vs
       // 0.37 s at the 10x corpus)
       val gated = docs.join(
-        graft.core.Parallelism.kernelFloor(docs)
+        // heavy = true: the repetition-profile walk is ~0.3 ms/doc —
+        // the one kernel measured to still want the floor at
+        // sub-threshold input sizes (r22 A/B: curation 1.90 s with
+        // the floor vs 2.12 without, same window)
+        graft.core.Parallelism.kernelFloor(docs, heavy = true)
           .filter(graft.functions.RepetitionFunctions
             .gopher_keep(col("text"), minTokens = 25))
           .select("doc_id"),

@@ -89,7 +89,19 @@ object IndexStore {
     if (!fresh) {
       java.nio.file.Files.createDirectories(dir.toPath)
       if (meta.exists()) meta.delete()
-      build.write.mode("overwrite").parquet(data.getPath)
+      // REBALANCE before the write (guide §6): the build plan's
+      // partitioning is whatever made the BUILD pass parallel (e.g.
+      // the kernelFloor round-robin that spreads a one-split corpus
+      // encode across cores), which at small scale wrote one tiny
+      // part file PER CORE — r21's ivfpq/dsir entries landed as 32
+      // near-empty files, and every force-rebuild (ann_ivfpq_build)
+      // and first read paid the per-file commit/listing/footer floor
+      // (idle board: build 1.30 s vs 0.78 in r20). AQE coalesces the
+      // rebalance exchange to the advisory partition size, so a small
+      // index writes ~1 file while a corpus-sized one still writes in
+      // parallel at ~advisory-sized files; the exchange itself moves
+      // only the compact artifact, never the corpus.
+      build.hint("rebalance").write.mode("overwrite").parquet(data.getPath)
       java.nio.file.Files.writeString(meta.toPath, fingerprint)
       readCache.remove((spark, data.getPath))
     }
