@@ -171,6 +171,120 @@ case class NearestCellsK(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** `two_level_cells(v, n2)`: the `take` nearest centroid ids of a
+  * quantized vector under the COARSE-THEN-FINE contract of
+  * [[graft.operators.Similarity.nearestCentroidsTwoLevel]], fused
+  * into one map-side kernel: rank the super-centroids (S dots), keep
+  * the `superProbes` nearest by (cosine desc, sup_id asc), then rank
+  * ONLY the centroids whose super-cell is probed — by the identical
+  * (cosine desc, cent_id asc) ordering — and take the first `take`.
+  * `supOf(j)` (each centroid's one super-cell) is DRIVER-COMPUTED by
+  * the same `driverNearestCells` arithmetic the composed plan's
+  * coarse projection ran per row, so membership is bit-identical.
+  *
+  * Replaces, per assigned frame, the n x superProbes coarse explode,
+  * the centroid broadcast join, and the bounded-top-k aggregation
+  * exchange of the composed two-level shape (r22; guide §2.4) — the
+  * assignment becomes one whole-stage-codegen projection like
+  * [[NearestCellsK]], admitted under the same driver-collect payload
+  * gate. Zero-norm vectors rank everywhere as -Infinity (the
+  * assignCos contract) so they land in the lowest-id probed cells;
+  * null-v rows return NULL (no cells), the joined path's behavior.
+  */
+case class TwoLevelCellsK(left: Expression, right: Expression,
+    supIds: Array[Long], supCents: Array[Array[Long]], supNorms: Array[Long],
+    superProbes: Int,
+    ids: Array[Long], cents: Array[Array[Long]], norms: Array[Long],
+    supOf: Array[Long], take: Int) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "two_level_cells"
+  override def checkInputDataTypes() = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"two_level_cells needs (ARRAY<BIGINT>, BIGINT), got ${left.dataType}, ${right.dataType}")
+  }
+
+  /** Negated-cosine of row (v, n2) against table entry j — the
+    * NearestCellsK arithmetic verbatim (ragged rows contribute 0 for
+    * missing components; NaN normalizes to +Infinity so it ranks
+    * last under the negation, i.e. -Infinity cosine).
+    */
+  @inline private def negCos(v: ArrayData, vn: Int, n2: Long,
+      cv: Array[Long], cn2: Long): Double = {
+    val lim = if (cv.length < vn) cv.length else vn
+    var dot = 0L
+    var i = 0
+    while (i < lim) { dot += v.getLong(i) * cv(i); i += 1 }
+    val raw = dot.toDouble / math.sqrt((n2 * cn2).toDouble)
+    if (java.lang.Double.isNaN(raw)) Double.PositiveInfinity else -raw
+  }
+
+  def kernel(vRaw: Any, n2: Long): ArrayData = {
+    val v = vRaw.asInstanceOf[ArrayData]
+    val vn = v.numElements()
+    // coarse: the superProbes nearest supers by (nc asc, id asc)
+    val s = supIds.length
+    val nProbe = if (superProbes < s) superProbes else s
+    val sncs = new Array[Double](s)
+    var j = 0
+    while (j < s) { sncs(j) = negCos(v, vn, n2, supCents(j), supNorms(j)); j += 1 }
+    val sIdx = Array.range(0, s).map(Integer.valueOf)
+    java.util.Arrays.sort(sIdx, (a: Integer, b: Integer) => {
+      val cmp = java.lang.Double.compare(sncs(a), sncs(b))
+      if (cmp != 0) cmp else java.lang.Long.compare(supIds(a), supIds(b))
+    })
+    val probed = new Array[Long](nProbe)
+    j = 0
+    while (j < nProbe) { probed(j) = supIds(sIdx(j)); j += 1 }
+    // fine: rank only centroids whose super-cell is probed
+    val c = ids.length
+    val cand = new Array[Int](c)
+    var nCand = 0
+    j = 0
+    while (j < c) {
+      val so = supOf(j)
+      var k = 0
+      var hit = false
+      while (k < nProbe && !hit) { hit = probed(k) == so; k += 1 }
+      if (hit) { cand(nCand) = j; nCand += 1 }
+      j += 1
+    }
+    val n = if (take < nCand) take else nCand
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val ncs = new Array[Double](nCand)
+    j = 0
+    while (j < nCand) {
+      val cj = cand(j)
+      ncs(j) = negCos(v, vn, n2, cents(cj), norms(cj))
+      j += 1
+    }
+    val cIdx = Array.range(0, nCand).map(Integer.valueOf)
+    java.util.Arrays.sort(cIdx, (a: Integer, b: Integer) => {
+      val cmp = java.lang.Double.compare(ncs(a), ncs(b))
+      if (cmp != 0) cmp
+      else java.lang.Long.compare(ids(cand(a)), ids(cand(b)))
+    })
+    val out = new Array[Long](n)
+    j = 0
+    while (j < n) { out(j) = ids(cand(cIdx(j))); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override def nullSafeEval(v: Any, n2: Any): Any =
+    kernel(v, n2.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("twoLevelCellsK", this,
+      classOf[TwoLevelCellsK].getName)
+    defineCodeGen(ctx, ev, (v, n2) => s"$ref.kernel($v, $n2)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TwoLevelCellsK =
+    copy(left = l, right = r)
+}
+
 /** `pq_encode(v)`: the m PQ codes of a quantized vector against a
   * DRIVER-COLLECTED codebook — per subspace s, the index j minimizing
   * the exact integer L2 distance |v_s|² + |e|² − 2·v_s·e, ties to the
@@ -259,4 +373,11 @@ object VectorFunctions {
     column(NearestCellsK(expression(v), expression(n2), ids, cents, norms, take))
   def pq_encode(v: Column, cb: Array[Array[Array[Long]]]): Column =
     column(PqEncodeK(expression(v), cb))
+  def two_level_cells(v: Column, n2: Column,
+      supIds: Array[Long], supCents: Array[Array[Long]], supNorms: Array[Long],
+      superProbes: Int,
+      ids: Array[Long], cents: Array[Array[Long]], norms: Array[Long],
+      supOf: Array[Long], take: Int): Column =
+    column(TwoLevelCellsK(expression(v), expression(n2), supIds, supCents,
+      supNorms, superProbes, ids, cents, norms, supOf, take))
 }

@@ -414,9 +414,13 @@ object Similarity {
     * literal limit changes cost only.
     */
   def nearestCentroidsTwoLevel(p: DataFrame, cent: DataFrame, take: Int,
-      idCol: String, numSuper: Int, superProbes: Int = 2): DataFrame =
+      idCol: String, numSuper: Int, superProbes: Int = 2): DataFrame = {
+    val supRows = collectSuperRows(cent, numSuper)
     nearestCentroidsTwoLevelShared(p, cent, take, idCol, numSuper,
-      superProbes, collectSuperRows(cent, numSuper))
+      superProbes, supRows,
+      if (supRows.isDefined) collectCentroidRows(cent).filter(literalEligible)
+      else None)
+  }
 
   /** The super-centroid table collected for literal coarse
     * compilation — exposed so [[ivfTopK]] can collect ONCE and share
@@ -432,7 +436,32 @@ object Similarity {
 
   private[graft] def nearestCentroidsTwoLevelShared(p: DataFrame,
       cent: DataFrame, take: Int, idCol: String, numSuper: Int,
-      superProbes: Int, supRowsOpt: Option[Array[CentRow]]): DataFrame = {
+      superProbes: Int, supRowsOpt: Option[Array[CentRow]],
+      centRowsOpt: Option[Array[CentRow]] = None): DataFrame = {
+    // r22 fused route: when the FULL centroid table also fits the
+    // literal payload gate (caller-collected, like the super table),
+    // both levels compile into ONE map-side kernel projection
+    // ([[graft.functions.TwoLevelCellsK]]): per assigned frame this
+    // removes the n x superProbes coarse explode, the centroid
+    // broadcast join, and the bounded-top-k aggregation exchange —
+    // while ranking EXACTLY as the composed shape (the per-centroid
+    // super assignment below is the same driverNearestCells
+    // arithmetic the coarse projection evaluated per row; suite- and
+    // oracle-pinned). Past the gate the composed shapes below remain
+    // the scale path.
+    (supRowsOpt, centRowsOpt) match {
+      case (Some(supRows), Some(cents)) =>
+        val supOf = cents.map(c =>
+          driverNearestCells(VecRow(c.id, c.cv, c.cn2), supRows, 1).head)
+        return p.select(col(idCol), col("v"), col("n2"),
+          explode(graft.functions.VectorFunctions.two_level_cells(
+            col("v"), col("n2"),
+            supRows.map(_.id), supRows.map(_.cv), supRows.map(_.cn2),
+            superProbes,
+            cents.map(_.id), cents.map(_.cv), cents.map(_.cn2),
+            supOf, take)).as("cent_id"))
+      case _ => ()
+    }
     def sup = cent.orderBy(col("cent_id")).limit(numSuper)
       .select(col("cent_id").as("sup_id"), col("cv").as("sv"),
         col("cn2").as("sn2"))
@@ -512,10 +541,17 @@ object Similarity {
     // per-call re-probe).
     lazy val supRowsOpt =
       if (superCells > 0) collectSuperRows(cent, superCells) else None
+    // the full table is collected ONCE (bounded by the literal gate)
+    // and shared by the corpus and query assignments, so both ride
+    // the fused two-level kernel when admitted (r22)
+    lazy val centRowsOpt =
+      if (superCells > 0 && supRowsOpt.isDefined)
+        collectCentroidRows(cent).filter(literalEligible)
+      else None
     def assignTo(df: DataFrame, take: Int): DataFrame =
       if (superCells > 0)
         nearestCentroidsTwoLevelShared(df, cent, take, idCol, superCells,
-          superProbes, supRowsOpt)
+          superProbes, supRowsOpt, centRowsOpt)
       else nearestCentroidsJoined(df, cent, take, idCol)
     // literal-centroid regime: the query side is broadcast-small BY
     // CONTRACT, so collect it once and compute the probe list in

@@ -613,6 +613,46 @@ class SimilaritySuite extends SparkSuite {
     assert(lit.nonEmpty)
   }
 
+  test("two-level fused kernel equals the composed literal and joined forms") {
+    // r22: when the FULL centroid table fits the payload gate both
+    // levels fuse into one map-side TwoLevelCellsK projection — pin
+    // it (id, cent_id)-identical to the composed literal-coarse form
+    // AND the joined fallback across probe widths, take > candidate
+    // counts, a zero-norm vector (NaN cosine -> lowest-id cells) and
+    // a null embedding (no cells on every route)
+    val rnd = new scala.util.Random(143)
+    val base = (0L until 90L).map(i =>
+      (i, if (i == 7L) null
+          else if (i == 11L) Seq.fill(16)(0f)
+          else Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val prep = Similarity.prepared(base, "embedding", "vec_id")
+    val cent = Similarity.centroidSample(prep, 12, "vec_id")
+    for ((nSuper, probes, take) <- Seq((4, 2, 2), (3, 1, 5), (4, 9, 1))) {
+      val sup = Similarity.collectSuperRows(cent, nSuper)
+      assert(sup.isDefined)
+      val full = Similarity.collectCentroidRows(cent)
+        .filter(Similarity.literalEligible)
+      assert(full.isDefined)
+      def pairs(supOpt: Option[Array[Similarity.CentRow]],
+          centOpt: Option[Array[Similarity.CentRow]]) = {
+        val got = Similarity.nearestCentroidsTwoLevelShared(prep, cent,
+          take, "vec_id", nSuper, probes, supOpt, centOpt)
+          .select("vec_id", "cent_id").orderBy("vec_id", "cent_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        graft.core.OpCaches.release()
+        got
+      }
+      val fused = pairs(sup, full)
+      val composed = pairs(sup, None)
+      val joined = pairs(None, None)
+      assert(fused == composed, s"fused != composed at ($nSuper,$probes,$take)")
+      assert(fused == joined, s"fused != joined at ($nSuper,$probes,$take)")
+      assert(fused.nonEmpty)
+      assert(!fused.exists(_._1 == 7L), "null embedding must assign nowhere")
+    }
+  }
+
   test("assignment handles degenerate centroid tables (1 row, 0 rows)") {
     // catalyst's least() rejects single-child calls, so the literal
     // argmin needs explicit 1-row and empty-table branches — the
